@@ -1,0 +1,44 @@
+"""Per-format record extractors.
+
+Each extractor is a pure-Python function ``bytes -> list[dict]`` (one
+HEPRecord-shaped dict per record node found in the document), designed
+to run over whole Arrow batches inside ``mapInPandas`` — the Spark side
+never sees per-row Python UDFs.
+
+Format registry: maps the ``format`` tag carried on a pages row to its
+extractor callable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+_REGISTRY: Dict[str, Callable[[bytes], List[dict]]] = {}
+
+
+def register(fmt: str):
+    """Decorator: register ``fn(html_bytes) -> [record_dict]`` for a format."""
+    def _wrap(fn):
+        _REGISTRY[fmt] = fn
+        return fn
+    return _wrap
+
+
+def get_extractor(fmt: str):
+    return _REGISTRY.get(fmt)
+
+
+def known_formats():
+    return sorted(_REGISTRY)
+
+
+def _load_all():
+    """Import all extractor modules so their @register decorators run."""
+    from . import arxiv_oai  # noqa: F401
+    try:
+        from . import jats  # noqa: F401
+    except ImportError:
+        pass
+
+
+_load_all()

@@ -1,0 +1,61 @@
+"""End-to-end Spark extraction over the fixture-backed pages table:
+Arrow UDF batches must reproduce the reference goldens byte-identically
+through the full DataFrame path (schema conformance included)."""
+
+from pyspark.sql import functions as F
+
+from hepcrawl_spark.extract import extract_records, split_records_errors
+from hepcrawl_spark.sources.fixtures import fixture_pages
+
+
+def test_extract_arxiv_through_spark(spark):
+    pages = fixture_pages(spark, formats=["arxiv-oai"])
+    extracted = extract_records(pages)
+    records, errors = split_records_errors(extracted)
+    rows = records.filter(
+        F.col("url").endswith("sample_arxiv_record0.xml")
+    ).collect()
+    assert errors.count() == 0
+    assert len(rows) == 1
+    rec = rows[0]
+    assert rec.title == (
+        "Irreversible degradation of quantum coherence under relativistic motion"
+    )
+    assert rec.preprint_date == "2016-01-13"
+    assert rec.dois[0].value == "10.1103/PhysRevD.93.016005"
+    assert [a.full_name for a in rec.authors] == \
+        ["Wang, Jieci", "Tian, Zehua", "Jing, Jiliang", "Fan, Heng"]
+    assert rec.license[0].license == "CC-BY-3.0"
+    assert rec.page_nr == ["6"]
+    assert rec.arxiv_eprints[0].categories == ["quant-ph", "gr-qc", "hep-th"]
+    # collaborations survive struct conformance
+    assert rec.collaborations[0].value == "Planck"
+
+
+def test_extract_batch_counts(spark):
+    pages = fixture_pages(spark, formats=["arxiv-oai"])
+    extracted = extract_records(pages)
+    records, errors = split_records_errors(extracted)
+    # 11 single-record files + 1 file with 11 records = 22 records
+    assert records.count() == 22
+    assert errors.count() == 0
+
+
+def test_error_capture_continues(spark):
+    import datetime as dt
+    from hepcrawl_spark.schema import PAGES_WITH_FORMAT_SCHEMA
+    ts = dt.datetime(2016, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://bad.host/broken.xml", ts, b"<not-xml", None, "en", "arxiv-oai"),
+            ("http://bad.host/unknown.fmt", ts, b"x", None, "en", "no-such-format"),
+        ],
+        schema=PAGES_WITH_FORMAT_SCHEMA,
+    )
+    extracted = extract_records(pages)
+    records, errors = split_records_errors(extracted)
+    assert records.count() == 0
+    errs = {r.url: r.error for r in errors.collect()}
+    assert len(errs) == 2
+    assert "ParseError" in errs["http://bad.host/broken.xml"]
+    assert "no extractor" in errs["http://bad.host/unknown.fmt"]
