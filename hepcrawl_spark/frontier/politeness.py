@@ -1,0 +1,175 @@
+"""Per-host politeness scheduler (F2/F3) with explicit skew handling (F4).
+
+Deterministic serial schedule contract (the reference parity contract,
+BASELINE.md "Crawl-semantics parity"):
+
+- per host, requests are ordered by (priority DESC, seq DESC) — Scrapy
+  scheduler semantics: priority queues, LIFO within equal priority (all
+  reference requests use priority 0, so reference order = LIFO);
+- the r-th request (1-based) of host h is fetched at
+  ``fetch_ts = base_h + floor((r-1) / c_h) * delay_h`` where ``base_h``
+  = max(carried host offset, round start), ``c_h`` = per-host
+  concurrency, ``delay_h`` = per-host download delay (reference budget:
+  delay 5-10 s, concurrency 2-5 — base_spider.py:63-65,
+  edp_spider.py:89-90, settings.py:35);
+- global fetch order = (fetch_ts ASC, priority DESC, seq DESC).
+
+Scale design: the per-host rank is NOT a naive window over
+``partitionBy(host)`` — one mega-host (arxiv.org) would serialize into
+a single task.  Instead a two-phase exact rank: rows are bucketed by
+global ``seq`` ranges, ranked *within* (host, priority, bucket)
+partitions — which splits a mega-host across many tasks — and local
+ranks are re-based with per-(host, priority, bucket) counts cumulated
+over the tiny group-count table and broadcast-joined back.  Exact, and
+the widest shuffle key is (host, priority, bucket).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# reference global default concurrency (settings.py:35); delay defaults to 0
+DEFAULT_MAX_PER_HOST = 16
+DEFAULT_DELAY = 0.0
+
+RANK_BUCKETS = 256  # seq-range buckets a mega-host is split across
+
+
+def per_host_rank(df: DataFrame, order_cols=None, host_col: str = "url_host",
+                  n_buckets: int = RANK_BUCKETS) -> DataFrame:
+    """Exact rank within host over (priority DESC, seq DESC), skew-safe.
+
+    Adds a ``host_rank`` column (1-based).
+    """
+    bounds = df.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    ).first()
+    if bounds.lo is None:
+        return df.withColumn("host_rank", F.lit(None).cast("long"))
+    width = max(1, (int(bounds.hi) - int(bounds.lo) + 1) // n_buckets + 1)
+    df = df.withColumn(
+        "_bucket", ((F.col("seq") - F.lit(int(bounds.lo))) / width).cast("int")
+    )
+    w_local = Window.partitionBy(host_col, "priority", "_bucket").orderBy(
+        F.col("seq").desc()
+    )
+    df = df.withColumn("_local_rank", F.row_number().over(w_local))
+
+    counts = df.groupBy(host_col, "priority", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # groups of one host ordered (priority DESC, bucket DESC): cumulative
+    # count of earlier groups re-bases the local rank
+    w_cum = (
+        Window.partitionBy(host_col)
+        .orderBy(F.col("priority").desc(), F.col("_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
+    ).select(host_col, "priority", "_bucket", "_base")
+
+    ranked = (
+        df.join(F.broadcast(offsets), on=[host_col, "priority", "_bucket"])
+        .withColumn("host_rank", (F.col("_base") + F.col("_local_rank")).cast("long"))
+        .drop("_bucket", "_local_rank", "_base")
+    )
+    return ranked
+
+
+def schedule(
+    admitted: DataFrame,
+    politeness: Optional[DataFrame] = None,
+    host_offsets: Optional[DataFrame] = None,
+    round_start: float = 0.0,
+    horizon: Optional[float] = None,
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """(scheduled, deferred, new_host_offsets).
+
+    ``scheduled`` carries ``fetch_ts`` (seconds from crawl epoch) and the
+    deterministic sort keys; ``deferred`` rows fell past the horizon and
+    re-enter the next round's queue unchanged.  ``politeness`` and
+    ``host_offsets`` are host-keyed dimension tables — broadcast joins,
+    never a wide shuffle.
+    """
+    df = per_host_rank(admitted)
+
+    if politeness is not None:
+        df = df.join(
+            F.broadcast(
+                politeness.select(
+                    "url_host",
+                    F.col("download_delay").alias("_delay"),
+                    F.col("max_per_host").alias("_conc"),
+                )
+            ),
+            on="url_host",
+            how="left",
+        )
+    else:
+        df = df.withColumn("_delay", F.lit(None).cast("double")).withColumn(
+            "_conc", F.lit(None).cast("int")
+        )
+    df = df.withColumn("_delay", F.coalesce("_delay", F.lit(DEFAULT_DELAY)))
+    df = df.withColumn("_conc", F.coalesce("_conc", F.lit(DEFAULT_MAX_PER_HOST)))
+
+    if host_offsets is not None:
+        df = df.join(
+            F.broadcast(
+                host_offsets.select("url_host", F.col("next_fetch_ts").alias("_off"))
+            ),
+            on="url_host",
+            how="left",
+        )
+    else:
+        df = df.withColumn("_off", F.lit(None).cast("double"))
+    df = df.withColumn(
+        "_base", F.greatest(F.coalesce("_off", F.lit(0.0)), F.lit(float(round_start)))
+    )
+
+    df = df.withColumn(
+        "fetch_ts",
+        F.col("_base")
+        + F.floor((F.col("host_rank") - 1) / F.col("_conc")) * F.col("_delay"),
+    )
+
+    if horizon is not None:
+        deadline = float(round_start) + float(horizon)
+        scheduled = df.filter(F.col("fetch_ts") < deadline)
+        deferred = df.filter(F.col("fetch_ts") >= deadline).drop(
+            "host_rank", "fetch_ts", "_delay", "_conc", "_off", "_base"
+        )
+    else:
+        scheduled = df
+        deferred = df.limit(0).drop(
+            "host_rank", "fetch_ts", "_delay", "_conc", "_off", "_base"
+        )
+
+    new_offsets = (
+        scheduled.groupBy("url_host")
+        .agg(
+            F.max("fetch_ts").alias("_last"),
+            F.max("_delay").alias("_d"),
+        )
+        .select(
+            "url_host",
+            (F.col("_last") + F.col("_d")).alias("next_fetch_ts"),
+            F.col("_d").alias("crawl_delay"),
+        )
+    )
+
+    scheduled = scheduled.drop("_delay", "_conc", "_off", "_base")
+    return scheduled, deferred, new_offsets
+
+
+def with_global_order(scheduled: DataFrame) -> DataFrame:
+    """Materialize the global fetch ordinal (parity tests / small rounds;
+    a total order is inherently single-reducer, so production rounds sort
+    within partitions by the same keys instead)."""
+    w = Window.orderBy(
+        F.col("fetch_ts").asc(), F.col("priority").desc(), F.col("seq").desc()
+    )
+    return scheduled.withColumn("fetch_order", F.row_number().over(w))

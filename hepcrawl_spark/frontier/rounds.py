@@ -1,0 +1,262 @@
+"""The crawl round loop (F6) — the engine's top-level query.
+
+Each round is one committed unit of work (reference analog: the
+Scrapy reactor draining its scheduler, resumable via JOBDIR):
+
+    queue → robots gate → URL-seen gate → politeness schedule
+          → "fetch" (join against the pages corpus)
+          → Arrow extraction UDF → records sink
+          → frontier expansion (new_urls → next round's queue)
+          → lineage/metrics → atomic checkpoint commit
+
+All state (queue, seen set, host offsets, records, lineage) lives in
+the RoundStore, so a killed job resumes from the last committed round
+bit-identically (test: tests/test_rounds.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extract import extract_records
+from ..schema import POLITENESS_SCHEMA, ROBOTS_SCHEMA
+from .checkpoint import RoundStore
+from .fingerprint import with_url_identity
+from .politeness import schedule
+from .robots import effective_politeness, robots_filter
+from .seen import CANDIDATE_SCHEMA, filter_unseen
+
+# spider name → pages format tag (the reference's spider choice is the
+# format route; SURVEY.md §2.1)
+SOURCE_FORMATS = {
+    "arXiv": "arxiv-oai",
+    "WSP": "jats",
+    "PoS": "pex-dc",
+    "BASE": "oai-base-dc",
+    "DNB": "marc21-slim",
+    "Hindawi": "marc21",
+    "APS": "json-aps",
+}
+
+_CAND_COLS = CANDIDATE_SCHEMA.fieldNames()
+
+
+@dataclass
+class CrawlConfig:
+    seen_mode: str = "off"          # reference parity default (settings.py:32-33)
+    num_shards: int = 64
+    horizon: Optional[float] = None  # seconds per round; None = drain queue
+    max_rounds: int = 32
+    max_depth: int = 16
+    seq_block: int = 1 << 40        # per-round seq namespace spacing
+
+
+def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFrame:
+    """seeds: [(url, source, priority)] in start_requests yield order."""
+    rows = [
+        (url, None, None, None, int(priority), 0, i, source,
+         SOURCE_FORMATS.get(source, source))
+        for i, (url, source, priority) in enumerate(seeds)
+    ]
+    df = spark.createDataFrame(rows, CANDIDATE_SCHEMA)
+    return with_url_identity(df.drop("canon_url", "url_host", "fingerprint"))
+
+
+def _merge_offsets(old: Optional[DataFrame], new: DataFrame) -> DataFrame:
+    if old is None:
+        return new
+    return (
+        old.alias("o")
+        .join(new.alias("n"), on="url_host", how="full_outer")
+        .select(
+            "url_host",
+            F.coalesce("n.next_fetch_ts", "o.next_fetch_ts").alias("next_fetch_ts"),
+            F.coalesce("n.crawl_delay", "o.crawl_delay").alias("crawl_delay"),
+        )
+    )
+
+
+def _expand_children(records: DataFrame, scheduled: DataFrame,
+                     seq_base: int, max_depth: int) -> DataFrame:
+    """new_urls of this round's records → next round's candidates.
+
+    Child enqueue order (the LIFO seq) = parent fetch order, then
+    position within the page — the serial-contract equivalent of Scrapy
+    enqueueing requests as each response is parsed.
+    """
+    parents = scheduled.select(
+        F.col("url").alias("parent_url"),
+        F.col("fetch_ts").alias("_pts"),
+        F.col("priority").alias("_pprio"),
+        F.col("seq").alias("_pseq"),
+        F.col("depth").alias("_pdepth"),
+        F.col("source").alias("_psource"),
+        F.col("format").alias("_pformat"),
+    )
+    kids = (
+        records.filter(F.size("new_urls") > 0)
+        .select(
+            F.col("url").alias("parent_url"),
+            F.posexplode("new_urls").alias("_pos", "child_url"),
+        )
+        .join(parents, on="parent_url")
+        .filter(F.col("_pdepth") < max_depth)
+    )
+    # deterministic enqueue order; a global window is fine at per-round
+    # expansion volume (children ≪ frontier) — for mega-expansions the
+    # two-phase rank in politeness.per_host_rank generalizes.
+    w = Window.orderBy(
+        F.col("_pts").asc(), F.col("_pprio").desc(),
+        F.col("_pseq").desc(), F.col("_pos").asc(),
+    )
+    kids = kids.withColumn("_order", F.row_number().over(w))
+    out = kids.select(
+        F.col("child_url").alias("url"),
+        F.lit(None).cast("string").alias("canon_url"),
+        F.lit(None).cast("string").alias("url_host"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.col("_pprio").alias("priority"),
+        (F.col("_pdepth") + 1).alias("depth"),
+        (F.lit(seq_base) + F.col("_order")).alias("seq"),
+        F.col("_psource").alias("source"),
+        F.col("_pformat").alias("format"),
+    )
+    return with_url_identity(out.drop("canon_url", "url_host", "fingerprint"))
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    politeness: Optional[DataFrame] = None,
+    robots: Optional[DataFrame] = None,
+    checkpoint_path: Optional[str] = None,
+    config: CrawlConfig = CrawlConfig(),
+) -> Dict:
+    """Run the crawl to completion (or max_rounds); returns a summary.
+
+    ``pages`` is the Common-Crawl-style corpus (the sandbox "fetch" is a
+    url equi-join — at cluster scale both sides are bucketed by
+    url_host, making it shuffle-free; SURVEY.md §2.6 J5).
+    """
+    store = RoundStore(spark, checkpoint_path) if checkpoint_path else None
+    politeness = effective_politeness(politeness, robots)
+
+    round_no = 0
+    queue: Optional[DataFrame] = seeds
+    seen_state: Optional[DataFrame] = None
+    offsets: Optional[DataFrame] = None
+
+    if store is not None:
+        last = store.last_committed_round()
+        if last is not None:
+            queue = store.read_table(last, "queue")
+            seen_state = store.read_table(last, "seen")
+            offsets = store.read_table(last, "offsets")
+            round_no = last + 1
+
+    totals = {"records": 0, "errors": 0, "scheduled": 0, "blocked": 0}
+
+    while queue is not None and round_no < config.max_rounds:
+        queue = queue.persist()
+        queue_count = queue.count()
+        if queue_count == 0:
+            queue.unpersist()
+            break
+
+        allowed, blocked = robots_filter(queue, robots)
+        admitted, seen_state = filter_unseen(
+            allowed, seen_state, mode=config.seen_mode,
+            num_shards=config.num_shards,
+        )
+        scheduled, deferred, new_offsets = schedule(
+            admitted, politeness, offsets, round_start=0.0,
+            horizon=config.horizon,
+        )
+        scheduled = scheduled.persist()
+        offsets = _merge_offsets(offsets, new_offsets).persist()
+
+        fetched = scheduled.join(
+            pages.select("url", "html"), on="url", how="left"
+        ).persist()
+        miss_errors = fetched.filter(F.col("html").isNull()).select(
+            "url", F.lit("FetchMiss: url not in corpus").alias("error")
+        )
+        extracted = extract_records(
+            fetched.filter(F.col("html").isNotNull())
+            .select("url", "html", "format")
+        ).persist()
+
+        records = extracted.filter(F.col("error").isNull())
+        errors = extracted.filter(F.col("error").isNotNull()).select(
+            "url", "error"
+        ).unionByName(miss_errors)
+
+        # per-partition lineage + metrics (F8)
+        lineage = (
+            extracted.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                F.count(F.lit(1)).alias("input_rows"),
+                F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("emitted_rows"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+                F.collect_list("error").alias("errors"),
+            )
+            .select(
+                F.lit(round_no).alias("round"),
+                F.col("_pid").alias("partition_id"),
+                "input_rows", "emitted_rows", "error_rows", "errors",
+            )
+        )
+
+        children = _expand_children(
+            records, scheduled,
+            seq_base=(round_no + 1) * config.seq_block,
+            max_depth=config.max_depth,
+        )
+        next_queue = deferred.select(_CAND_COLS).unionByName(
+            children.select(_CAND_COLS)
+        ).persist()
+
+        n_records = records.count()
+        n_errors = errors.count()
+        n_scheduled = scheduled.count()
+        totals["records"] += n_records
+        totals["errors"] += n_errors
+        totals["scheduled"] += n_scheduled
+        totals["blocked"] += blocked.count()
+
+        if store is not None:
+            tables = {
+                "queue": next_queue,
+                "offsets": offsets,
+                "records": records.drop("new_urls"),
+                "lineage": lineage,
+                "errors": errors,
+            }
+            if seen_state is not None and config.seen_mode != "off":
+                tables["seen"] = seen_state
+            store.commit_round(
+                round_no, tables,
+                meta={"scheduled": n_scheduled, "records": n_records,
+                      "errors": n_errors},
+            )
+            # re-read state from the committed round: the next round's
+            # lineage starts from durable storage, not a live lineage chain
+            next_queue = store.read_table(round_no, "queue")
+            offsets = store.read_table(round_no, "offsets")
+            if config.seen_mode != "off":
+                seen_state = store.read_table(round_no, "seen")
+
+        queue.unpersist()
+        scheduled.unpersist()
+        extracted.unpersist()
+        queue = next_queue
+        round_no += 1
+
+    totals["rounds"] = round_no
+    return totals

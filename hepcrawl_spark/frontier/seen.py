@@ -1,0 +1,164 @@
+"""URL-seen membership (F1) — the dedup gate in front of the scheduler.
+
+Three modes:
+
+- ``off``    — reference parity: the reference explicitly disables
+  duplicate filtering (``DUPEFILTER_CLASS = BaseDupeFilter``,
+  /root/reference/hepcrawl/settings.py:32-33), so every candidate is
+  admitted and the "seen set" is the multiset of scheduled URLs.
+- ``exact``  — distributed exact dedup: left-anti join of candidate
+  fingerprints against the seen table + first-by-seq within the batch.
+  One shuffle on a 64-bit key; scalable but the state table grows with
+  the frontier.
+- ``cuckoo`` — the 10^10-scale path: the seen set lives in S cuckoo
+  shards (~16 bits/key), sharded by ``xxhash64(url_host) % S`` so one
+  host's URLs always probe one shard.  Probe+insert runs as a single
+  ``cogroup().applyInPandas`` over (candidates-by-shard, state-by-shard):
+  a hand-rolled hash anti-join whose build side is the persistent
+  filter.  Output is a union of admitted rows and refreshed shard blobs
+  (split by ``row_kind`` afterwards) — one shuffle, state rows tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .cuckoo import CuckooShard
+
+# candidate rows entering the seen gate (url identity already attached)
+CANDIDATE_FIELDS = [
+    ("url", StringType()),
+    ("canon_url", StringType()),
+    ("url_host", StringType()),
+    ("fingerprint", LongType()),
+    ("priority", LongType()),
+    ("depth", IntegerType()),
+    ("seq", LongType()),
+    ("source", StringType()),
+    ("format", StringType()),
+]
+CANDIDATE_SCHEMA = StructType([StructField(n, t) for n, t in CANDIDATE_FIELDS])
+
+CUCKOO_STATE_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("blob", BinaryType()),
+])
+
+_UNION_SCHEMA = StructType(
+    [StructField("row_kind", StringType())]
+    + CANDIDATE_SCHEMA.fields
+    + [StructField("shard", IntegerType()), StructField("blob", BinaryType())]
+)
+
+
+def shard_of_host(host_col, num_shards: int):
+    return F.pmod(F.xxhash64(host_col), F.lit(num_shards)).cast("int")
+
+
+def empty_cuckoo_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], CUCKOO_STATE_SCHEMA)
+
+
+def empty_exact_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "fingerprint long")
+
+
+def _dedup_within_batch(candidates: DataFrame) -> DataFrame:
+    """Keep the first-enqueued (min seq) row per fingerprint."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col("seq").asc())
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    state: DataFrame | None,
+    mode: str = "cuckoo",
+    num_shards: int = 64,
+    shard_buckets: int = 1 << 16,
+) -> Tuple[DataFrame, DataFrame | None]:
+    """(admitted, new_state).  ``candidates`` must carry CANDIDATE columns."""
+    spark = candidates.sparkSession
+    candidates = candidates.select(*[n for n, _ in CANDIDATE_FIELDS])
+
+    if mode == "off":
+        return candidates, state
+
+    if mode == "exact":
+        if state is None:
+            state = empty_exact_state(spark)
+        batch = _dedup_within_batch(candidates)
+        admitted = batch.join(
+            state.select("fingerprint").hint("shuffle_hash"),
+            on="fingerprint",
+            how="left_anti",
+        )
+        new_state = state.union(admitted.select("fingerprint"))
+        return admitted, new_state
+
+    if mode == "cuckoo":
+        if state is None:
+            state = empty_cuckoo_state(spark)
+        with_shard = candidates.withColumn(
+            "shard", shard_of_host(F.col("url_host"), num_shards)
+        )
+
+        def probe_and_insert(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+            shard_id = int(key[0])
+            if len(state_pdf) and state_pdf["blob"].iloc[0] is not None:
+                shard = CuckooShard.from_bytes(bytes(state_pdf["blob"].iloc[0]))
+            else:
+                shard = CuckooShard(n_buckets=shard_buckets)
+            out_rows = []
+            if len(cand_pdf):
+                cand_pdf = cand_pdf.sort_values("seq", kind="mergesort")
+                pre_seen = shard.contains_many(
+                    cand_pdf["fingerprint"].to_numpy()
+                )
+                batch_seen: set[int] = set()
+                for (_, row), was_seen in zip(cand_pdf.iterrows(), pre_seen):
+                    h = int(row["fingerprint"])
+                    if was_seen or h in batch_seen:
+                        continue
+                    batch_seen.add(h)
+                    shard.insert(h)
+                    rec = {name: row[name] for name, _ in CANDIDATE_FIELDS}
+                    rec.update(row_kind="url", shard=shard_id, blob=None)
+                    out_rows.append(rec)
+            out_rows.append({
+                "row_kind": "state",
+                **{name: None for name, _ in CANDIDATE_FIELDS},
+                "shard": shard_id,
+                "blob": shard.to_bytes(),
+            })
+            return pd.DataFrame(out_rows, columns=_UNION_SCHEMA.fieldNames())
+
+        unioned = with_shard.groupBy("shard").cogroup(
+            state.groupBy("shard")
+        ).applyInPandas(probe_and_insert, _UNION_SCHEMA)
+        unioned = unioned.persist()
+        admitted = unioned.filter(F.col("row_kind") == "url").select(
+            *[n for n, _ in CANDIDATE_FIELDS]
+        )
+        new_state = unioned.filter(F.col("row_kind") == "state").select(
+            "shard", "blob"
+        )
+        return admitted, new_state
+
+    raise ValueError(f"unknown seen mode: {mode!r}")

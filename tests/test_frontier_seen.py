@@ -1,0 +1,100 @@
+"""URL-seen gate (F1): cuckoo shard unit behavior + Spark seen-filter
+modes (off = reference parity, exact, cuckoo)."""
+
+import numpy as np
+import pytest
+
+from hepcrawl_spark.frontier.cuckoo import CuckooShard
+from hepcrawl_spark.frontier.fingerprint import with_url_identity
+from hepcrawl_spark.frontier.seen import (
+    CANDIDATE_SCHEMA,
+    empty_cuckoo_state,
+    filter_unseen,
+)
+
+
+def test_cuckoo_insert_contains_roundtrip():
+    shard = CuckooShard(n_buckets=1 << 10)
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2 ** 62), 2 ** 62, size=2000).tolist()
+    for k in keys:
+        if not shard.contains(k):
+            assert shard.insert(k)
+    for k in keys:
+        assert shard.contains(k)
+    # vectorized probe agrees with scalar
+    probe = shard.contains_many(np.array(keys, dtype=np.int64))
+    assert probe.all()
+
+
+def test_cuckoo_serialization_roundtrip():
+    shard = CuckooShard(n_buckets=1 << 8)
+    for k in range(500):
+        h = hash(("url", k))
+        if not shard.contains(h):
+            shard.insert(h)
+    clone = CuckooShard.from_bytes(shard.to_bytes())
+    assert np.array_equal(clone.buckets, shard.buckets)
+    assert clone.count == shard.count
+    assert clone.contains(hash(("url", 123)))
+
+
+def test_cuckoo_false_positive_rate_reasonable():
+    shard = CuckooShard(n_buckets=1 << 12)
+    rng = np.random.RandomState(11)
+    ins = rng.randint(-(2 ** 62), 2 ** 62, size=8000)
+    for k in ins.tolist():
+        shard.insert(k)
+    fresh = rng.randint(-(2 ** 62), 2 ** 62, size=20000)
+    fp_rate = shard.contains_many(fresh).mean()
+    assert fp_rate < 0.01
+
+
+def _candidates(spark, urls, start_seq=0):
+    rows = []
+    for i, u in enumerate(urls):
+        rows.append((u, None, None, None, 0, 0, start_seq + i, "arXiv", "arxiv-oai"))
+    df = spark.createDataFrame(rows, CANDIDATE_SCHEMA)
+    return with_url_identity(df.drop("canon_url", "url_host", "fingerprint"))
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_seen_filter_dedups_across_batches(spark, mode):
+    urls1 = [f"http://h{i % 3}.org/p{i}" for i in range(30)]
+    cand1 = _candidates(spark, urls1)
+    admitted1, state1 = filter_unseen(cand1, None, mode=mode, num_shards=8)
+    assert admitted1.count() == 30
+
+    # second batch: 10 repeats + 5 new (+ an in-batch duplicate pair)
+    urls2 = urls1[:10] + [f"http://h9.org/new{i}" for i in range(5)] + \
+        ["http://h9.org/new0"]
+    cand2 = _candidates(spark, urls2, start_seq=100)
+    admitted2, _ = filter_unseen(cand2, state1, mode=mode, num_shards=8)
+    got = sorted(r.url for r in admitted2.collect())
+    assert got == sorted(f"http://h9.org/new{i}" for i in range(5))
+
+
+def test_seen_filter_off_admits_duplicates(spark):
+    # reference parity: dupefilter disabled (settings.py:32-33)
+    urls = ["http://a.org/x"] * 3
+    cand = _candidates(spark, urls)
+    admitted, _ = filter_unseen(cand, None, mode="off")
+    assert admitted.count() == 3
+
+
+def test_seen_canonicalization_merges_equivalent_urls(spark):
+    cand = _candidates(spark, [
+        "http://A.org/x?b=2&a=1",
+        "http://a.org/x?a=1&b=2#frag",
+    ])
+    admitted, _ = filter_unseen(cand, None, mode="exact")
+    assert admitted.count() == 1
+
+
+def test_cuckoo_state_persists_blobs(spark):
+    cand = _candidates(spark, [f"http://h{i}.org/{i}" for i in range(10)])
+    _, state = filter_unseen(cand, empty_cuckoo_state(spark), mode="cuckoo",
+                             num_shards=4)
+    blobs = state.collect()
+    assert {r.shard for r in blobs} <= set(range(4))
+    assert all(r.blob is not None and len(r.blob) > 32 for r in blobs)

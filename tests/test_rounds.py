@@ -1,0 +1,105 @@
+"""End-to-end crawl rounds: seeds → schedule → fetch-join → extract →
+expand → checkpoint, plus kill-resume equivalence (F6/F7/F8)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hepcrawl_spark.frontier.checkpoint import RoundStore
+from hepcrawl_spark.frontier.rounds import CrawlConfig, make_seeds, run_crawl
+from hepcrawl_spark.schema import ROBOTS_SCHEMA
+from hepcrawl_spark.sources.fixtures import fixture_pages
+
+
+@pytest.fixture(scope="module")
+def arxiv_pages(spark):
+    return fixture_pages(spark, formats=["arxiv-oai"]).persist()
+
+
+def _arxiv_seeds(spark, pages):
+    urls = [r.url for r in pages.select("url").orderBy("url").collect()]
+    return make_seeds(spark, [(u, "arXiv", 0) for u in urls])
+
+
+def test_single_round_crawl(spark, arxiv_pages):
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+    with tempfile.TemporaryDirectory() as ckpt:
+        summary = run_crawl(
+            spark, seeds, arxiv_pages, checkpoint_path=ckpt,
+            config=CrawlConfig(seen_mode="off", max_rounds=4),
+        )
+        assert summary["records"] == 22
+        assert summary["errors"] == 0
+        assert summary["scheduled"] == 12
+        store = RoundStore(spark, ckpt)
+        records = store.all_records()
+        assert records.count() == 22
+        lineage = store.all_lineage()
+        assert lineage.agg(F.sum("emitted_rows")).first()[0] == 22
+
+
+def test_fetch_miss_is_error_not_failure(spark, arxiv_pages):
+    seeds = make_seeds(spark, [("http://nowhere.org/missing.xml", "arXiv", 0)])
+    with tempfile.TemporaryDirectory() as ckpt:
+        summary = run_crawl(spark, seeds, arxiv_pages, checkpoint_path=ckpt)
+        assert summary["records"] == 0
+        assert summary["errors"] == 1
+
+
+def test_robots_blocks(spark, arxiv_pages):
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+    robots = spark.createDataFrame(
+        [("export.arxiv.org", ["/"], None)], ROBOTS_SCHEMA
+    )
+    summary = run_crawl(
+        spark, seeds, arxiv_pages, robots=robots,
+        config=CrawlConfig(max_rounds=2),
+    )
+    assert summary["blocked"] == 12
+    assert summary["records"] == 0
+
+
+def test_seen_dedup_prevents_refetch(spark, arxiv_pages):
+    url = arxiv_pages.select("url").orderBy("url").first().url
+    seeds = make_seeds(spark, [(url, "arXiv", 0), (url, "arXiv", 0)])
+    with tempfile.TemporaryDirectory() as ckpt:
+        summary = run_crawl(
+            spark, seeds, arxiv_pages, checkpoint_path=ckpt,
+            config=CrawlConfig(seen_mode="exact"),
+        )
+        assert summary["scheduled"] == 1
+    # parity mode: both admitted (reference dupefilter disabled)
+    summary_off = run_crawl(
+        spark, seeds, arxiv_pages, config=CrawlConfig(seen_mode="off"),
+    )
+    assert summary_off["scheduled"] == 2
+
+
+def test_kill_resume_produces_identical_output(spark, arxiv_pages):
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+
+    with tempfile.TemporaryDirectory() as full_ckpt, \
+         tempfile.TemporaryDirectory() as resumed_ckpt:
+        # uninterrupted run
+        run_crawl(
+            spark, seeds, arxiv_pages, checkpoint_path=full_ckpt,
+            config=CrawlConfig(seen_mode="exact", max_rounds=4),
+        )
+        full = RoundStore(spark, full_ckpt).all_records()
+
+        # "killed" run: stop after round 0 (max_rounds=1), then resume
+        run_crawl(
+            spark, seeds, arxiv_pages, checkpoint_path=resumed_ckpt,
+            config=CrawlConfig(seen_mode="exact", max_rounds=1),
+        )
+        run_crawl(
+            spark, seeds, arxiv_pages, checkpoint_path=resumed_ckpt,
+            config=CrawlConfig(seen_mode="exact", max_rounds=4),
+        )
+        resumed = RoundStore(spark, resumed_ckpt).all_records()
+
+        assert full.count() == resumed.count() == 22
+        key_cols = ["url", "title", "preprint_date"]
+        assert full.select(key_cols).exceptAll(resumed.select(key_cols)).count() == 0
+        assert resumed.select(key_cols).exceptAll(full.select(key_cols)).count() == 0

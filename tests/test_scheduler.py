@@ -1,0 +1,146 @@
+"""Scheduler (F2/F3/F4) parity vs the pure-Python Scrapy-semantics
+simulator, plus carried-offset and skew-safe rank checks."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from hepcrawl_spark.frontier.politeness import (
+    per_host_rank,
+    schedule,
+    with_global_order,
+)
+from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+from hepcrawl_spark.frontier.simulator import HostBudget, simulate_schedule
+from hepcrawl_spark.schema import POLITENESS_SCHEMA
+
+
+def _frontier_df(spark, requests):
+    rows = [
+        (url, url, host, 0, prio, 0, seq, "s", "f")
+        for url, host, prio, seq in requests
+    ]
+    # CANDIDATE columns: url, canon_url, url_host, fingerprint, priority,
+    # depth, seq, source, format
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8]) for r in rows],
+        CANDIDATE_SCHEMA,
+    )
+
+
+def _budget_df(spark, budgets):
+    return spark.createDataFrame(
+        [(h, b.delay, b.concurrency) for h, b in budgets.items()],
+        POLITENESS_SCHEMA,
+    )
+
+
+def _assert_parity(spark, requests, budgets, round_start=0.0):
+    expected = simulate_schedule(
+        [(u, h, p, s) for u, h, p, s in requests],
+        budgets,
+        round_start=round_start,
+    )
+    df = _frontier_df(spark, requests)
+    scheduled, deferred, _ = schedule(
+        df, _budget_df(spark, budgets), round_start=round_start
+    )
+    assert deferred.count() == 0
+    got = [
+        (r.fetch_order, r.url, r.fetch_ts)
+        for r in with_global_order(scheduled)
+        .orderBy("fetch_order")
+        .collect()
+    ]
+    assert got == expected, f"\nspark: {got[:10]}\nsim:   {expected[:10]}"
+
+
+def test_parity_lifo_single_host(spark):
+    # all priority 0 → pure LIFO, delay spacing 5s (reference budget,
+    # base_spider.py:63)
+    reqs = [(f"http://a.org/{i}", "a.org", 0, i) for i in range(8)]
+    budgets = {"a.org": HostBudget(delay=5.0, concurrency=1)}
+    _assert_parity(spark, reqs, budgets)
+
+
+def test_parity_multi_host_interleave(spark):
+    reqs = []
+    seq = 0
+    for i in range(6):
+        for host, n in (("slow.org", 1), ("fast.org", 2)):
+            for j in range(n):
+                reqs.append((f"http://{host}/{seq}", host, 0, seq))
+                seq += 1
+    budgets = {
+        "slow.org": HostBudget(delay=10.0, concurrency=2),
+        "fast.org": HostBudget(delay=0.0, concurrency=16),
+    }
+    _assert_parity(spark, reqs, budgets)
+
+
+def test_parity_priorities_and_concurrency(spark):
+    rng = random.Random(42)
+    hosts = ["h1.org", "h2.org", "h3.org"]
+    reqs = [
+        (f"http://{h}/{i}", h, rng.choice([0, 1, 2]), i)
+        for i, h in enumerate(rng.choice(hosts) for _ in range(60))
+    ]
+    budgets = {
+        "h1.org": HostBudget(delay=5.0, concurrency=2),
+        "h2.org": HostBudget(delay=3.0, concurrency=5),
+        "h3.org": HostBudget(delay=0.0, concurrency=16),
+    }
+    _assert_parity(spark, reqs, budgets)
+
+
+def test_parity_with_round_start(spark):
+    reqs = [(f"http://a.org/{i}", "a.org", 0, i) for i in range(5)]
+    budgets = {"a.org": HostBudget(delay=2.0, concurrency=1)}
+    _assert_parity(spark, reqs, budgets, round_start=100.0)
+
+
+def test_carried_offsets_across_rounds(spark):
+    budgets = {"a.org": HostBudget(delay=5.0, concurrency=1)}
+    r1 = _frontier_df(spark, [(f"http://a.org/{i}", "a.org", 0, i) for i in range(3)])
+    s1, _, off1 = schedule(r1, _budget_df(spark, budgets))
+    assert s1.agg(F.max("fetch_ts")).first()[0] == 10.0
+    offsets = off1.collect()
+    assert offsets[0].next_fetch_ts == 15.0
+
+    r2 = _frontier_df(spark, [("http://a.org/next", "a.org", 0, 100)])
+    s2, _, _ = schedule(r2, _budget_df(spark, budgets), host_offsets=off1)
+    assert s2.first().fetch_ts == 15.0
+
+
+def test_horizon_defers(spark):
+    budgets = {"a.org": HostBudget(delay=10.0, concurrency=1)}
+    df = _frontier_df(spark, [(f"http://a.org/{i}", "a.org", 0, i) for i in range(5)])
+    scheduled, deferred, _ = schedule(
+        df, _budget_df(spark, budgets), horizon=25.0
+    )
+    assert scheduled.count() == 3  # ts 0,10,20 < 25
+    assert deferred.count() == 2
+    # deferred rows keep the candidate shape for the next round
+    assert set(deferred.columns) == set(CANDIDATE_SCHEMA.fieldNames())
+
+
+def test_per_host_rank_matches_window_on_skewed_data(spark):
+    # one mega-host with 5k rows + 50 small hosts; two-phase rank must
+    # equal the naive single-window rank
+    rows = []
+    rng = random.Random(1)
+    seqs = list(range(6000))
+    rng.shuffle(seqs)
+    for i, seq in enumerate(seqs):
+        host = "mega.org" if i % 6 else f"small{i % 50}.org"
+        rows.append((f"http://{host}/{seq}", host, rng.choice([0, 1]), seq))
+    df = _frontier_df(spark, rows)
+    ranked = per_host_rank(df)
+    from pyspark.sql import Window
+    w = Window.partitionBy("url_host").orderBy(
+        F.col("priority").desc(), F.col("seq").desc()
+    )
+    naive = df.withColumn("naive_rank", F.row_number().over(w))
+    joined = ranked.join(naive.select("url", "naive_rank"), on="url")
+    mismatches = joined.filter(F.col("host_rank") != F.col("naive_rank")).count()
+    assert mismatches == 0
