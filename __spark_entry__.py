@@ -1,38 +1,697 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: one full crawl-round pipeline (seed →
+URL-seen gate → politeness schedule → fetch join → Arrow extraction)
+over a pages corpus synthesized from sf0.001 documents.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal), each with an exact
+DuckDB mirror unless the op is non-SQL-expressible (extraction UDF,
+LSH-approximate and simhash variants → rows-only checks).
+
+Determinism contract used throughout (so value hashes match DuckDB):
+- money/value sums go through per-row ``floor(x*100 + 0.5)`` cents —
+  integer sums are order-independent and exact;
+- doubles are either small-int ratios or the identical left-fold
+  expression on both engines, rounded to 9 decimals as a hedge;
+- timestamps are compared as ``unix_micros`` / ``epoch_us`` BIGINTs;
+- every rank/count is BIGINT on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hepcrawl_spark.extract import extract_records
+from hepcrawl_spark.frontier.fingerprint import with_url_identity
+from hepcrawl_spark.frontier.politeness import schedule
+from hepcrawl_spark.frontier.robots import robots_filter
+from hepcrawl_spark.frontier.seen import filter_unseen
+from hepcrawl_spark.operators import dedup, multimodal, similarity, textops
+from hepcrawl_spark.schema import ROBOTS_SCHEMA
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col):
+    """ntz-safe epoch micros (events/orders timestamps are
+    TIMESTAMP_NTZ; session tz is UTC so the cast is the identity
+    wall-clock mapping DuckDB's epoch_us performs)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _cents(col):
+    """Deterministic money→cents: floor(x*100+0.5) (order-independent
+    integer sums; identical in DuckDB)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# frontier candidates synthesized from the events table (url/host/seq)
+# ---------------------------------------------------------------------------
+
+def _event_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".example.com")
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"),
+        (F.col("event_id") % 97).cast("string"),
+    )
+    df = ev.select(
+        url.alias("url"),
+        F.lit(0).cast("long").alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.col("event_id").alias("seq"),
+        F.lit("events").alias("source"),
+        F.lit("html-generic").alias("format"),
+    )
+    return with_url_identity(df)
+
+
+_CAND_URL_SQL = "'http://h' || (user_id % 20) || '.example.com/p/' || (event_id % 97)"
+_CAND_HOST_SQL = "'h' || (user_id % 20) || '.example.com'"
+
+
+def _doc_pages(docs: DataFrame) -> DataFrame:
+    """Wrap documents as Common-Crawl-style HTML pages (binary html)."""
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".docs.example.com"),
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(url.alias("url"), html.alias("html"),
+                       F.lit("html-generic").alias("format"))
+
+
+def _crawl_round(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """One full crawl round: seen gate → schedule → fetch join → extract."""
+    pages = _doc_pages(docs)
+    cand = with_url_identity(
+        pages.select(
+            "url",
+            F.lit(0).cast("long").alias("priority"),
+            F.lit(0).cast("int").alias("depth"),
+            F.row_number().over(Window.orderBy("url")).cast("long").alias("seq"),
+            F.lit("webtext").alias("source"),
+            F.lit("html-generic").alias("format"),
+        )
+    )
+    admitted, _ = filter_unseen(cand, None, mode="exact")
+    hosts = admitted.select("url_host").distinct()
+    pol = hosts.select(
+        "url_host",
+        F.lit(0.1).alias("download_delay"),
+        F.lit(4).alias("max_per_host"),
+    )
+    sched, _, _ = schedule(admitted, pol, None, round_start=0.0, horizon=None)
+    fetched = sched.drop("format").join(pages, on="url")
+    recs = extract_records(fetched.select("url", "html", "format"))
+    return (
+        recs.filter(F.col("error").isNull())
+        .select(
+            "url",
+            "title",
+            "abstract",
+            F.size(F.coalesce(F.col("new_urls"),
+                              F.array().cast("array<string>")))
+            .cast("long").alias("n_links"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl-round pipeline over sf0.001-derived pages."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return _crawl_round(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_unshipped(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.min(_us(F.col("o_orderdate"))).alias("o_odate_us"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+def _q_broadcast_dim(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+def _q_latest_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_id",
+            _us(F.col("ts")).alias("ts_us"),
+        )
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_ns", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_ns").alias("n_sessions"),
+        )
+    )
+
+
+def _q_hourly_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            _us(F.col("w.start")).alias("hour_us"),
+            "event_type", "n", "value_cents",
+        )
+    )
+
+
+def _q_running_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("cum_cents"),
+    )
+
+
+def _q_frontier_schedule(spark, sf_dir):
+    cand = _event_candidates(spark, sf_dir)
+    pol = cand.select("url_host").distinct().select(
+        "url_host",
+        F.lit(5.0).alias("download_delay"),
+        F.lit(2).alias("max_per_host"),
+    )
+    sched, _, _ = schedule(cand, pol, None, round_start=0.0, horizon=None)
+    return sched.select(
+        "url_host", "seq",
+        F.col("host_rank").cast("long").alias("host_rank"),
+        F.col("fetch_ts").alias("fetch_ts"),
+    )
+
+
+def _q_frontier_seen(spark, sf_dir):
+    cand = _event_candidates(spark, sf_dir)
+    admitted, _ = filter_unseen(cand, None, mode="exact")
+    return admitted.select("url", "seq")
+
+
+def _q_frontier_robots(spark, sf_dir):
+    cand = _event_candidates(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.com", ["/p/1"], None) for i in range(10)],
+        ROBOTS_SCHEMA,
+    )
+    allowed, _ = robots_filter(cand, robots)
+    return allowed.groupBy("url_host").agg(
+        F.count(F.lit(1)).alias("n_allowed")
+    )
+
+
+def _q_crawl_records(spark, sf_dir):
+    return _crawl_round(spark, _t(spark, sf_dir, "documents"))
+
+
+def _q_text_tokens(spark, sf_dir):
+    st = textops.token_stats(_t(spark, sf_dir, "documents"))
+    return st.select(
+        "doc_id",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        F.col("distinct_cnt").cast("long").alias("distinct_cnt"),
+        F.col("char_cnt").alias("char_cnt"),
+    )
+
+
+def _q_text_langid(spark, sf_dir):
+    li = textops.lang_id(_t(spark, sf_dir, "documents"))
+    return li.select(
+        "doc_id",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        "guessed_lang",
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    qs = textops.quality_score(_t(spark, sf_dir, "documents"))
+    return qs.select(
+        "doc_id",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        F.round("ttr", 9).alias("ttr"),
+        F.round("quality", 9).alias("quality"),
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), hamming_max=3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    res = similarity.ann_topk(_t(spark, sf_dir, "embeddings"), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    res = similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_emb_neardup(spark, sf_dir):
+    pairs = similarity.neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    media = multimodal.with_media_payload(_t(spark, sf_dir, "documents"))
+    meta = multimodal.decode_media(media)
+    return meta.select("doc_id", "n_bytes", "width", "height", "channels")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q_pricing_summary,
+        "q02_top_unshipped": _q_top_unshipped,
+        "q03_semi_join": _q_semi_join,
+        "q04_anti_join": _q_anti_join,
+        "q05_broadcast_dim": _q_broadcast_dim,
+        "q06_latest_event": _q_latest_event,
+        "q07_sessionize": _q_sessionize,
+        "q08_hourly_window": _q_hourly_window,
+        "q09_running_value": _q_running_value,
+        "f01_frontier_schedule": _q_frontier_schedule,
+        "f02_frontier_seen": _q_frontier_seen,
+        "f03_frontier_robots": _q_frontier_robots,
+        "f04_crawl_records": _q_crawl_records,
+        "t01_text_tokens": _q_text_tokens,
+        "t02_text_langid": _q_text_langid,
+        "t03_text_quality": _q_text_quality,
+        "t04_text_fingerprint": _q_text_fingerprint,
+        "d01_dedup_exact": _q_dedup_exact,
+        "d02_dedup_jaccard": _q_dedup_jaccard,
+        "d03_dedup_minhash": _q_dedup_minhash,
+        "d04_dedup_simhash": _q_dedup_simhash,
+        "s01_ann_topk": _q_ann_topk,
+        "s02_ann_lsh": _q_ann_lsh,
+        "s03_emb_neardup": _q_emb_neardup,
+        "m01_multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL mirrors)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_CENTS = "floor({x} * 100 + 0.5)::BIGINT"
+
+_STOPWORDS_SQL = "['" + "','".join(textops.EN_STOPWORDS) + "']"
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE, 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+""".format(toks=_TOKS)
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+_COS = (
+    _DOT.format(a="qv", b="cv")
+    + " / (sqrt(" + _DOT.format(a="qv", b="qv") + ")"
+    + " * sqrt(" + _DOT.format(a="cv", b="cv") + "))"
+)
+
+_ROBOTS_HOSTS = ", ".join(f"'h{i}.example.com'" for i in range(10))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum({_CENTS.format(x='l_extendedprice')})::BIGINT AS sum_base_cents,
+                   sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')})::BIGINT AS sum_disc_cents,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_top_unshipped": f"""
+            SELECT l_orderkey,
+                   sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')})::BIGINT AS revenue_cents,
+                   min(epoch_us(o_orderdate))::BIGINT AS o_odate_us
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue_cents DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q03_semi_join": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q04_anti_join": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+                   min(c_custkey)::BIGINT AS min_custkey
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000
+            )
+            GROUP BY c_mktsegment
+        """,
+        "q05_broadcast_dim": f"""
+            SELECT r_name, count(*)::BIGINT AS n_customers,
+                   sum({_CENTS.format(x='c_acctbal')})::BIGINT AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q06_latest_event": """
+            SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        """,
+        "q07_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          ) > 1800000000 OR lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                          ) IS NULL
+                     THEN 1 ELSE 0 END AS ns
+              FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(ns)::BIGINT AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "q08_hourly_window": f"""
+            SELECT epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+                   event_type, count(*)::BIGINT AS n,
+                   sum({_CENTS.format(x='value')})::BIGINT AS value_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q09_running_value": f"""
+            SELECT user_id, event_id,
+                   sum({_CENTS.format(x='value')}) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_cents
+            FROM events
+        """,
+        "f01_frontier_schedule": f"""
+            WITH c AS (
+              SELECT {_CAND_HOST_SQL} AS url_host, event_id AS seq FROM events
+            ), r AS (
+              SELECT url_host, seq,
+                     row_number() OVER (
+                       PARTITION BY url_host ORDER BY seq DESC
+                     )::BIGINT AS host_rank
+              FROM c
+            )
+            SELECT url_host, seq, host_rank,
+                   floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
+            FROM r
+        """,
+        "f02_frontier_seen": f"""
+            WITH c AS (
+              SELECT {_CAND_URL_SQL} AS url, event_id AS seq FROM events
+            )
+            SELECT url, seq FROM c
+            QUALIFY row_number() OVER (PARTITION BY url ORDER BY seq) = 1
+        """,
+        "f03_frontier_robots": f"""
+            WITH c AS (
+              SELECT {_CAND_HOST_SQL} AS url_host,
+                     '/p/' || (event_id % 97) AS path
+              FROM events
+            )
+            SELECT url_host, count(*)::BIGINT AS n_allowed
+            FROM c
+            WHERE NOT (url_host IN ({_ROBOTS_HOSTS})
+                       AND starts_with(path, '/p/1'))
+            GROUP BY url_host
+        """,
+        # f04_crawl_records: extraction UDF — non-SQL-expressible
+        # (rows-only check).
+        "t01_text_tokens": f"""
+            SELECT doc_id,
+                   len({_TOKS})::BIGINT AS token_cnt,
+                   len(list_distinct({_TOKS}))::BIGINT AS distinct_cnt,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform({_TOKS}, t -> length(t)::BIGINT)),
+                     (a, b) -> a + b)::BIGINT AS char_cnt
+            FROM documents
+        """,
+        "t02_text_langid": f"""
+            SELECT doc_id,
+                   len(list_filter({_TOKS},
+                     t -> list_contains({_STOPWORDS_SQL}, t)))::BIGINT AS en_hits,
+                   len({_TOKS})::BIGINT AS token_cnt,
+                   CASE WHEN len(list_filter({_TOKS},
+                     t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+                     / len({_TOKS})::DOUBLE >= 0.04
+                   THEN 'en' ELSE 'und' END AS guessed_lang
+            FROM documents
+        """,
+        "t03_text_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len({_TOKS})::DOUBLE AS n,
+                     len(list_distinct({_TOKS}))::DOUBLE AS d,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform({_TOKS}, t -> length(t)::BIGINT)),
+                       (a, b) -> a + b)::DOUBLE AS chars
+              FROM documents
+            )
+            SELECT doc_id, n::BIGINT AS token_cnt,
+                   round(d / n, 9) AS ttr,
+                   round(0.5 * least(1.0, n / 64.0)
+                         + 0.3 * (d / n)
+                         + 0.2 * least(1.0, (chars / n) / 8.0), 9) AS quality
+            FROM s
+        """,
+        "t04_text_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform({_TOKS},
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+            FROM documents
+        """,
+        "d01_dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "d02_dedup_jaccard": _JACCARD_SQL,
+        # d03_dedup_minhash verifies candidates with the same exact
+        # Jaccard measure; LSH recall at s>=0.8 (r=2,b=32) is
+        # 1 - 1e-14, so the exact-pairs oracle is the correct check.
+        "d03_dedup_minhash": _JACCARD_SQL,
+        # d04_dedup_simhash: xxhash64-based fingerprint — engine-native
+        # hash, not reproducible in ANSI SQL (rows-only check).
+        "s01_ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0
+            ), c AS (
+              SELECT vec_id AS nid, embedding AS cv FROM embeddings
+            ), s AS (
+              SELECT qid, nid, {_COS} AS cos
+              FROM q, c WHERE nid != qid
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, nid ASC
+                   )::BIGINT AS rank
+            FROM s
+            QUALIFY row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC, nid ASC
+            ) <= 10
+        """,
+        # s02_ann_lsh: SRP-bucketed approximate — recall < 1 by design
+        # (rows-only check).
+        "s03_emb_neardup": f"""
+            WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+                 b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+            SELECT id_a, id_b, round({_COS}, 9) AS cosine
+            FROM a, b
+            WHERE id_a < id_b AND {_COS} >= 0.45
+        """,
+        "m01_multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   (16 + octet_length(encode(text)) % 624)::INT AS width,
+                   (16 + (octet_length(encode(text)) * 7) % 464)::INT AS height,
+                   3::INT AS channels
+            FROM documents
+        """,
+    }

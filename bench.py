@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries + crawl throughput at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+  {"metric": "urls_scheduled_extracted_per_sec", "value": N,
+   "unit": "urls/sec", "queries": {name: sec, ...}, "sf": 0.1,
+   "suite_sec": S, "cpus": C}
+
+The headline metric is the crawl-round pipeline (the engine's
+north-star workload): URL-seen gate + politeness schedule over the
+events-derived frontier plus fetch-join + Arrow extraction over the
+documents-derived pages corpus; value = (scheduled + extracted rows)
+/ elapsed seconds.
+
+Each ``queries()`` entry is timed with a no-op sink (forces full
+materialization without driver-side transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_crawl_bench(spark, sf_dir):
+    """The headline pipeline; returns (urls_processed, seconds)."""
+    import __spark_entry__ as entrymod
+
+    cand = entrymod._event_candidates(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from hepcrawl_spark.frontier.politeness import schedule
+    from hepcrawl_spark.frontier.seen import filter_unseen
+
+    t0 = time.time()
+    # reference-parity mode: dupefilter off (settings.py:32-33), so the
+    # full candidate stream flows through the politeness scheduler
+    admitted, _ = filter_unseen(cand, None, mode="off")
+    pol = admitted.select("url_host").distinct().select(
+        "url_host", F.lit(5.0).alias("download_delay"),
+        F.lit(2).alias("max_per_host"),
+    )
+    sched, _, _ = schedule(admitted, pol, None, 0.0, None)
+    n_scheduled = sched.count()
+
+    records = entrymod._q_crawl_records(spark, sf_dir)
+    n_extracted = records.count()
+    dt = time.time() - t0
+    return n_scheduled + n_extracted, dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from hepcrawl_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    per_query = {}
+    suite_t0 = time.time()
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+    suite_sec = round(time.time() - suite_t0, 3)
+
+    urls, crawl_sec = run_crawl_bench(spark, sf_dir)
+    throughput = round(urls / crawl_sec, 1)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    print(json.dumps({
+        "metric": "urls_scheduled_extracted_per_sec",
+        "value": throughput,
+        "unit": "urls/sec",
+        "queries": per_query,
+        "sf": sf,
+        "suite_sec": suite_sec,
+        "crawl_urls": urls,
+        "crawl_sec": round(crawl_sec, 3),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

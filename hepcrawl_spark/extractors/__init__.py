@@ -35,6 +35,7 @@ def known_formats():
 def _load_all():
     """Import all extractor modules so their @register decorators run."""
     from . import arxiv_oai  # noqa: F401
+    from . import html_generic  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:

@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct
+— the same shape a 100 TB multimodal corpus uses (WARC payloads,
+image shards).  The Spark-side plumbing is real and tested: schema,
+Arrow-batched ``mapInPandas`` decode signature, partition-friendly
+batch shape.  The *codec* itself is stubbed: the image/audio libraries
+are not in this container, so ``decode_media`` computes deterministic
+fake dimensions from the payload bytes, and ``real_decode_hook`` marks
+where PIL/ffmpeg plug in (raises ``NotImplementedError``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("frame_offsets", ArrayType(LongType())),
+])
+
+
+def real_decode_hook(payload: bytes, media_type: str):
+    """Where a real codec (PIL / soundfile / pyav) plugs in.
+
+    Deliberately unimplemented in this container — the deterministic
+    fake below keeps the distributed plumbing testable.
+    """
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "decode_media uses the deterministic fake decoder"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for image decode: dimensions derived from
+    byte length (mirrors the oracle arithmetic exactly)."""
+    n = len(payload)
+    return 16 + n % 624, 16 + (n * 7) % 464, 3
+
+
+def _decode_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload, mtype in zip(
+            pdf["doc_id"], pdf["media"], pdf["media_type"]
+        ):
+            data = bytes(payload) if payload is not None else b""
+            width, height, channels = _fake_decode(data)
+            n = len(data)
+            # frame sampling stub: every ~quarter of the payload
+            stride = max(1, n // 4)
+            offsets = list(range(0, n, stride))[:4] if n else []
+            out.append({
+                "doc_id": int(doc_id),
+                "media_type": mtype,
+                "n_bytes": n,
+                "width": width,
+                "height": height,
+                "channels": channels,
+                "frame_offsets": offsets,
+            })
+        if out:
+            yield pd.DataFrame(out, columns=MEDIA_META_SCHEMA.fieldNames())
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media binary, media_type) → typed metadata rows.
+
+    Arrow-batched ``mapInPandas``; only the three needed columns ship
+    into Python (column pruning reaches the scan), and output rows are
+    1:1 with inputs so partitioning is preserved.
+    """
+    narrowed = media_df.select("doc_id", "media", "media_type")
+    return narrowed.mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
+
+
+def with_media_payload(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque media payload column from document text
+    (UTF-8 bytes) — the sandbox stand-in for real image bytes."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.lit("image/fake").alias("media_type"),
+    )

@@ -1,0 +1,194 @@
+"""Embedding similarity search: brute-force top-k and LSH-bucketed ANN.
+
+Cosine arithmetic is a strict left-fold over the vector
+(``zip_with`` → ``aggregate``), each element cast float→double before
+multiplying — the exact sequence DuckDB's ``list_reduce`` mirror
+performs, so scores are bit-identical across engines and rank ties
+cannot diverge.
+
+Scale ladder:
+
+- ``ann_topk``         — brute force: broadcast the (small) query set
+  against the corpus; O(Q·N), the correctness baseline.  The corpus
+  side streams through whole-stage codegen — no shuffle except the
+  final per-query top-k.
+- ``srp_bucket``/``ann_lsh_topk`` — signed-random-projection LSH:
+  deterministic ±1 hyperplanes derived from xxhash64(plane, dim) (no
+  stored plane matrix — recomputed in codegen), giving a p-bit bucket
+  id; candidates are restricted to same-bucket (or probing neighbour
+  bucket) vectors.  At 100 TB the bucket id is also the partition key,
+  so the candidate join is co-partitioned.
+- ``neardup_pairs``    — all-pairs cosine ≥ τ; brute variant for
+  oracle parity, LSH variant for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product in double precision.
+
+    SQL mirror: ``list_reduce(list_prepend(0.0, list_transform(
+    range(1, len+1), i -> a[i]::DOUBLE * b[i]::DOUBLE)), (x,y)->x+y)``.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def ann_topk(embeddings: DataFrame, k: int = 10,
+             query_filter: Column | None = None,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector (brute force baseline).
+
+    ``query_filter`` selects the query subset (default: every 50th id).
+    Returns (query_id, neighbor_id, rank, cosine); rank ties broken by
+    neighbor id so output is fully deterministic.
+    """
+    if query_filter is None:
+        query_filter = F.col(id_col) % 50 == 0
+    # norms are computed once per ROW before the pair join (computing
+    # them per pair would redo O(dim) work N·Q times); the corpus side
+    # is repartitioned so the pair scoring parallelizes even from a
+    # single-row-group input
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    queries = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def srp_bucket(vec: Column, planes: int = 12, dim: int = 64) -> Column:
+    """Signed-random-projection bucket id (LSH for cosine).
+
+    Plane p is the ±1 vector sign(xxhash64(p, d) mod 2) over dims —
+    deterministic, never materialized.  Bucket bit p = sign of the
+    projection; bits fold into one integer bucket id.
+    """
+    projections = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x.cast("double")
+                * F.when(F.pmod(F.xxhash64(p, d), F.lit(2)) == 1, F.lit(1.0))
+                   .otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return F.aggregate(
+        projections,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc * F.lit(2) + F.when(s > 0, 1).otherwise(0),
+    )
+
+
+def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
+                 query_filter: Column | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket.
+
+    Recall < 1 by construction (bucket boundaries); at scale the bucket
+    id doubles as the partition key so the candidate join never
+    shuffles the corpus.  Multi-probe: planes is kept moderate so
+    buckets stay populated.
+    """
+    if query_filter is None:
+        query_filter = F.col(id_col) % 50 == 0
+    dim = 64
+    bucketed = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
+        srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    queries = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
+        srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(queries), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine near-duplicates (exact; oracle-parity variant).
+
+    Output (id_a, id_b, cosine) for cosine ≥ threshold, id_a < id_b.
+    At scale, restrict pairs with ``srp_bucket`` equality first (same
+    shape as ``minhash_lsh_pairs``) — kept exact here because this
+    query is the LSH variant's recall oracle.
+    """
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                          norm_col(F.col(vec_col)).alias("na"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                          norm_col(F.col(vec_col)).alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators: tokens, language-ID, quality, fingerprint.
+
+All operators are pure JVM column expressions (whole-stage codegen; no
+Python UDFs) so they scan-scale linearly: at 100 TB they cost one pass
+over the text column with full predicate pushdown / column pruning.
+
+Determinism contract: every expression here has an exact ANSI-SQL
+mirror (used by the DuckDB oracle in ``__spark_entry__``); arithmetic
+is integer or single-expression double so results are bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English function-word list for the n-gram/stopword language
+# heuristic (public knowledge; any fixed list works — the operator
+# contract is the ratio computation, not the list).
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "by", "at", "from", "as", "it",
+]
+
+# rolling-hash modulus: 2^31 - 1 (Mersenne prime).  h < 2^31 and token
+# hashes < 2^60, so h*31 + tok never overflows int64.
+FP_MOD = 2147483647
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization, lowercased.
+
+    SQL mirror: ``regexp_split_to_array(trim(lower(text)), '\\s+')``.
+    """
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics (token / distinct / char counts).
+
+    ``mean_token_len`` is a single int/int division → deterministic
+    double.
+    """
+    t = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("token_cnt"),
+        F.size(F.array_distinct(t)).alias("distinct_cnt"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("char_cnt"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", threshold: float = 0.04) -> DataFrame:
+    """Heuristic language-ID: English function-word hit ratio.
+
+    A document whose stopword ratio ≥ ``threshold`` is tagged ``en``,
+    else ``und``.  (An n-gram profile per language plugs into the same
+    shape; the corpus here is synthetic English so one profile is
+    enough to exercise the operator.)  Ratio is int/int → exact double.
+    """
+    t = tokens_col(F.col(text_col))
+    hits = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    total = F.size(t)
+    ratio = hits.cast("double") / total.cast("double")
+    return docs.select(
+        F.col(id_col),
+        hits.alias("en_hits"),
+        total.alias("token_cnt"),
+        F.when(ratio >= F.lit(threshold), F.lit("en"))
+         .otherwise(F.lit("und")).alias("guessed_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Document quality heuristics: length, lexical diversity, mean
+    word length — combined into one [0,1] score.
+
+    score = 0.5*min(1, tokens/64) + 0.3*(distinct/tokens)
+          + 0.2*min(1, mean_len/8); each term is one division /
+    multiplication chain evaluated identically by any IEEE engine.
+    """
+    t = tokens_col(F.col(text_col))
+    n = F.size(t).cast("double")
+    d = F.size(F.array_distinct(t)).cast("double")
+    chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(64.0))
+        + F.lit(0.3) * (d / n)
+        + F.lit(0.2) * F.least(F.lit(1.0), (chars / n) / F.lit(8.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("token_cnt"),
+        (d / n).alias("ttr"),
+        score.alias("quality"),
+    )
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5.
+
+    SQL mirror: ``('0x' || substr(md5(t), 1, 15))::BIGINT`` (DuckDB) —
+    md5 is identical everywhere, unlike engine-native hash functions.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint (token-level Karp-Rabin fold):
+
+        h := (h * 31 + md5_60(token)) mod (2^31 - 1)
+
+    A content fingerprint that is stable across engines and cheap at
+    scale (one fold per document, no shuffle).  SQL mirror uses
+    ``list_reduce`` with the same fold.
+    """
+    t = tokens_col(F.col(text_col))
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + token_hash(x)) % F.lit(FP_MOD),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

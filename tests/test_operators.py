@@ -1,0 +1,125 @@
+"""Training-data pipeline operators: dedup / similarity / text / media."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hepcrawl_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "spark engines shuffle partitions across executors"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    r = {x.doc_id: x for x in textops.token_stats(docs).collect()}
+    assert r[0].token_cnt == 9
+    assert r[0].distinct_cnt == 8  # "the" twice
+    assert r[0].char_cnt == sum(len(w) for w in
+                                "the quick brown fox jumps over the lazy dog".split())
+
+
+def test_lang_id(docs):
+    r = {x.doc_id: x for x in textops.lang_id(docs, threshold=0.1).collect()}
+    assert r[0].guessed_lang == "en"   # "the" twice → 2/9 stopwords
+    assert r[2].guessed_lang == "und"  # 0 stopwords
+    assert r[0].en_hits == 2
+
+
+def test_quality_score(docs):
+    r = {x.doc_id: x for x in textops.quality_score(docs).collect()}
+    assert 0.0 < r[0].quality <= 1.0
+    assert r[0].ttr == pytest.approx(8 / 9)
+
+
+def test_fingerprint_deterministic_and_distinct(docs):
+    r = {x.doc_id: x.fingerprint for x in textops.fingerprint(docs).collect()}
+    assert r[0] == r[3]          # identical text → identical fingerprint
+    assert r[0] != r[2]
+    assert all(0 <= v < textops.FP_MOD for v in r.values())
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    by_n = sorted((g.n_docs, g.keep_id) for g in groups)
+    assert by_n == [(1, 1), (1, 2), (1, 4), (2, 0)]  # docs 0&3 group, keep 0
+
+
+def test_ngram_jaccard_and_minhash_agree(docs):
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact == lsh
+    assert (0, 3) in exact and exact[(0, 3)] == 1.0   # exact dup
+    assert (0, 1) in exact and 0.5 < exact[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in exact
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_pairs(docs, hamming_max=16).collect()}
+    assert pairs[(0, 3)] == 0     # identical text → identical simhash
+    assert (0, 1) in pairs        # near dup within ball
+    assert (0, 2) not in pairs or pairs[(0, 2)] > pairs[(0, 1)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(20):
+        angle = (i % 10) * 0.3
+        # pairs (i, i+10) point the same way → cosine 1 among them
+        rows.append((i, [math.cos(angle), math.sin(angle)] + [0.0] * 62))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_topk_exact(emb):
+    res = similarity.ann_topk(emb, k=1, query_filter=F.col("vec_id") == 0)
+    top = res.collect()
+    assert len(top) == 1
+    assert top[0].neighbor_id == 10  # same direction as query 0
+
+
+def test_ann_lsh_subset_of_exact(emb):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_topk(emb, k=20).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.ann_lsh_topk(emb, k=20, planes=2).collect()}
+    assert approx  # buckets populated
+    assert approx <= exact  # candidates are a subset of the full set
+
+
+def test_neardup_pairs(emb):
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.neardup_pairs(emb, threshold=0.999).collect()}
+    assert (0, 10) in pairs
+    assert all(b - a == 10 for a, b in pairs)  # only aligned pairs
+
+
+def test_multimodal_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "")], "doc_id long, text string"
+    )
+    meta = {r.doc_id: r for r in multimodal.decode_media(
+        multimodal.with_media_payload(docs)
+    ).collect()}
+    assert meta[1].n_bytes == 4
+    assert meta[1].width == 16 + 4 % 624
+    assert meta[1].height == 16 + (4 * 7) % 464
+    assert meta[1].channels == 3
+    assert meta[2].n_bytes == 0 and meta[2].frame_offsets == []
+
+
+def test_real_decode_hook_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_hook(b"\x89PNG", "image/png")
