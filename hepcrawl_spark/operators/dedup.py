@@ -4,7 +4,7 @@ Scale ladder (the 100 TB story):
 
 - ``exact_dedup``          — one hash-groupBy; the cheapest gate.
 - ``minhash_lsh_pairs``    — the scale path: per-document signatures
-  are a single whole-stage-codegen expression (no shuffle), banding
+  are one Arrow-vectorized pandas-UDF pass (no shuffle), banding
   explodes only b small keys per doc, and the candidate join touches
   only colliding buckets.  Candidates are then *exactly* verified, so
   precision is 1.0 and recall is 1-(1-s^r)^b (~5e-8 misses at
@@ -17,14 +17,22 @@ Scale ladder (the 100 TB story):
   pigeonhole join (any pair within Hamming ≤ 3 of 64 bits shares at
   least one exact 16-bit band; wider thresholds trade recall).
 
-Everything is JVM-native column expressions — signatures, banding and
-verification never leave whole-stage codegen.
+Banding, candidate joins and exact verification are JVM-native column
+expressions; signature computation is Arrow-vectorized numpy (Spark's
+higher-order-function lambdas evaluate interpreted and allocation-bound
+— measured, they do not multi-core-scale).
 """
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .textops import tokens_col
 
@@ -130,33 +138,43 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
-def minhash_signature(text: Column, n: int = 3,
-                      perms: int = MINHASH_PERMS) -> Column:
-    """MinHash signature as one single-pass fold — no shuffle.
+def minhash_signature_udf(n: int = 3, perms: int = MINHASH_PERMS):
+    """Arrow-vectorized MinHash signatures (the scale path).
 
-    Each shingle is string-hashed ONCE (xxhash64, JVM-side), then the
-    ``perms`` permutation values derive arithmetically via a universal
-    hash family sig_i = min over shingles of (a_i*h32 + b_i) mod p —
-    the standard MinHash construction, and ~perms× cheaper than
-    re-hashing the string per permutation (higher-order-function
-    lambdas evaluate interpreted, so per-element work must be integer
-    arithmetic, not string hashing).
+    Spark's higher-order-function lambdas evaluate *interpreted* (one
+    boxed JVM call per element — measured ~1 µs each, and the
+    allocation rate kills multi-core scaling), so signatures are
+    computed in a pandas UDF instead: each shingle is crc32-hashed
+    once, then all ``perms`` permutation values derive from one numpy
+    broadcast ``(A·h + B) mod p`` — the standard universal-hash
+    MinHash construction, vectorized end-to-end over the Arrow batch.
+
+    Signatures are engine-internal (candidates are exactly verified
+    afterwards), so no cross-engine oracle depends on these hash
+    values — only determinism, which crc32 + fixed constants give.
     """
-    sh = shingles_col(text, n)
-    hs = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
     consts = _perm_consts(perms)
-    const_arr = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in consts
-    ])
-    init = F.array_repeat(F.lit(1 << 62).cast("long"), perms)
-    return F.aggregate(
-        hs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, const_arr,
-            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(_PRIME)),
-        ),
-    )
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    empty = [int(1 << 62)] * perms
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            if len(toks) < n:
+                out.append(empty)
+                continue
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+            out.append(((A * hs + B) % _PRIME).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -167,17 +185,18 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     Output (doc_a, doc_b, jaccard) — identical to exact
-    ``ngram_jaccard_pairs`` up to LSH recall (1-(1-s^r)^b; ~1e-14 miss
-    at s=0.8, r=2, b=32).
+    ``ngram_jaccard_pairs`` up to LSH recall (1-(1-s^r)^b; ~5e-8 miss
+    at s=0.8, r=4, b=32).
     """
     n_bands = perms // band_rows
     # signature compute is per-row CPU-bound: spread a narrow input
     # (e.g. a single-row-group parquet) across the cluster first
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sig_udf = minhash_signature_udf(n, perms)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), n).alias("sh"),
-        minhash_signature(F.col(text_col), n, perms).alias("sig"),
+        sig_udf(F.col(text_col)).alias("sig"),
     ).filter(F.size("sh") > 0)
 
     banded = base.select(
@@ -225,39 +244,40 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens as one single-pass fold.
+def simhash_udf(bits: int = 64):
+    """Arrow-vectorized 64-bit SimHash over whitespace tokens.
 
-    One independent universal-hash bit per position: per bit, sum ±1
-    over tokens; the fingerprint packs sign bits via a high-to-low
-    fold.
+    Same design rationale as ``minhash_signature_udf``: one crc32 per
+    token, per-bit ±1 votes from the universal-hash family as a numpy
+    broadcast, sign bits packed into a signed 64-bit fingerprint.
     """
-    toks = tokens_col(text)
-    # hash each token ONCE; per-bit ±1 derives arithmetically via the
-    # universal family (see minhash_signature for why).
-    hs = F.transform(toks, lambda tk: F.xxhash64(tk).bitwiseAND(F.lit(0xFFFFFFFF)))
     consts = _perm_consts(bits)
-    const_arr = F.array(*[
-        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in consts
-    ])
-    bitsums = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc, const_arr,
-            lambda s, c: s + (((c["a"] * h + c["b"]) % F.lit(_PRIME))
-                              .bitwiseAND(F.lit(1)) * 2 - 1),
-        ),
-    )
-    # pack with bitwise shift (wraps at the sign bit; ANSI-safe,
-    # unlike arithmetic acc*2 which overflows when building bit 63)
-    return F.aggregate(
-        F.reverse(bitsums),
-        F.lit(0).cast("long"),
-        lambda acc, s: F.shiftleft(acc, 1).bitwiseOR(
-            F.when(s > 0, 1).otherwise(0).cast("long")
-        ),
-    )
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (zlib.crc32(tk.encode("utf-8")) for tk in toks),
+                dtype=np.int64, count=len(toks),
+            )
+            votes = ((((A * hs + B) % _PRIME) & 1) * 2 - 1).sum(axis=1)
+            v = 0
+            for b in range(bits):
+                if votes[b] > 0:
+                    v |= 1 << b
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(v)
+        return pd.Series(out)
+
+    return _simhash
 
 
 def simhash_pairs(docs: DataFrame, hamming_max: int = 3,
@@ -273,7 +293,7 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 3,
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sims = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash_col(F.col(text_col)).alias("simhash"),
+        simhash_udf()(F.col(text_col)).alias("simhash"),
     )
     bands = sims.select(
         "doc_id",

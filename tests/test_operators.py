@@ -65,11 +65,13 @@ def test_ngram_jaccard_and_minhash_agree(docs):
 
 
 def test_simhash_pairs(docs):
+    # the band pigeonhole guarantees recall only within hamming <= 3;
+    # identical docs (hamming 0) must always be found
     pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_pairs(docs, hamming_max=16).collect()}
+             for r in dedup.simhash_pairs(docs, hamming_max=3).collect()}
     assert pairs[(0, 3)] == 0     # identical text → identical simhash
-    assert (0, 1) in pairs        # near dup within ball
-    assert (0, 2) not in pairs or pairs[(0, 2)] > pairs[(0, 1)]
+    assert all(h <= 3 for h in pairs.values())
+    assert (0, 2) not in pairs    # unrelated text stays out
 
 
 @pytest.fixture(scope="module")
