@@ -36,6 +36,10 @@ def _load_all():
     """Import all extractor modules so their @register decorators run."""
     from . import arxiv_oai  # noqa: F401
     from . import html_generic  # noqa: F401
+    from . import marc21  # noqa: F401
+    from . import marc21_slim  # noqa: F401
+    from . import dnb_splash  # noqa: F401
+    from . import pex_dc  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:

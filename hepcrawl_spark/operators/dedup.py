@@ -177,6 +177,57 @@ def minhash_signature_udf(n: int = 3, perms: int = MINHASH_PERMS):
     return _sig
 
 
+def minhash_bands_udf(n: int = 3, perms: int = MINHASH_PERMS,
+                      band_rows: int = MINHASH_BAND_ROWS):
+    """One Arrow pass → (shingles, LSH band keys) per document.
+
+    Shingling, signature and banding all happen in a single vectorized
+    batch (JVM higher-order functions are interpreted and
+    allocation-bound — they measured as the scaling bottleneck, see
+    ``minhash_signature_udf``).  Band keys are 64-bit (two crc32
+    halves) so cross-signature collisions are negligible; any false
+    candidate is removed by the exact-Jaccard verify anyway.
+
+    Tokenization here is ``str.split()`` — equivalent to the
+    ``\\s+``-regex split of the exact oracle on whitespace-normalized
+    corpora (Python splits on a unicode superset of regex ``\\s``).
+    """
+    consts = _perm_consts(perms)
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    n_bands = perms // band_rows
+
+    @pandas_udf("struct<sh: array<string>, bands: array<long>>")
+    def _f(texts: pd.Series) -> pd.DataFrame:
+        sh_out, band_out = [], []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            if len(toks) < n:
+                sh_out.append([])
+                band_out.append([])
+                continue
+            sh = sorted({
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            })
+            hs = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+            sig = ((A * hs + B) % _PRIME).min(axis=1)
+            bands = []
+            for b in range(n_bands):
+                key = ("%d:%s" % (
+                    b, ",".join(map(str, sig[b * band_rows:(b + 1) * band_rows]))
+                )).encode("ascii")
+                v = (zlib.crc32(key) << 32) | zlib.crc32(b"s" + key)
+                bands.append(v - (1 << 64) if v >= 1 << 63 else v)
+            sh_out.append(sh)
+            band_out.append(bands)
+        return pd.DataFrame({"sh": sh_out, "bands": band_out})
+
+    return _f
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                       perms: int = MINHASH_PERMS,
                       band_rows: int = MINHASH_BAND_ROWS,
@@ -188,37 +239,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     ``ngram_jaccard_pairs`` up to LSH recall (1-(1-s^r)^b; ~5e-8 miss
     at s=0.8, r=4, b=32).
     """
-    n_bands = perms // band_rows
-    # signature compute is per-row CPU-bound: spread a narrow input
-    # (e.g. a single-row-group parquet) across the cluster first
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sig_udf = minhash_signature_udf(n, perms)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles_col(F.col(text_col), n).alias("sh"),
-        sig_udf(F.col(text_col)).alias("sig"),
-    ).filter(F.size("sh") > 0)
-
-    banded = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    b,
-                    F.concat_ws(
-                        "_",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * band_rows + 1, band_rows
-                            ),
-                            lambda h: h.cast("string"),
-                        ),
-                    ),
-                ),
-            )
-        ).alias("band_key"),
+    n_bands = perms // band_rows  # noqa: F841 (documented parameterization)
+    # one Arrow pass computes shingles + band keys; everything after
+    # is JVM-native joins.  A narrow input (single-row-group parquet)
+    # is spread across the cluster first.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    f = minhash_bands_udf(n, perms, band_rows)
+    base = (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), f(F.col(text_col)).alias("t"))
+        .select("doc_id", F.col("t.sh").alias("sh"), F.col("t.bands").alias("bands"))
+        .filter(F.size("sh") > 0)
     )
+
+    banded = base.select("doc_id", F.explode("bands").alias("band_key"))
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on="band_key")
@@ -229,10 +263,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         )
         .distinct()
     )
+    # candidates are explicitly re-spread — AQE coalesces the tiny
+    # post-distinct shuffle to ~1 partition, which would serialize the
+    # per-pair array_intersect verify
     sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
-        cands.join(sets_a, on="doc_a").join(sets_b, on="doc_b")
+        cands.repartition(par)
+        .join(sets_a, on="doc_a").join(sets_b, on="doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

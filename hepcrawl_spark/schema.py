@@ -151,11 +151,14 @@ HEPRECORD_SCHEMA = StructType([
     )),
     StructField("references", ArrayType(REFERENCE_TYPE)),
     StructField("urls", VALUE_DICT),
+    StructField("file_urls", ArrayType(StringType())),
     StructField("additional_files", _arr_struct(
         _s("access"), _s("description"), _s("url"), _s("type"),
     )),
     StructField("extra_data", MapType(StringType(), StringType())),
-    _s("language"),
+    # list shape: the reference's language field accumulates translated
+    # values with no output processor (loaders.py:132-134)
+    StructField("language", ArrayType(StringType())),
 ])
 
 # extraction UDF output: records + frontier expansion + error capture

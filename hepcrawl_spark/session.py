@@ -16,14 +16,19 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hepcrawl-spark",
               cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[4,8,8192]`` for multi-executor-JVM benchmarking
+    (separate heaps: the honest sandbox analog of N vs 4N executors).
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
@@ -37,5 +42,11 @@ def get_spark(app_name: str = "hepcrawl-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ship the package to executor python workers (the pip-less
+        # local analog of `spark-submit --py-files hepcrawl_spark.zip`)
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     )
     return builder.getOrCreate()
