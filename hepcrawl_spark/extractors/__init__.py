@@ -40,6 +40,8 @@ def _load_all():
     from . import marc21_slim  # noqa: F401
     from . import dnb_splash  # noqa: F401
     from . import pex_dc  # noqa: F401
+    from . import base_dc  # noqa: F401
+    from . import json_aps  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:

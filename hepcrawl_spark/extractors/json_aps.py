@@ -1,0 +1,107 @@
+"""APS (harvest REST API JSON) extractor.
+
+Reproduces /root/reference/hepcrawl/spiders/aps_spider.py:68-153: one
+JSON response body → one HEPRecord per ``data[]`` article, with
+Person/Collaboration author split, affiliationIds resolved through a
+``build_dict`` id-index (the reference's hash-join, utils.py:146-151),
+APS subject areas, rights/copyright and license.
+
+Pagination (the ``Link: rel=next`` header walk, aps_spider.py:121-127)
+is a frontier concern, not a parser one: the round driver appends the
+next-page URL to the frontier queue each round (SURVEY.md §2.1 S8) —
+headers are not part of the pages-table payload.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List
+
+from . import register
+from .recbuild import RecordBuilder
+from ..functions.textutils import get_license
+
+
+def get_nested(root, *keys):
+    """Parity: hepcrawl/utils.py:133-143 ('' default)."""
+    if not keys:
+        return root
+    if not isinstance(root, dict) or keys[0] not in root:
+        return ""
+    return get_nested(root[keys[0]], *keys[1:])
+
+
+def build_dict(seq, key):
+    """Parity: hepcrawl/utils.py:146-151 (index a list by field)."""
+    return {d[key]: dict(d, index=index) for (index, d) in enumerate(seq)}
+
+
+def _get_authors_and_collab(article):
+    """Parity: aps_spider.py:129-153."""
+    authors, collaboration = [], []
+    for author in article.get("authors", []):
+        if author.get("type") == "Person":
+            author_affiliations = []
+            if "affiliations" in article and "affiliationIds" in author:
+                affiliations = build_dict(article["affiliations"], "id")
+                for aff_id in author["affiliationIds"]:
+                    author_affiliations.append({
+                        "value": affiliations[aff_id]["name"]
+                    })
+            authors.append({
+                "surname": author.get("surname", ""),
+                "given_names": author.get("firstname", ""),
+                "raw_name": author.get("name", ""),
+                "affiliations": author_affiliations,
+            })
+        elif author.get("type") == "Collaboration":
+            collaboration.append(author["name"])
+    return authors, collaboration
+
+
+@register("json-aps")
+def extract_json_aps(payload: bytes) -> List[dict]:
+    body = json.loads(payload.decode("utf-8"))
+    out = []
+    for article in body.get("data", []):
+        b = RecordBuilder()
+        b.add("dois", get_nested(article, "identifiers", "doi"))
+        b.add("page_nr", str(article.get("numPages", "")))
+        b.add("abstract", get_nested(article, "abstract", "value"))
+        b.add("title", get_nested(article, "title", "value"))
+
+        authors, collaborations = _get_authors_and_collab(article)
+        b.add("authors", authors)
+        b.add("collaborations", collaborations)
+
+        b.add("journal_title",
+              get_nested(article, "journal", "abbreviatedName"))
+        b.add("journal_issue", get_nested(article, "issue", "number"))
+        b.add("journal_volume", get_nested(article, "volume", "number"))
+
+        published_date = article.get("date", "")
+        b.add("journal_year", int(published_date[:4]))
+        b.add("date_published", published_date)
+        b.add("field_categories", [
+            {"term": term.get("label"), "scheme": "APS", "source": ""}
+            for term in get_nested(
+                article, "classificationSchemes", "subjectAreas"
+            )
+        ])
+        b.add("copyright_holder",
+              get_nested(article, "rights", "copyrightHolders")[0]["name"])
+        b.add("copyright_year",
+              str(get_nested(article, "rights", "copyrightYear")))
+        b.add("copyright_statement",
+              get_nested(article, "rights", "rightsStatement"))
+        b.add("copyright_material", "Article")
+
+        lic = get_license(
+            license_url=get_nested(article, "rights", "licenses")[0]["url"]
+        )
+        if lic:
+            b.add("license", lic)
+
+        b.add("collections", ["HEP", "Citeable", "Published"])
+        out.append(b.build())
+    return out
