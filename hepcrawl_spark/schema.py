@@ -131,7 +131,9 @@ HEPRECORD_SCHEMA = StructType([
     _s("journal_fpage"),
     _s("journal_lpage"),
     _s("journal_artid"),
-    _s("journal_issn"),
+    # list shape: journal_issn has no output processor in the
+    # reference loader, so it stays an accumulated list
+    StructField("journal_issn", ArrayType(StringType())),
     _s("journal_doctype"),
     _s("pubinfo_freetext"),
     StructField("page_nr", ArrayType(StringType())),
