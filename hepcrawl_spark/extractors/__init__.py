@@ -43,6 +43,7 @@ def _load_all():
     from . import base_dc  # noqa: F401
     from . import json_aps  # noqa: F401
     from . import nlm  # noqa: F401
+    from . import html_theses  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:

@@ -1,0 +1,204 @@
+"""HTML thesis spiders parity (alpha / t2k / magic / phenix / mit /
+infn) vs the reference goldens over tests/responses/*."""
+
+import hashlib
+
+import pytest
+
+from hepcrawl_spark.extractors.html_theses import (
+    extract_alpha,
+    extract_infn,
+    extract_infn_splash,
+    extract_magic,
+    extract_magic_splash,
+    extract_mit,
+    extract_mit_splash,
+    extract_phenix,
+    extract_t2k,
+    extract_t2k_splash,
+)
+
+RESP = "/root/reference/tests/responses"
+
+
+def _read(path):
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+# --- ALPHA -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def alpha():
+    records = extract_alpha(_read(f"{RESP}/alpha/test_1.htm"))
+    assert len(records) == 1
+    return records[0]
+
+
+def test_alpha_fields(alpha):
+    assert alpha["title"] == (
+        "Antiproton and positron dynamics in antihydrogen production"
+    )
+    assert alpha["date_published"] == "2014"
+    assert alpha["authors"][0]["full_name"] == "So, Chukman"
+    assert alpha["authors"][0]["affiliations"][0]["value"] == (
+        "University of California"
+    )
+    assert alpha["file_urls"] == [
+        "http://alpha.web.cern.ch/sites/alpha.web.cern.ch/files/"
+        "thesis_chukman_dec23_dist.pdf"
+    ]
+    assert alpha["urls"] == [{"value": "http://alpha.web.cern.ch/node/276"}]
+    assert alpha["thesis"]["degree_type"] == "PhD"
+    # byte-identical abstract (md5 of the reference golden literal)
+    assert hashlib.md5(alpha["abstract"].encode()).hexdigest() == (
+        "5bebb647f6e33f473c680337873cb912"
+    )
+
+
+# --- T2K -------------------------------------------------------------------
+
+def test_t2k_listing_and_splash():
+    listing_url = "file:///tests/responses/t2k/test_1.html"
+    recs = extract_t2k(_read(f"{RESP}/t2k/test_1.html"), listing_url)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["title"] == ("Development of T2K 280m Near Detector Software "
+                          "for Muon and Photon Reconstruction")
+    assert r["date_published"] == "2009-07-11"
+    assert r["authors"][0]["full_name"] == "Taylor, Ian"
+    assert r["urls"] == [{"value": "file:///tests/responses/t2k/001"}]
+
+    splash = extract_t2k_splash(_read(f"{RESP}/t2k/001.html"),
+                                r["new_urls"][0])[0]
+    assert splash["additional_files"][0]["url"] == (
+        "http://www.t2k.org/docs/thesis/001/IJT-THESIS"
+    )
+    assert splash["abstract"].startswith("A Monte Carlo investigation")
+    assert splash["abstract"].endswith("reconstruction of photon showers.")
+
+
+# --- MAGIC -----------------------------------------------------------------
+
+def test_magic_listing_and_splash():
+    listing_url = "file:///tests/responses/magic/test_1.html"
+    recs = extract_magic(_read(f"{RESP}/magic/test_1.html"), listing_url)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["title"].startswith("Limits to the violation of Lorentz")
+    assert r["date_published"] == "2015"
+    assert r["urls"][0]["value"] == (
+        "file:///tests/responses/magic/test_splash.html"
+    )
+
+    splash = extract_magic_splash(
+        _read(f"{RESP}/magic/test_splash.html"), r["new_urls"][0]
+    )[0]
+    assert splash["authors"][0]["full_name"] == "Terrats, Daniel Garrido"
+    assert splash["authors"][0]["affiliations"][0]["value"] == (
+        "Universitat Aut\xf2noma de Barcelona"
+    )
+    assert splash["additional_files"][1]["url"] == (
+        "http://stlab.adobe.com/wiki/images/d/d3/Test.pdf"
+    )
+    assert splash["abstract"].startswith("Gamma-ray astronomy is devoted")
+
+
+# --- PHENIX ----------------------------------------------------------------
+
+def test_phenix_record():
+    recs = extract_phenix(_read(f"{RESP}/phenix/test_1.html"))
+    r = recs[0]
+    assert r["title"] == (
+        "MEASUREMENT OF THE DOUBLE HELICITY ASYMMETRY IN INCLUSIVE "
+        "$\\pi^{0}$ PRODUCTION IN POLARIZED PROTON-PROTON COLLISIONS "
+        "AT $\\sqrt{s}$ = 510 GeV"
+    )
+    assert r["date_published"] == "2015"
+    assert r["authors"][0]["full_name"] == "Guragain, Hari"
+    assert r["authors"][0]["affiliations"] == [
+        {"value": "Georgia State University"}
+    ]
+    assert r["additional_files"][0]["url"] == (
+        "http://www.phenix.bnl.gov/phenix/WWW/talk/archive/theses/2015/"
+        "Guragain_Hari-DISSERTATION.pdf"
+    )
+
+
+def test_phenix_non_thesis_skipped():
+    body = b"""<table><td><ul>
+    <li><b>M.Sc. Author</b>:
+    "This is an Master's thesis, not a PhD", &nbsp; M.Sc. thesis at Master Science University, 2016,&nbsp;
+    <br><br></li>
+    </ul></td></table>"""
+    assert extract_phenix(body) == []
+
+
+# --- MIT -------------------------------------------------------------------
+
+def test_mit_listing():
+    recs = extract_mit(_read(f"{RESP}/mit/test_list.html"))
+    assert recs[0]["new_urls"] == [
+        "http://dspace.mit.edu/handle/1721.1/99280?show=full"
+    ]
+
+
+def test_mit_splash():
+    r = extract_mit_splash(_read(f"{RESP}/mit/test_splash.html"))[0]
+    assert r["title"] == (
+        "Theoretical investigation of energy alignment at "
+        "metal/semiconductor interfaces for solar photovoltaic "
+        "applications"
+    )
+    assert r["date_published"] == "2015"
+    assert r["authors"][0]["full_name"] == "Tomasik, Michelle Ruth"
+    assert r["authors"][0]["affiliations"][0]["value"] == (
+        "Massachusetts Institute of Technology. Department of Physics."
+    )
+    assert r["additional_files"][0]["url"] == (
+        "http://dspace.mit.edu/bitstream/handle/1721.1/99287/"
+        "922886248-MIT.pdf?sequence=1"
+    )
+    assert r["thesis"]["date"] == "2015"
+    assert r["thesis"]["institutions"][0]["name"] == (
+        "Massachusetts Institute of Technology"
+    )
+    assert r["thesis_supervisor"][0]["full_name"] == "Grossman, Jeffrey C."
+    assert r["page_nr"] == ["124"]
+    assert r["abstract"].startswith("Our work was inspired")
+
+
+# --- INFN ------------------------------------------------------------------
+
+def test_infn_listing():
+    recs = extract_infn(_read(f"{RESP}/infn/test_1.html"))
+    assert recs[0]["new_urls"] == [
+        "http://www.infn.it/thesis/thesis_dettaglio.php?tid=10136"
+    ]
+
+
+def test_infn_splash():
+    r = extract_infn_splash(
+        _read(f"{RESP}/infn/test_splash.html"),
+        "http://www.infn.it/thesis/thesis_dettaglio.php?tid=10136",
+    )[0]
+    assert r["title"] == (
+        "Simulations and experimental assessment of dosimetric "
+        "evaluations for breast imaging studies with Synchrotron "
+        "Radiation"
+    )
+    assert r["date_published"] == "2016-03-08"
+    assert r["authors"][0]["full_name"] == "Fedon, Christian"
+    assert "Universit Di Trieste" in [
+        a["value"] for a in r["authors"][0]["affiliations"]
+    ]
+    assert r["additional_files"][0]["url"] == (
+        "http://www.infn.it/thesis/PDF/getfile.php?"
+        "filename=10136-Fedon-dottorato.pdf"
+    )
+    assert r["thesis"]["date"] == "2016-03-18"
+    assert r["thesis"]["institutions"][0]["name"] == "Universit Di Trieste"
+    assert r["thesis_supervisor"][0]["full_name"] == (
+        "Tromba, Renata Longo Giuliana"
+    )
+    assert r["abstract"].startswith("The main aim of the PhD research")
