@@ -44,6 +44,8 @@ def _load_all():
     from . import json_aps  # noqa: F401
     from . import nlm  # noqa: F401
     from . import html_theses  # noqa: F401
+    from . import json_brown  # noqa: F401
+    from . import json_phil  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:
