@@ -441,3 +441,24 @@ def url_host(url: str) -> str:
     if "@" in netloc:
         netloc = netloc.rsplit("@", 1)[1]
     return netloc.split(":")[0]
+
+
+def get_journal_and_section(publication: str):
+    """Split a possible trailing section letter (A-E) off a journal
+    title and drop "section" words.
+
+    Parity: hepcrawl/utils.py:227-241.
+    """
+    section = ""
+    journal_title = ""
+    possible_sections = ["A", "B", "C", "D", "E"]
+    try:
+        split_pub = [p for p in re.split(r"(\W+)", publication) if p]
+        if split_pub[-1] in possible_sections:
+            section = split_pub.pop(-1)
+        journal_title = "".join(
+            word for word in split_pub if "section" not in word.lower()
+        ).strip(", ")
+    except IndexError:
+        pass
+    return journal_title, section

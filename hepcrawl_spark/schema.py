@@ -69,11 +69,13 @@ AUTHOR_TYPE = StructType([
 VALUE_DICT = _arr_struct(_s("value"))
 
 REFERENCE_TYPE = StructType([
-    StructField("number", IntegerType()),
+    # string: labels like "5a" (edp_spider.py:411 "should not be int")
+    _s("number"),
+    _s("doctype"),
     _s("doi"),
     _s("title"),
-    _s("journal"),
-    _s("volume"),
+    _s("journal_title"),
+    _s("journal_volume"),
     _s("issue"),
     _s("fpage"),
     _s("lpage"),
@@ -84,9 +86,9 @@ REFERENCE_TYPE = StructType([
     _s("isbn"),
     _s("arxiv_id"),
     StructField("url", ArrayType(StringType())),
-    StructField("collaboration", ArrayType(StringType())),
+    _s("collaboration"),
     StructField("journal_pubnote", ArrayType(StringType())),
-    StructField("raw_reference", ArrayType(StringType())),
+    _s("raw_reference"),
     StructField("misc", ArrayType(StringType())),
 ])
 
