@@ -47,6 +47,7 @@ def _load_all():
     from . import json_brown  # noqa: F401
     from . import json_phil  # noqa: F401
     from . import edp  # noqa: F401
+    from . import elsevier  # noqa: F401
     try:
         from . import jats  # noqa: F401
     except ImportError:

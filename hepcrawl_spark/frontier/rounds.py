@@ -40,6 +40,17 @@ SOURCE_FORMATS = {
     "DNB": "marc21-slim",
     "Hindawi": "marc21",
     "APS": "json-aps",
+    "iop": "nlm",
+    "EDP": "edp-jats",
+    "Elsevier": "elsevier-consyn",
+    "brown": "json-brown",
+    "phil": "json-phil",
+    "alpha": "html-alpha",
+    "t2k": "html-t2k",
+    "magic": "html-magic",
+    "phenix": "html-phenix",
+    "MIT": "html-mit",
+    "infn": "html-infn",
 }
 
 _CAND_COLS = CANDIDATE_SCHEMA.fieldNames()

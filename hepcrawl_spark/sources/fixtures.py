@@ -28,6 +28,18 @@ _FORMAT_DIRS = {
     "marc21": ("hindawi", lambda f: f.endswith(".xml")),
     "pex-dc": ("pos", lambda f: f.endswith(".xml")),
     "json-aps": ("aps", lambda f: f.endswith(".json")),
+    "nlm": ("iop/xml", lambda f: f.endswith(".xml")),
+    "edp-jats": ("edp", lambda f: f == "jats.xml"),
+    "edp-rich": ("edp", lambda f: f == "rich.xml"),
+    "elsevier-consyn": ("elsevier", lambda f: f.endswith(".xml")),
+    "json-brown": ("brown", lambda f: f.endswith(".json")),
+    "json-phil": ("phil", lambda f: f.endswith(".json")),
+    "html-alpha": ("alpha", lambda f: f.endswith(".htm")),
+    "html-t2k": ("t2k", lambda f: f == "test_1.html"),
+    "html-magic": ("magic", lambda f: f == "test_1.html"),
+    "html-phenix": ("phenix", lambda f: f.endswith(".html")),
+    "html-mit": ("mit", lambda f: f == "test_list.html"),
+    "html-infn": ("infn", lambda f: f.startswith("test_1")),
 }
 
 _EPOCH = dt.datetime(2016, 1, 14, tzinfo=dt.timezone.utc)
