@@ -55,6 +55,18 @@ def fixture_url(fmt: str, filename: str) -> str:
         "marc21": "www.hindawi.com",
         "pex-dc": "pos.sissa.it",
         "json-aps": "harvest.aps.org",
+        "nlm": "stacks.iop.org",
+        "edp-jats": "www.edpsciences.org",
+        "edp-rich": "rich.edpsciences.org",
+        "elsevier-consyn": "www.sciencedirect.com",
+        "json-brown": "repository.library.brown.edu",
+        "json-phil": "philpapers.org",
+        "html-alpha": "alpha.web.cern.ch",
+        "html-t2k": "www.t2k.org",
+        "html-magic": "magic.mpp.mpg.de",
+        "html-phenix": "www.phenix.bnl.gov",
+        "html-mit": "dspace.mit.edu",
+        "html-infn": "www.infn.it",
     }.get(fmt, "fixtures.local")
     return f"http://{host}/{filename}"
 
