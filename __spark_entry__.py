@@ -7,8 +7,8 @@ over a pages corpus synthesized from sf0.001 documents.
 ``queries()`` / ``oracle_sql()`` — one entry per operator family from
 SURVEY.md §2 plus the training-data pipeline operators
 (dedup / similarity / text analysis / multimodal), each with an exact
-DuckDB mirror unless the op is non-SQL-expressible (extraction UDF,
-LSH-approximate and simhash variants → rows-only checks).
+DuckDB mirror unless the op is non-SQL-expressible (extraction UDF and
+the LSH-approximate variants → rows-only checks).
 
 Determinism contract used throughout (so value hashes match DuckDB):
 - money/value sums go through per-row ``floor(x*100 + 0.5)`` cents —
@@ -372,7 +372,10 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), hamming_max=3)
+    pairs = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), hamming_max=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -390,8 +393,20 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_emb_neardup(spark, sf_dir):
+    # exact all-pairs variant: the recall oracle for s04 (never the
+    # production path — neardup_pairs defaults to bucketed=True)
     pairs = similarity.neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, bucketed=False
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+
+def _q_emb_neardup_lsh(spark, sf_dir):
+    # scale path: banded-SRP candidates + exact cosine verify; pairs
+    # are a subset of s03's exact pairs (recall ~0.91 at τ=0.45),
+    # asserted in tests/test_operators.py
+    pairs = similarity.neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, bucketed=True
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
@@ -428,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_ann_topk": _q_ann_topk,
         "s02_ann_lsh": _q_ann_lsh,
         "s03_emb_neardup": _q_emb_neardup,
+        "s04_emb_neardup_lsh": _q_emb_neardup_lsh,
         "m01_multimodal_meta": _q_multimodal_meta,
     }
 
@@ -462,6 +478,42 @@ JOIN sizes sa ON sa.doc_id = da
 JOIN sizes sb ON sb.doc_id = db
 WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
 """.format(toks=_TOKS)
+
+# d04 mirror: the simhash fingerprint is fully portable (md5-60-bit
+# token hash mod 2^31-1, fixed SplitMix64 universal-hash constants),
+# so DuckDB recomputes the per-bit votes and counts differing sign
+# bits — exactly bit_count(xor) of the packed fingerprints.  The
+# Spark side's band-pigeonhole join is a candidate *generator* only
+# (lossless for hamming ≤ 3 by pigeonhole), so the all-pairs mirror
+# is the correct oracle.
+_SIMHASH_A = "[" + ",".join(
+    str(a) for a, _ in dedup._perm_consts(64)) + "]"
+_SIMHASH_B = "[" + ",".join(
+    str(b) for _, b in dedup._perm_consts(64)) + "]"
+
+_SIMHASH_SQL = f"""
+WITH consts AS (SELECT {_SIMHASH_A} AS ca, {_SIMHASH_B} AS cb),
+hs AS (
+  SELECT doc_id,
+         list_transform({_TOKS},
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(1, 65), b ->
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(h,
+               x -> (((ca[b] * x + cb[b]) % 2147483647) & 1) * 2 - 1)),
+             (p, q) -> p + q) > 0) AS bv
+  FROM hs, consts
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_filter(range(1, 65), i -> a.bv[i] != b.bv[i]))::BIGINT
+         AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(1, 65), i -> a.bv[i] != b.bv[i])) <= 3
+"""
 
 _DOT = (
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
@@ -653,11 +705,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d02_dedup_jaccard": _JACCARD_SQL,
         # d03_dedup_minhash verifies candidates with the same exact
-        # Jaccard measure; LSH recall at s>=0.8 (r=2,b=32) is
-        # 1 - 1e-14, so the exact-pairs oracle is the correct check.
+        # Jaccard measure; LSH recall at s>=0.8 (r=4, b=32) is
+        # 1 - 4.6e-8, so the exact-pairs oracle is the correct check.
         "d03_dedup_minhash": _JACCARD_SQL,
-        # d04_dedup_simhash: xxhash64-based fingerprint — engine-native
-        # hash, not reproducible in ANSI SQL (rows-only check).
+        "d04_dedup_simhash": _SIMHASH_SQL,
         "s01_ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -686,6 +737,8 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE id_a < id_b AND {_COS} >= 0.45
         """,
+        # s04_emb_neardup_lsh: banded-SRP approximate — recall < 1 by
+        # design (rows-only check; subset-of-s03 asserted in pytest).
         "m01_multimodal_meta": """
             SELECT doc_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,

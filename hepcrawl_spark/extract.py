@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .extractors import get_extractor
+from .extractors import get_extractor_entry
 from .schema import EXTRACT_OUTPUT_SCHEMA, HEPRECORD_SCHEMA
 
 _OUT_COLUMNS = EXTRACT_OUTPUT_SCHEMA.fieldNames()
@@ -101,11 +101,12 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
         for url, html, fmt in zip(pdf["url"], pdf["html"], pdf["format"]):
             try:
-                extractor = get_extractor(fmt)
-                if extractor is None:
+                entry = get_extractor_entry(fmt)
+                if entry is None:
                     raise ValueError(f"no extractor for format {fmt!r}")
+                extractor, url_aware = entry
                 payload = bytes(html) if html is not None else b""
-                if extractor.__code__.co_argcount > 1:
+                if url_aware:
                     records = extractor(payload, url)  # url-aware (splash)
                 else:
                     records = extractor(payload)

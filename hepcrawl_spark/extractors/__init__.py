@@ -11,20 +11,45 @@ extractor callable.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+import inspect
+from typing import Callable, Dict, List, Tuple
 
-_REGISTRY: Dict[str, Callable[[bytes], List[dict]]] = {}
+_REGISTRY: Dict[str, Tuple[Callable[..., List[dict]], bool]] = {}
+
+
+def _accepts_url(fn) -> bool:
+    """URL-awareness is decided once, at registration, from the
+    signature: the second *positional* parameter must literally be
+    named ``url``.  (``inspect.signature`` resolves wrappers and
+    ``functools.partial``, unlike ``__code__.co_argcount``, and the
+    name requirement stops a future two-arg extractor whose second
+    argument is not a URL from silently receiving one.)"""
+    try:
+        params = list(inspect.signature(fn).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    positional = [
+        p for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(positional) > 1 and positional[1].name == "url"
 
 
 def register(fmt: str):
-    """Decorator: register ``fn(html_bytes) -> [record_dict]`` for a format."""
+    """Decorator: register ``fn(html_bytes[, url]) -> [record_dict]``."""
     def _wrap(fn):
-        _REGISTRY[fmt] = fn
+        _REGISTRY[fmt] = (fn, _accepts_url(fn))
         return fn
     return _wrap
 
 
 def get_extractor(fmt: str):
+    entry = _REGISTRY.get(fmt)
+    return entry[0] if entry else None
+
+
+def get_extractor_entry(fmt: str):
+    """(callable, url_aware) or None — the dispatch-side lookup."""
     return _REGISTRY.get(fmt)
 
 

@@ -88,19 +88,24 @@ def extract_json_aps(payload: bytes) -> List[dict]:
                 article, "classificationSchemes", "subjectAreas"
             )
         ])
-        b.add("copyright_holder",
-              get_nested(article, "rights", "copyrightHolders")[0]["name"])
+        # The reference indexes [0] unguarded (aps_spider.py:100,110)
+        # and a missing rights block crashes the whole response parse;
+        # here one malformed article must not drop its siblings in the
+        # Arrow batch, so absent holders/licenses simply omit the field.
+        holders = get_nested(article, "rights", "copyrightHolders")
+        if holders:
+            b.add("copyright_holder", holders[0].get("name", ""))
         b.add("copyright_year",
               str(get_nested(article, "rights", "copyrightYear")))
         b.add("copyright_statement",
               get_nested(article, "rights", "rightsStatement"))
         b.add("copyright_material", "Article")
 
-        lic = get_license(
-            license_url=get_nested(article, "rights", "licenses")[0]["url"]
-        )
-        if lic:
-            b.add("license", lic)
+        licenses = get_nested(article, "rights", "licenses")
+        if licenses:
+            lic = get_license(license_url=licenses[0].get("url", ""))
+            if lic:
+                b.add("license", lic)
 
         b.add("collections", ["HEP", "Citeable", "Published"])
         out.append(b.build())

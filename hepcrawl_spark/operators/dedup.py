@@ -25,6 +25,8 @@ higher-order-function lambdas evaluate interpreted and allocation-bound
 
 from __future__ import annotations
 
+import hashlib
+import re
 import zlib
 
 import numpy as np
@@ -35,6 +37,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .textops import tokens_col
+
+# ASCII-only \s, exactly what Java regex (Spark `split`) and RE2
+# (DuckDB `regexp_split_to_array`) match by default.  Python's bare
+# str.split() splits on the Unicode superset (NBSP, ideographic space,
+# …), which on real web text silently diverges the UDF paths from the
+# JVM/SQL exact paths — so every tokenizer below goes through this.
+_WS_RE = re.compile(r"\s+", re.ASCII)
+# Java String.trim() strips chars <= U+0020 from both ends.
+_JAVA_TRIM = "".join(map(chr, range(0x21)))
+
+
+def _tokenize(t: str | None) -> list[str]:
+    """Exact Python mirror of ``tokens_col`` / the DuckDB oracle:
+    ``regexp_split_to_array(trim(lower(text)), '\\s+')`` — including
+    the engines' ``['']`` result for empty input."""
+    return _WS_RE.split((t or "").lower().strip(_JAVA_TRIM))
+
 
 MINHASH_PERMS = 128
 MINHASH_BAND_ROWS = 4  # r; b = PERMS / r = 32 bands
@@ -162,7 +181,7 @@ def minhash_signature_udf(n: int = 3, perms: int = MINHASH_PERMS):
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").strip().lower().split()
+            toks = _tokenize(t)
             if len(toks) < n:
                 out.append(empty)
                 continue
@@ -188,9 +207,10 @@ def minhash_bands_udf(n: int = 3, perms: int = MINHASH_PERMS,
     halves) so cross-signature collisions are negligible; any false
     candidate is removed by the exact-Jaccard verify anyway.
 
-    Tokenization here is ``str.split()`` — equivalent to the
-    ``\\s+``-regex split of the exact oracle on whitespace-normalized
-    corpora (Python splits on a unicode superset of regex ``\\s``).
+    Tokenization is ``_tokenize`` (ASCII ``\\s+``), byte-identical to
+    the JVM/DuckDB exact paths even on web text with Unicode
+    whitespace — the LSH candidates verify against exactly the same
+    shingle sets the exact oracle computes.
     """
     consts = _perm_consts(perms)
     A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
@@ -201,7 +221,7 @@ def minhash_bands_udf(n: int = 3, perms: int = MINHASH_PERMS,
     def _f(texts: pd.Series) -> pd.DataFrame:
         sh_out, band_out = [], []
         for t in texts:
-            toks = (t or "").strip().lower().split()
+            toks = _tokenize(t)
             if len(toks) < n:
                 sh_out.append([])
                 band_out.append([])
@@ -285,9 +305,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 def simhash_udf(bits: int = 64):
     """Arrow-vectorized 64-bit SimHash over whitespace tokens.
 
-    Same design rationale as ``minhash_signature_udf``: one crc32 per
-    token, per-bit ±1 votes from the universal-hash family as a numpy
-    broadcast, sign bits packed into a signed 64-bit fingerprint.
+    Same design rationale as ``minhash_signature_udf``, but the token
+    hash is the *portable* md5-60-bit hash (``textops.token_hash``
+    pattern, reduced mod 2^31-1) instead of an engine-native one —
+    every engine computes the identical fingerprint, so simhash pairs
+    are fully oracle-checkable in DuckDB SQL (d04).  Per-bit ±1 votes
+    come from the universal-hash family as a numpy broadcast; sign
+    bits pack into a signed 64-bit fingerprint.
     """
     consts = _perm_consts(bits)
     A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
@@ -297,12 +321,15 @@ def simhash_udf(bits: int = 64):
     def _simhash(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").strip().lower().split()
-            if not toks:
-                out.append(0)
-                continue
+            toks = _tokenize(t)
+            # _tokenize never returns [] (empty text → ['']), matching
+            # the SQL mirror exactly; md5('') votes like any token.
             hs = np.fromiter(
-                (zlib.crc32(tk.encode("utf-8")) for tk in toks),
+                (
+                    int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16)
+                    % _PRIME
+                    for tk in toks
+                ),
                 dtype=np.int64, count=len(toks),
             )
             votes = ((((A * hs + B) % _PRIME) & 1) * 2 - 1).sum(axis=1)

@@ -63,7 +63,10 @@ def stream_host_stats(pages_stream: DataFrame,
                       window: str = "1 minute",
                       watermark: str = "10 minutes") -> DataFrame:
     """Watermarked per-host page counts + bytes over event time."""
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    # no trailing slash (pathless URLs keep their host) and
+    # case-insensitive scheme — consistent with the frontier's host
+    # derivation in frontier/fingerprint.py
+    host = F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
     return (
         pages_stream
         .withColumn("url_host", host)

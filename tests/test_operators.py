@@ -64,6 +64,60 @@ def test_ngram_jaccard_and_minhash_agree(docs):
     assert (0, 2) not in exact
 
 
+def test_unicode_whitespace_tokenization_agrees(spark):
+    # NBSP (\xa0) is whitespace to Python's str.split() but NOT to the
+    # JVM/RE2 ASCII \s used by the exact paths; the UDF paths must
+    # tokenize identically or minhash pairs silently diverge from the
+    # exact-Jaccard oracle on real web text.
+    rows = [
+        (0, "alpha\xa0beta gamma delta epsilon zeta"),
+        (1, "alpha\xa0beta gamma delta epsilon eta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # NBSP split apart
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(df, threshold=0.3).collect()}
+    assert exact == lsh
+    # with ASCII tokenization doc 0 and 2 differ in their first token,
+    # so their jaccard must be < 1 on both paths
+    assert exact.get((0, 2), 0.0) < 1.0
+
+
+def test_simhash_matches_duckdb_oracle(spark):
+    # the portable md5-60-bit simhash is the whole point: DuckDB must
+    # reproduce the pairs bit-for-bit (this is the d04 oracle, run
+    # here on a local corpus including Unicode-whitespace and empty
+    # texts as regression guards)
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dot"),
+        (2, "totally unrelated content with many other words"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "alpha\xa0beta gamma"),
+        (5, ""),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_pairs(df, hamming_max=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]
+    ))
+    want = sorted(map(tuple, con.execute(
+        entry_mod._SIMHASH_SQL
+    ).fetchall()))
+    assert got == want
+    assert (0, 3, 0) in got  # identical text → hamming 0
+
+
 def test_simhash_pairs(docs):
     # the band pigeonhole guarantees recall only within hamming <= 3;
     # identical docs (hamming 0) must always be found
@@ -106,6 +160,20 @@ def test_neardup_pairs(emb):
              similarity.neardup_pairs(emb, threshold=0.999).collect()}
     assert (0, 10) in pairs
     assert all(b - a == 10 for a, b in pairs)  # only aligned pairs
+
+
+def test_neardup_bucketed_subset_of_exact(emb):
+    # the banded-SRP scale path must be exact-verified: every emitted
+    # pair appears in the exact all-pairs variant with the identical
+    # cosine, and identical-direction pairs (cosine 1) are always
+    # recalled (they collide in every band)
+    exact = {(r.id_a, r.id_b): r.cosine for r in similarity.neardup_pairs(
+        emb, threshold=0.45, bucketed=False).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in similarity.neardup_pairs(
+        emb, threshold=0.45, bucketed=True).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    assert all((i, i + 10) in lsh for i in range(10))
 
 
 def test_multimodal_decode(spark):
