@@ -39,19 +39,28 @@ RANK_BUCKETS = 256  # seq-range buckets a mega-host is split across
 
 
 def per_host_rank(df: DataFrame, order_cols=None, host_col: str = "url_host",
-                  n_buckets: int = RANK_BUCKETS) -> DataFrame:
+                  n_buckets: int = RANK_BUCKETS,
+                  seq_bounds: Optional[Tuple[int, int]] = None) -> DataFrame:
     """Exact rank within host over (priority DESC, seq DESC), skew-safe.
 
-    Adds a ``host_rank`` column (1-based).
+    Adds a ``host_rank`` column (1-based).  ``seq_bounds`` = known
+    (min_seq, max_seq) of the frame: callers that already track the
+    seq range (the round loop folds it into its single queue-stats
+    job) pass it to avoid a dedicated driver action here; any
+    *superset* range is valid — bucket boundaries shift but the
+    two-phase rank stays exact.
     """
-    bounds = df.agg(
-        F.min("seq").alias("lo"), F.max("seq").alias("hi")
-    ).first()
-    if bounds.lo is None:
+    if seq_bounds is None:
+        bounds = df.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).first()
+        seq_bounds = (bounds.lo, bounds.hi)
+    lo, hi = seq_bounds
+    if lo is None:
         return df.withColumn("host_rank", F.lit(None).cast("long"))
-    width = max(1, (int(bounds.hi) - int(bounds.lo) + 1) // n_buckets + 1)
+    width = max(1, (int(hi) - int(lo) + 1) // n_buckets + 1)
     df = df.withColumn(
-        "_bucket", ((F.col("seq") - F.lit(int(bounds.lo))) / width).cast("int")
+        "_bucket", ((F.col("seq") - F.lit(int(lo))) / width).cast("int")
     )
     w_local = Window.partitionBy(host_col, "priority", "_bucket").orderBy(
         F.col("seq").desc()
@@ -86,6 +95,7 @@ def schedule(
     host_offsets: Optional[DataFrame] = None,
     round_start: float = 0.0,
     horizon: Optional[float] = None,
+    seq_bounds: Optional[Tuple[int, int]] = None,
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     """(scheduled, deferred, new_host_offsets).
 
@@ -93,9 +103,9 @@ def schedule(
     deterministic sort keys; ``deferred`` rows fell past the horizon and
     re-enter the next round's queue unchanged.  ``politeness`` and
     ``host_offsets`` are host-keyed dimension tables — broadcast joins,
-    never a wide shuffle.
+    never a wide shuffle.  ``seq_bounds`` see ``per_host_rank``.
     """
-    df = per_host_rank(admitted)
+    df = per_host_rank(admitted, seq_bounds=seq_bounds)
 
     if politeness is not None:
         df = df.join(

@@ -117,14 +117,37 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
         .join(parents, on="parent_url")
         .filter(F.col("_pdepth") < max_depth)
     )
-    # deterministic enqueue order; a global window is fine at per-round
-    # expansion volume (children ≪ frontier) — for mega-expansions the
-    # two-phase rank in politeness.per_host_rank generalizes.
-    w = Window.orderBy(
-        F.col("_pts").asc(), F.col("_pprio").desc(),
-        F.col("_pseq").desc(), F.col("_pos").asc(),
+    # spread the expansion: explode inherits the parent frame's
+    # partitioning, so one zip → 10^5 members would otherwise stay in
+    # the partition its parent row occupied
+    kids = kids.repartition(
+        records.sparkSession.sparkContext.defaultParallelism
     )
-    kids = kids.withColumn("_order", F.row_number().over(w))
+    # Deterministic global enqueue order WITHOUT a single-task global
+    # sort (a package-expansion round — one zip → 10^5 members — would
+    # funnel through one task).  Two-phase exact rank, same idea as
+    # politeness.per_host_rank: within a parent the local rank is just
+    # _pos (posexplode is already contiguous 0..k-1), and the global
+    # base of each parent is the cumulative child count over the
+    # parent ordering (_pts ASC, _pprio DESC, _pseq DESC — _pseq is
+    # unique, so the order is total).  The only window runs over the
+    # per-parent count table (one row per *page*, not per child), and
+    # the explode output itself is never globally sorted.
+    _pkeys = ["parent_url", "_pts", "_pprio", "_pseq"]
+    counts = kids.groupBy(*_pkeys).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = (
+        Window.orderBy(
+            F.col("_pts").asc(), F.col("_pprio").desc(), F.col("_pseq").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.withColumn(
+        "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
+    ).select(*_pkeys, "_base")
+    kids = (
+        kids.join(F.broadcast(bases), on=_pkeys)
+        .withColumn("_order", F.col("_base") + F.col("_pos") + 1)
+    )
     out = kids.select(
         F.col("child_url").alias("url"),
         F.lit(None).cast("string").alias("canon_url"),
@@ -174,8 +197,15 @@ def run_crawl(
 
     while queue is not None and round_no < config.max_rounds:
         queue = queue.persist()
-        queue_count = queue.count()
-        if queue_count == 0:
+        # bookkeeping job 1 of 2: queue size + seq bounds in one action
+        # (the bounds feed the skew-safe rank's bucketing, saving its
+        # own driver round-trip; queue ⊇ admitted so the range is a
+        # valid superset)
+        qstats = queue.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        ).first()
+        if qstats.n == 0:
             queue.unpersist()
             break
 
@@ -187,6 +217,7 @@ def run_crawl(
         scheduled, deferred, new_offsets = schedule(
             admitted, politeness, offsets, round_start=0.0,
             horizon=config.horizon,
+            seq_bounds=(int(qstats.lo), int(qstats.hi)),
         )
         scheduled = scheduled.persist()
         offsets = _merge_offsets(offsets, new_offsets).persist()
@@ -233,13 +264,38 @@ def run_crawl(
             children.select(_CAND_COLS)
         ).persist()
 
-        n_records = records.count()
-        n_errors = errors.count()
-        n_scheduled = scheduled.count()
+        # bookkeeping job 2 of 2: every round counter in ONE action —
+        # four 1-row aggregates cross-joined (each over an already
+        # persisted or narrow frame), instead of four separate jobs
+        # whose driver round-trips dominate at high round rates
+        stats = (
+            extracted.agg(
+                F.coalesce(F.sum(
+                    F.when(F.col("error").isNull(), 1).otherwise(0)
+                ), F.lit(0)).alias("n_records"),
+                F.coalesce(F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ), F.lit(0)).alias("n_extract_errors"),
+            )
+            .crossJoin(fetched.agg(
+                F.coalesce(F.sum(
+                    F.when(F.col("html").isNull(), 1).otherwise(0)
+                ), F.lit(0)).alias("n_fetch_miss"),
+            ))
+            .crossJoin(scheduled.agg(
+                F.count(F.lit(1)).alias("n_scheduled"),
+            ))
+            .crossJoin(blocked.agg(
+                F.count(F.lit(1)).alias("n_blocked"),
+            ))
+        ).first()
+        n_records = int(stats.n_records)
+        n_errors = int(stats.n_extract_errors) + int(stats.n_fetch_miss)
+        n_scheduled = int(stats.n_scheduled)
         totals["records"] += n_records
         totals["errors"] += n_errors
         totals["scheduled"] += n_scheduled
-        totals["blocked"] += blocked.count()
+        totals["blocked"] += int(stats.n_blocked)
 
         if store is not None:
             tables = {
@@ -257,7 +313,11 @@ def run_crawl(
                       "errors": n_errors},
             )
             # re-read state from the committed round: the next round's
-            # lineage starts from durable storage, not a live lineage chain
+            # lineage starts from durable storage, not a live lineage
+            # chain — and the live cached frames can be dropped (a
+            # long crawl must not accumulate one pinned RDD per round)
+            next_queue.unpersist()
+            offsets.unpersist()
             next_queue = store.read_table(round_no, "queue")
             offsets = store.read_table(round_no, "offsets")
             if config.seen_mode != "off":
@@ -265,6 +325,7 @@ def run_crawl(
 
         queue.unpersist()
         scheduled.unpersist()
+        fetched.unpersist()
         extracted.unpersist()
         queue = next_queue
         round_no += 1

@@ -103,3 +103,41 @@ def test_kill_resume_produces_identical_output(spark, arxiv_pages):
         key_cols = ["url", "title", "preprint_date"]
         assert full.select(key_cols).exceptAll(resumed.select(key_cols)).count() == 0
         assert resumed.select(key_cols).exceptAll(full.select(key_cols)).count() == 0
+
+
+def test_expand_children_mega_expansion_order_and_parallelism(spark):
+    # a package-expansion round (few parents, 10^5 children) must (a)
+    # preserve the exact serial enqueue order — parents by (fetch_ts
+    # ASC, priority DESC, seq DESC), children by position — and (b)
+    # not funnel through a single-task global sort: the explode output
+    # stays multi-partition, only the tiny per-parent count table is
+    # windowed.
+    from hepcrawl_spark.frontier.rounds import _expand_children
+
+    n_parents, n_kids = 20, 5000
+    records = spark.createDataFrame(
+        [(f"http://h{i % 4}.example.org/p{i}",
+          [f"http://h{i % 4}.example.org/p{i}/c{j}" for j in range(n_kids)])
+         for i in range(n_parents)],
+        "url string, new_urls array<string>",
+    )
+    scheduled = spark.createDataFrame(
+        [(f"http://h{i % 4}.example.org/p{i}", float(i % 5), 0,
+          1000 + i, 0, "test", "html-generic")
+         for i in range(n_parents)],
+        "url string, fetch_ts double, priority long, seq long, "
+        "depth int, source string, format string",
+    )
+    out = _expand_children(records, scheduled, seq_base=10**6, max_depth=4)
+    assert out.rdd.getNumPartitions() > 1
+
+    rows = out.select("url", "seq").collect()
+    assert len(rows) == n_parents * n_kids
+    got = [r.url for r in sorted(rows, key=lambda r: r.seq)]
+    # expected serial order computed independently in Python
+    parents = sorted(range(n_parents), key=lambda i: (i % 5, -0, -(1000 + i)))
+    want = [f"http://h{i % 4}.example.org/p{i}/c{j}"
+            for i in parents for j in range(n_kids)]
+    assert got == want
+    seqs = sorted(r.seq for r in rows)
+    assert seqs[0] == 10**6 + 1 and seqs[-1] == 10**6 + n_parents * n_kids
