@@ -17,9 +17,11 @@ fetch the article page only when journal keys are missing) becomes a
 frontier hop: ``new_urls`` carries the sciencedirect URL when keys
 are missing — lazy materialization as an enrichment join.
 
-Known gap vs the reference: the structured-bibliography (sb:)
-reference pretty-printer (elsevier_spider.py:452-686) is not yet
-reimplemented.
+The structured-bibliography (sb:) reference parser
+(``get_references`` + helpers) reproduces
+elsevier_spider.py:382-686 byte-for-byte against the reference's own
+golden cases (/root/reference/tests/test_elsevier.py:425-1510); see
+tests/test_elsevier_references.py.
 """
 
 from __future__ import annotations
@@ -32,9 +34,14 @@ from typing import List, Optional
 
 from . import register
 from .recbuild import RecordBuilder
-from .xmlpath import parse_xml, strip_namespaces
+from .xmlpath import all_texts, direct_texts, parse_xml, strip_namespaces
 from ..functions.dates import format_date
-from ..functions.textutils import get_license
+from ..functions.textutils import (
+    get_first,
+    get_license,
+    has_numbers,
+    range_as_string,
+)
 
 NS = {
     "ce": "http://www.elsevier.com/xml/common/schema",
@@ -45,6 +52,7 @@ NS = {
     "oa": "http://vtw.elsevier.com/data/ns/properties/OpenAccess-1/",
     "sa": "http://www.elsevier.com/xml/common/struct-aff/schema",
     "sb": "http://www.elsevier.com/xml/common/struct-bib/schema",
+    "xlink": "http://www.w3.org/1999/xlink",
 }
 
 DOCTYPE_MAPPING = {
@@ -330,6 +338,346 @@ def get_journal_and_section(publication: str):
     return journal_title, section
 
 
+# ---------------------------------------------------------------------------
+# structured bibliography (sb:) — parity: elsevier_spider.py:382-686
+# ---------------------------------------------------------------------------
+
+def _deep(node, prefix, tag) -> List[ET.Element]:
+    """``.//prefix:tag`` (descendants, document order)."""
+    return node.findall(".//" + q(prefix, tag))
+
+
+def _sel(node, path: str) -> List[ET.Element]:
+    """``.//a:b/c:d//e:f``-style selection: first step is a
+    descendant search, an empty step (``//``) makes the next step
+    deep, others are direct children."""
+    steps = path.split("/")
+    els = None
+    deep_next = True
+    for step in steps:
+        if step == "":
+            deep_next = True
+            continue
+        prefix, tag = step.split(":")
+        if els is None:
+            els = _deep(node, prefix, tag)
+        elif deep_next:
+            els = [d for e in els for d in _deep(e, prefix, tag)]
+        else:
+            els = [c for e in els for c in e.findall(q(prefix, tag))]
+        deep_next = False
+    return els or []
+
+
+def _sel_texts(node, path: str, deep: bool = False) -> List[str]:
+    """``path/text()`` (deep=False) or ``path//text()`` (deep=True)."""
+    out: List[str] = []
+    for el in _sel(node, path):
+        out.extend(all_texts(el) if deep else direct_texts(el))
+    return out
+
+
+def _get_ref_authors(ref, editors: bool = False,
+                     series_editors: bool = False) -> str:
+    """Parity: elsevier_spider.py:382-416."""
+    authors = []
+    if editors is False:
+        raw_authors = _deep(ref, "sb", "author")
+    else:
+        raw_authors = _sel(ref, "sb:edited-book/sb:editors//sb:editor")
+        if not raw_authors:
+            raw_authors = _sel(ref, "sb:issue/sb:editors//sb:editor")
+    if series_editors is True:
+        raw_authors = _sel(ref, "sb:book-series/sb:editors//sb:editor")
+    if not raw_authors:
+        return ""
+
+    for author in raw_authors:
+        surname = get_first([
+            t for el in author.findall(q("ce", "surname"))
+            for t in direct_texts(el)
+        ])
+        given_names = get_first([
+            t for el in author.findall(q("ce", "given-name"))
+            for t in direct_texts(el)
+        ])
+        if surname and given_names:
+            authors.append("{}, {}".format(surname, given_names))
+        elif surname:
+            authors.append(surname)
+
+    if len(authors) > 1:
+        author_string = "{} & {}".format(", ".join(authors[:-1]), authors[-1])
+    else:
+        author_string = get_first(authors)
+    if _deep(ref, "sb", "et-al"):
+        author_string += " et al."
+    return author_string
+
+
+def _get_ref_publisher(ref) -> Optional[str]:
+    """Parity: elsevier_spider.py:418-427."""
+    pub_name = get_first(_sel_texts(ref, "sb:publisher/sb:name"))
+    pub_location = get_first(_sel_texts(ref, "sb:publisher/sb:location"))
+    if pub_location:
+        return "{}: {}".format(pub_location, pub_name)
+    return pub_name
+
+
+def _get_ref_links(ref, only_arxiv: bool = True):
+    """Parity: elsevier_spider.py:429-438."""
+    urls = [
+        el.get(q("xlink", "href"))
+        for el in _deep(ref, "ce", "inter-ref")
+        if el.get(q("xlink", "href"))
+    ]
+    if only_arxiv is False:
+        return urls
+    for url in urls:
+        if "arxiv" in url.lower():
+            return [url]
+
+
+def _format_arxiv_id(arxiv_urls) -> Optional[str]:
+    """Parity: elsevier_spider.py:440-452."""
+    if arxiv_urls:
+        arxiv_id = arxiv_urls[0].split(":")[-1]
+        if arxiv_id and "." not in arxiv_id:
+            return arxiv_id.strip("/")
+        return "arxiv:{}".format(arxiv_id)
+
+
+def _get_ref_title(ref) -> str:
+    """Parity: elsevier_spider.py:453-467.  (The reference's
+    trans-title-only branch returns the py2 repr of a selector list —
+    a latent bug with no golden; here it yields the cleaned text.)"""
+    title = _fix_node_text(
+        _sel_texts(ref, "sb:contribution/sb:title/sb:maintitle", deep=True)
+    )
+    trans_title = _sel_texts(
+        ref, "sb:contribution/sb:translated-title/sb:maintitle", deep=True
+    )
+    if title and trans_title:
+        title = "{} ({})".format(title, _fix_node_text(trans_title))
+    elif trans_title:
+        title = _fix_node_text(trans_title)
+    return str(title)
+
+
+def _get_ref_journal_title(ref) -> str:
+    """Parity: elsevier_spider.py:469-484."""
+    journal_title = ""
+    if _deep(ref, "sb", "issue"):
+        journal_title = "; ".join(
+            _sel_texts(ref, "sb:issue//sb:maintitle")
+        )
+    elif _deep(ref, "sb", "edited-book") and _deep(ref, "sb", "book-series"):
+        journal_title = get_first(_sel_texts(ref, "sb:book-series//sb:maintitle"))
+    elif _deep(ref, "sb", "book") and _deep(ref, "sb", "book-series"):
+        journal_title = get_first(_sel_texts(ref, "sb:book-series//sb:maintitle"))
+    return journal_title
+
+
+def _get_ref_book_title(ref, title) -> Optional[str]:
+    """Parity: elsevier_spider.py:486-507."""
+    if _deep(ref, "sb", "book") and _deep(ref, "sb", "book-series"):
+        book_title = get_first(_sel_texts(ref, "sb:book//sb:maintitle"))
+    elif _deep(ref, "sb", "book"):
+        book_title = title
+        if not book_title:
+            book_title = get_first(_sel_texts(ref, "sb:book//sb:maintitle"))
+    elif _deep(ref, "sb", "edited-book"):
+        book_title = get_first(_sel_texts(ref, "sb:edited-book//sb:maintitle"))
+        if not book_title:
+            book_title = get_first(
+                _sel_texts(ref, "sb:edited-book/sb:title/ce:inter-ref")
+            )
+    else:
+        book_title = get_first(_sel_texts(ref, "sb:book//sb:maintitle"))
+    return book_title
+
+
+def _get_ref_volume(ref) -> str:
+    """Parity: elsevier_spider.py:511-527 (numbers only)."""
+    volumes = []
+    for vol in _sel_texts(ref, "sb:volume-nr"):
+        if "vols" in vol.lower():
+            volumes.extend(v for v in vol.split() if has_numbers(v))
+        else:
+            volumes.append(get_first(
+                [v for v in vol.split() if has_numbers(v)]
+            ))
+    return ", ".join(volumes)
+
+
+def _get_ref_years(ref) -> Optional[str]:
+    """Parity: elsevier_spider.py:529-553 (multi-host year lists)."""
+    host = _deep(ref, "sb", "host")
+    years = [t for h in host for t in _sel_texts(h, "sb:date")]
+    years = [i for year in years for i in year.split() if i.isdigit()]
+    if host and years and len(host) > 1:
+        return ", ".join(years)
+    elif host and years:
+        return range_as_string(years)
+
+
+def _following_notes(ref, parent_map) -> List[str]:
+    """``./following-sibling::ce:note//text()`` over an ET tree."""
+    parent = parent_map.get(ref)
+    if parent is None:
+        return []
+    siblings = list(parent)
+    texts_out: List[str] = []
+    for sib in siblings[siblings.index(ref) + 1:]:
+        if sib.tag == q("ce", "note"):
+            texts_out.extend(all_texts(sib))
+    return texts_out
+
+
+def _parse_reference(ref, label, note_texts: List[str]) -> dict:
+    """Parity: elsevier_spider.py:555-661 (field-for-field, same key
+    order and same formatting rules; ``note_texts`` replaces the
+    following-sibling axis ET lacks)."""
+    reference = {}
+    textref = [t for el in _deep(ref, "ce", "textref") for t in all_texts(el)]
+    sublabel = get_first(
+        [t for el in _deep(ref, "ce", "label") for t in all_texts(el)]
+    )
+    if label:
+        if sublabel:
+            sublabel = sublabel.strip("[]")
+            if sublabel != label:
+                label = label + sublabel
+        try:
+            reference["number"] = int(label)
+        except (TypeError, ValueError):
+            pass
+    if textref:
+        reference["raw_reference"] = [_fix_node_text(textref)]
+        return reference
+    doi = get_first(_sel_texts(ref, "ce:doi"))
+    fpage = get_first(_sel_texts(ref, "sb:first-page"))
+    lpage = get_first(_sel_texts(ref, "sb:last-page"))
+    publication = _get_ref_journal_title(ref)
+    title = _get_ref_title(ref)
+    book_title = _get_ref_book_title(ref, title)
+    volume = _get_ref_volume(ref)
+    issue = get_first(_sel_texts(ref, "sb:issue-nr"))
+    comments = _fix_node_text(_sel_texts(ref, "sb:comment"))
+    comment = " ".join(
+        com.strip("()") for com in comments.split()
+    ).strip(": ")
+    isbn = get_first(_sel_texts(ref, "sb:isbn"))
+    year = _get_ref_years(ref)
+    collaboration = get_first(_sel_texts(ref, "sb:collaboration"))
+    authors = _get_ref_authors(ref)
+    editors = _get_ref_authors(ref, editors=True)
+    series_editors = _get_ref_authors(ref, series_editors=True)
+    publisher = _get_ref_publisher(ref)
+    note = _fix_node_text(note_texts)
+    urls = _get_ref_links(ref, only_arxiv=False)
+    arxiv_id = _format_arxiv_id(_get_ref_links(ref))
+
+    if arxiv_id:
+        reference["arxiv_id"] = arxiv_id
+    if urls and "arxiv" not in urls[0].lower():
+        reference["url"] = urls
+    if doi:
+        reference["doi"] = "doi:" + doi
+    if fpage:
+        reference["fpage"] = fpage
+    if lpage:
+        reference["lpage"] = lpage
+    if publication:
+        journal_title, section = get_journal_and_section(publication)
+        if journal_title:
+            reference["journal"] = journal_title
+            if volume:
+                volume = section + volume
+                reference["volume"] = volume
+                pubstring = "{},{}".format(journal_title, volume)
+                if issue and fpage and lpage:
+                    pubstring += "({}),{}-{}".format(issue, fpage, lpage)
+                elif issue and fpage:
+                    pubstring += "({}),{}".format(issue, fpage)
+                elif issue:
+                    pubstring += "({})".format(issue)
+                elif fpage:
+                    pubstring += "," + fpage
+                reference["journal_pubnote"] = [pubstring.replace(". ", ".")]
+    if book_title:
+        reference["book_title"] = book_title
+    if title and title != book_title:
+        reference["title"] = title
+    if issue:
+        reference["issue"] = issue
+    if isbn:
+        reference["isbn"] = isbn
+    if year:
+        reference["year"] = year
+    if authors:
+        reference["authors"] = [authors]
+    if editors:
+        reference["editors"] = [editors]
+    if series_editors:
+        reference["series_editors"] = [series_editors]
+    if collaboration:
+        reference["collaboration"] = [collaboration]
+    if publisher:
+        reference["publisher"] = publisher
+
+    misc = []
+    if comment:
+        misc.append(comment)
+    if note:
+        misc.append(note)
+    if misc:
+        reference["misc"] = misc
+    return reference
+
+
+def get_references(node) -> List[dict]:
+    """Parity: elsevier_spider.py:663-686 (weirdly grouped/nested
+    sb:reference / ce:other-ref handling)."""
+    parent_map = {c: p for p in node.iter() for c in p}
+    refs_out = []
+    for ref_group in _deep(node, "ce", "bib-reference"):
+        label = get_first([
+            t for el in ref_group.findall(q("ce", "label"))
+            for t in direct_texts(el)
+        ])
+        if label:
+            label = label.strip("[]")
+        inner_refs = ref_group.findall(q("sb", "reference"))
+        if not inner_refs:
+            inner_refs = ref_group.findall(q("ce", "other-ref"))
+        if not inner_refs:
+            refs_out.append(_parse_reference(
+                ref_group, label, _following_notes(ref_group, parent_map)
+            ))
+        for in_ref in inner_refs:
+            refs_out.append(_parse_reference(
+                in_ref, label, _following_notes(in_ref, parent_map)
+            ))
+    return refs_out
+
+
+def _schema_reference(r: dict) -> dict:
+    """Reference-golden dict → REFERENCE_TYPE column shape."""
+    out = dict(r)
+    if "number" in out:
+        out["number"] = str(out["number"])
+    if "raw_reference" in out:
+        out["raw_reference"] = out["raw_reference"][0]
+    if "journal" in out:
+        out["journal_title"] = out.pop("journal")
+    if "volume" in out:
+        out["journal_volume"] = out.pop("volume")
+    if "collaboration" in out:
+        out["collaboration"] = get_first(out["collaboration"])
+    return out
+
+
 @register("elsevier-consyn")
 def extract_elsevier(payload: bytes, url: str = "") -> List[dict]:
     node = parse_xml(payload)
@@ -421,6 +769,9 @@ def extract_elsevier(payload: bytes, url: str = "") -> List[dict]:
         for t in _texts(collab, "ce", "text")
     ])
     b.add("collections", get_collections(doctype))
+    refs = get_references(node)
+    if refs:
+        b.add("references", [_schema_reference(r) for r in refs])
 
     rec = b.build()
     # lazy enrichment: only fetch the article page when keys are

@@ -7,19 +7,47 @@ Person/Collaboration author split, affiliationIds resolved through a
 APS subject areas, rights/copyright and license.
 
 Pagination (the ``Link: rel=next`` header walk, aps_spider.py:121-127)
-is a frontier concern, not a parser one: the round driver appends the
-next-page URL to the frontier queue each round (SURVEY.md §2.1 S8) —
-headers are not part of the pages-table payload.
+flows through the frontier: the fetch layer stores the HTTP ``Link``
+header in the JSON envelope (top-level ``"Link"`` or under
+``"headers"``; a pre-resolved ``links.next`` key is also honored),
+``link_next`` extracts the rel=next target exactly as the reference's
+``link_header.parse`` + ``links_by_attr_pairs([('rel','next')])`` do,
+and the URL rides out on ``new_urls`` so ``_expand_children`` enqueues
+the next page until the walk is exhausted (SURVEY.md §2.1 S8).
 """
 
 from __future__ import annotations
 
 import json
-from typing import List
+import re
+from typing import List, Optional
 
 from . import register
 from .recbuild import RecordBuilder
 from ..functions.textutils import get_license
+
+_LINK_SEGMENT = re.compile(r"<([^>]*)>((?:\s*;\s*[^,<]+)*)")
+
+
+def link_next(header_value: str) -> Optional[str]:
+    """RFC 5988 ``Link`` header → the rel="next" target URI, or None.
+
+    Parity: aps_spider.py:121-127 (python-linkheader semantics: first
+    link whose rel list contains ``next``; rel may be a
+    space-separated, optionally quoted list).
+    """
+    for m in _LINK_SEGMENT.finditer(header_value or ""):
+        href, params = m.group(1), m.group(2)
+        for param in params.split(";"):
+            param = param.strip()
+            if not param or "=" not in param:
+                continue
+            key, _, value = param.partition("=")
+            if key.strip().lower() == "rel":
+                rels = value.strip().strip('"').strip("'").lower().split()
+                if "next" in rels:
+                    return href
+    return None
 
 
 def get_nested(root, *keys):
@@ -109,4 +137,20 @@ def extract_json_aps(payload: bytes) -> List[dict]:
 
         b.add("collections", ["HEP", "Citeable", "Published"])
         out.append(b.build())
+
+    # pagination: follow rel=next until exhausted (aps_spider.py:121-127)
+    header = body.get("Link") or get_nested(body, "headers", "Link")
+    next_url = link_next(header) if header else None
+    if not next_url:
+        nxt = body.get("links")
+        if isinstance(nxt, dict):
+            next_url = nxt.get("next")
+    if next_url:
+        if out:
+            out[0]["new_urls"] = [next_url]
+        else:
+            # empty data page mid-walk: emit a pure link-carrier row so
+            # the frontier keeps walking (the reference yields only a
+            # Request here)
+            out.append({"new_urls": [next_url]})
     return out

@@ -16,11 +16,23 @@ import xml.etree.ElementTree as ET
 from typing import Iterable, List
 
 
+# lxml-recover parity: an undefined named entity (``&ndash;`` etc. in
+# DTD-less publisher XML) expands to the empty string instead of
+# aborting the parse — exactly what the reference's Scrapy/lxml
+# selectors do in recover mode (visible in its goldens, e.g.
+# /root/reference/tests/test_elsevier.py "10&ndash;12" → "1012").
+# The five XML-predefined entities and numeric references survive.
+_UNDEF_ENTITY_B = re.compile(rb"&(?!amp;|lt;|gt;|apos;|quot;|#)"
+                             rb"[A-Za-z][A-Za-z0-9._-]*;")
+_UNDEF_ENTITY_S = re.compile(r"&(?!amp;|lt;|gt;|apos;|quot;|#)"
+                             r"[A-Za-z][A-Za-z0-9._-]*;")
+
+
 def parse_xml(data) -> ET.Element:
     """Parse bytes/str into an Element tree root."""
     if isinstance(data, (bytes, bytearray)):
-        return ET.fromstring(bytes(data))
-    return ET.fromstring(data)
+        return ET.fromstring(_UNDEF_ENTITY_B.sub(b"", bytes(data)))
+    return ET.fromstring(_UNDEF_ENTITY_S.sub("", data))
 
 
 _NS_TAG = re.compile(r"\{[^}]*\}")

@@ -80,8 +80,11 @@ REFERENCE_TYPE = StructType([
     _s("fpage"),
     _s("lpage"),
     _s("year"),
+    # book refs (Elsevier sb: bibliography, elsevier_spider.py:486-507)
+    _s("book_title"),
     StructField("authors", ArrayType(StringType())),
     StructField("editors", ArrayType(StringType())),
+    StructField("series_editors", ArrayType(StringType())),
     _s("publisher"),
     _s("isbn"),
     _s("arxiv_id"),

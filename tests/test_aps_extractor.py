@@ -91,3 +91,70 @@ def test_copyrights(record):
         "Published by the American Physical Society"
     )
     assert record["copyright_material"] == "Article"
+
+
+# --- pagination: the rel=next walk (aps_spider.py:121-127) ---------------
+
+def test_link_next_parses_rfc5988():
+    from hepcrawl_spark.extractors.json_aps import link_next
+    hdr = ('<https://api/v2/journals/articles?page=2>; rel="next", '
+           '<https://api/v2/journals/articles?page=1>; rel="prev"')
+    assert link_next(hdr) == "https://api/v2/journals/articles?page=2"
+    assert link_next('<https://x/2>; rel=next') == "https://x/2"
+    assert link_next('<https://x/1>; rel="prev first"') is None
+    assert link_next("") is None
+
+
+def test_pagination_new_urls():
+    import json
+    with open(FIXTURE, "rb") as fh:
+        body = json.load(fh)
+    body["Link"] = '<https://api/page2>; rel="next"'
+    records = extract_json_aps(json.dumps(body).encode())
+    assert records[0]["new_urls"] == ["https://api/page2"]
+
+
+def test_pagination_empty_page_still_walks():
+    import json
+    payload = json.dumps({
+        "data": [],
+        "headers": {"Link": '<https://api/page3>; rel="next"'},
+    }).encode()
+    records = extract_json_aps(payload)
+    assert records == [{"new_urls": ["https://api/page3"]}]
+
+
+def test_pagination_flow_three_pages_to_exhaustion(spark):
+    """Crawl a 3-page APS Link-header sequence to exhaustion: one
+    seed, records harvested from every page (frontier walk through
+    _expand_children, not a spider loop)."""
+    import json
+
+    from hepcrawl_spark.frontier.rounds import CrawlConfig, make_seeds, run_crawl
+
+    with open(FIXTURE, "rb") as fh:
+        base = json.load(fh)
+
+    def page(n, last=False):
+        body = dict(base)
+        body["data"] = [dict(base["data"][0])]
+        body["data"][0]["identifiers"] = {
+            "doi": "10.1103/PhysRevE.92.0%d" % n
+        }
+        if not last:
+            body["Link"] = (
+                '<http://api.aps.test/articles?page=%d>; rel="next"' % (n + 1)
+            )
+        return ("http://api.aps.test/articles?page=%d" % n,
+                json.dumps(body).encode(), "json-aps")
+
+    rows = [page(1), page(2), page(3, last=True)]
+    pages = spark.createDataFrame(rows, "url string, html binary, format string")
+    seeds = make_seeds(spark, [(rows[0][0], "APS", 0)])
+    summary = run_crawl(
+        spark, seeds, pages,
+        config=CrawlConfig(seen_mode="off", max_rounds=8),
+    )
+    assert summary["records"] == 3      # one article per page
+    assert summary["scheduled"] == 3    # the walk visited every page
+    assert summary["rounds"] == 3       # one committed round per page

@@ -166,3 +166,19 @@ def test_journal_and_section_helper():
     assert get_journal_and_section("Nuclear Physics, Section A") == (
         "Nuclear Physics", "A"
     )
+
+
+def test_references_on_record(record):
+    """sb: bibliography lands on the record in schema shape
+    (sample_consyn_record.xml; elsevier_spider.py:1030)."""
+    refs = record["references"]
+    assert len(refs) == 19
+    assert refs[0] == {
+        "number": "1",
+        "fpage": "333",
+        "journal_pubnote": ["Nucl.Phys.,B241,333"],
+        "year": "1984",
+        "authors": ["Belavin, A.A., Polyakov, A.M. & Zamolodchikov, A.B."],
+        "journal_title": "Nucl. Phys.",
+        "journal_volume": "B241",
+    }
