@@ -778,3 +778,131 @@ def extract_elsevier(payload: bytes, url: str = "") -> List[dict]:
     # missing (elsevier_spider.py:784-805)
     rec["new_urls"] = [get_sd_url(url)] if (keys_missing and url) else []
     return [rec]
+
+
+@register("elsevier-atom")
+def extract_elsevier_atom(payload: bytes) -> List[dict]:
+    """Atom feed → one link-carrier row whose ``new_urls`` are the zip
+    package hrefs, in entry order (the frontier enqueues them for the
+    next round).  Parity: elsevier_spider.py:154-161 (``handle_feed``:
+    first ``link/@href`` per ``entry``)."""
+    root = strip_namespaces(parse_xml(payload))
+    hrefs = []
+    for entry in root.iter("entry"):
+        links = [ln.get("href") for ln in entry.findall("link")
+                 if ln.get("href")]
+        if links:
+            hrefs.append(links[0])
+    return [{"new_urls": hrefs}] if hrefs else []
+
+
+@register("elsevier-zip")
+def extract_elsevier_zip(payload: bytes, url: str = "") -> List[dict]:
+    """Zip package → CONSYN records of every member XML, expanded
+    inside the Arrow batch (the distributed analog of
+    ``handle_package`` + ``unzip_xml_files``,
+    elsevier_spider.py:163-181 / utils.py:30-40; no tmp-dir
+    round-trip — the member bytes never leave the executor)."""
+    from ..sources.packages import iter_zip_members
+
+    out: List[dict] = []
+    for name, data in iter_zip_members(payload, suffix=".xml"):
+        member_url = "{}!/{}".format(url, name) if url else name
+        out.extend(extract_elsevier(data, url=member_url))
+    return out
+
+
+@register("elsevier-sciencedirect")
+def extract_sd_splash(payload: bytes, url: str = "") -> List[dict]:
+    """ScienceDirect article-page scrape — stage B of the lazy
+    enrichment hop.  Parity: elsevier_spider.py:919-966
+    (``scrape_sciencedirect``) + ``_get_volume_from_web``:806-848.
+
+    Emits every key the web page offers (the enrichment join keeps the
+    parent's value when it already has one, reproducing the
+    keys_missing gating).  An unpublished proof (citation_volume or
+    volIssue saying "online") yields ``journal_volume='proof'`` — the
+    flow drops such records entirely, as the reference's ``return
+    None`` does (elsevier_spider.py:929-932)."""
+    from .htmlsoup import parse_html, text_content
+
+    root = parse_html(payload)
+    metas: dict = {}
+    for m in root.iter("meta"):
+        name = m.get("name")
+        if name:
+            metas.setdefault(name, []).append(m.get("content") or "")
+
+    def meta_first(name):
+        return (metas.get(name) or [None])[0]
+
+    b = RecordBuilder()
+    # volume / proof gate (_get_volume_from_web)
+    nrs: List[str] = []
+    volume = meta_first("citation_volume")
+    if volume and "online" in volume.lower():
+        return [{"journal_volume": "proof"}]
+    fpage = meta_first("citation_firstpage")
+    lpage = meta_first("citation_lastpage")
+    if fpage and lpage:
+        nrs = [fpage, lpage]
+    elif fpage:
+        nrs = [fpage]
+    if not volume or nrs:  # sic — mirrors the reference's condition
+        vol_texts: List[str] = []
+        info_texts: List[str] = []
+        for p in root.iter("p"):
+            if p.get("class") == "volIssue":
+                for a in p.findall("a"):
+                    vol_texts.extend(direct_texts(a))
+                info_texts.extend(direct_texts(p))
+        vol_element = get_first(vol_texts)
+        more_vol_info = get_first(info_texts)
+        if more_vol_info and "online" in more_vol_info.lower():
+            return [{"journal_volume": "proof"}]
+        if vol_element:
+            volume = get_first(
+                [i for i in vol_element.split() if i.isdigit()]
+            )
+        if more_vol_info and "pages" in more_vol_info.lower():
+            pages_nrs = [num for num in more_vol_info.split(",")
+                         if "pages" in num.lower()]
+            if pages_nrs:
+                nrs = pages_nrs[0].split()[-1].split("–")
+
+    # date (_get_date_from_web, meta branch)
+    date_raw = meta_first("citation_publication_date")
+    year = None
+    if date_raw:
+        year = format_year(date_raw)
+        b.add("date_published", date_raw)
+    dois = metas.get("citation_doi") or []
+    issue = meta_first("citation_issue")
+    journal_title = None
+    for h1 in root.iter("h1"):
+        if h1.get("class") == "svTitle":
+            journal_title = text_content(h1).strip()
+            break
+    if not journal_title:
+        journal_title = meta_first("citation_journal_title")
+
+    if journal_title:
+        b.add("journal_title", journal_title)
+    if volume:
+        b.add("journal_volume", volume)
+    if issue:
+        b.add("journal_issue", issue)
+    if dois:
+        b.add("dois", dois)
+    if year:
+        b.add("journal_year", year)
+    if nrs:
+        b.add("journal_fpage", nrs[0])
+        if len(nrs) == 2:
+            b.add("journal_lpage", nrs[-1])
+            try:
+                b.add("page_nr", str(int(nrs[-1]) - int(nrs[0]) + 1))
+            except ValueError:
+                pass
+    rec = b.build()
+    return [rec] if rec else []

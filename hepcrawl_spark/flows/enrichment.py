@@ -88,3 +88,45 @@ def dnb_flow(pages_records: DataFrame, splash_pages: DataFrame) -> DataFrame:
     return merge_enrichment(a, b, fields=["abstract", "page_nr"]).drop(
         "splash_url"
     )
+
+
+ELSEVIER_SD_FIELDS = [
+    "journal_title", "journal_volume", "journal_issue",
+    "journal_fpage", "journal_lpage", "journal_year",
+    "date_published", "dois", "page_nr",
+]
+
+
+def elsevier_sd_flow(pages_records: DataFrame,
+                     splash_pages: DataFrame) -> DataFrame:
+    """The Elsevier lazy-enrichment hop: CONSYN records whose journal
+    keys were missing (``new_urls`` = their sciencedirect URL,
+    elsevier_spider.py:784-805) joined with the
+    ``elsevier-sciencedirect`` scrape of those pages.
+
+    keys_missing gating becomes coalesce(parent, splash): the parent's
+    value wins when it already has one, the web value fills the holes.
+    A splash page that identifies an unpublished proof
+    (``journal_volume == 'proof'``) DROPS the parent record entirely —
+    the reference's ``return None`` (elsevier_spider.py:929-932).
+    """
+    a = pages_records.withColumn(
+        "splash_url", F.element_at(F.col("new_urls"), 1)
+    )
+    b_raw = extract_records(
+        splash_pages.select("url", "html"),
+        default_format="elsevier-sciencedirect",
+    ).filter(F.col("error").isNull())
+    b = b_raw.select(
+        F.col("url").alias("_bk"),
+        (F.col("journal_volume") == "proof").alias("_proof"),
+        *[F.col(f).alias(f"_b_{f}") for f in ELSEVIER_SD_FIELDS],
+    )
+    joined = a.join(
+        F.broadcast(b), a["splash_url"] == F.col("_bk"), how="left"
+    ).filter(~F.coalesce(F.col("_proof"), F.lit(False)))
+    for f in ELSEVIER_SD_FIELDS:
+        joined = joined.withColumn(
+            f, F.coalesce(F.col(f), F.col(f"_b_{f}"))
+        ).drop(f"_b_{f}")
+    return joined.drop("_bk", "_proof", "splash_url")

@@ -96,13 +96,19 @@ class RoundStore:
         return self.spark.read.parquet(*paths)
 
     def all_lineage(self) -> Optional[DataFrame]:
+        return self._all_table("lineage")
+
+    def all_errors(self) -> Optional[DataFrame]:
+        return self._all_table("errors")
+
+    def _all_table(self, name: str) -> Optional[DataFrame]:
         last = self.last_committed_round()
         if last is None:
             return None
         paths = [
-            os.path.join(self._round_dir(i), "lineage")
+            os.path.join(self._round_dir(i), name)
             for i in range(last + 1)
-            if os.path.exists(os.path.join(self._round_dir(i), "lineage"))
+            if os.path.exists(os.path.join(self._round_dir(i), name))
         ]
         if not paths:
             return None

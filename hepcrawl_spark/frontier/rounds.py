@@ -64,6 +64,12 @@ class CrawlConfig:
     max_rounds: int = 32
     max_depth: int = 16
     seq_block: int = 1 << 40        # per-round seq namespace spacing
+    job_id: str = ""                # manifest payload id (≙ SCRAPY_JOB)
+    # child-URL format routing: url-regex → format tag, overriding the
+    # inherited parent format — the frontier analog of the reference's
+    # per-callback dispatch (e.g. Elsevier atom feed → .zip packages →
+    # member XMLs → sciencedirect splash, elsevier_spider.py:142-181)
+    child_format_routes: Dict[str, str] = field(default_factory=dict)
 
 
 def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFrame:
@@ -92,7 +98,8 @@ def _merge_offsets(old: Optional[DataFrame], new: DataFrame) -> DataFrame:
 
 
 def _expand_children(records: DataFrame, scheduled: DataFrame,
-                     seq_base: int, max_depth: int) -> DataFrame:
+                     seq_base: int, max_depth: int,
+                     format_routes: Optional[Dict[str, str]] = None) -> DataFrame:
     """new_urls of this round's records → next round's candidates.
 
     Child enqueue order (the LIFO seq) = parent fetch order, then
@@ -148,6 +155,12 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
         kids.join(F.broadcast(bases), on=_pkeys)
         .withColumn("_order", F.col("_base") + F.col("_pos") + 1)
     )
+    child_format = F.col("_pformat")
+    for pattern, fmt in (format_routes or {}).items():
+        child_format = F.when(
+            F.col("child_url").rlike(pattern), F.lit(fmt)
+        ).otherwise(child_format)
+    kids = kids.withColumn("_pformat", child_format)
     out = kids.select(
         F.col("child_url").alias("url"),
         F.lit(None).cast("string").alias("canon_url"),
@@ -259,6 +272,7 @@ def run_crawl(
             records, scheduled,
             seq_base=(round_no + 1) * config.seq_block,
             max_depth=config.max_depth,
+            format_routes=config.child_format_routes,
         )
         next_queue = deferred.select(_CAND_COLS).unionByName(
             children.select(_CAND_COLS)
@@ -331,4 +345,12 @@ def run_crawl(
         round_no += 1
 
     totals["rounds"] = round_no
+    if store is not None:
+        # close-of-crawl push payload (K3/K4 analog,
+        # reference pipelines.py:159-192)
+        from ..sinks.manifest import write_crawl_manifest
+
+        totals["manifest_path"] = write_crawl_manifest(
+            store, job_id=config.job_id, totals=dict(totals)
+        )
     return totals

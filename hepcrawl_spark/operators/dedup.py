@@ -116,20 +116,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via inverted shingle index.
 
     pairs sharing ≥1 shingle → |A∩B| by count, |A∪B| = |A|+|B|-|A∩B|.
     Jaccard is a small-int ratio → bit-exact across engines.
 
-    Scale note: the shingle self-join is quadratic in posting-list
-    length; at corpus scale use ``minhash_lsh_pairs`` (which verifies
-    with this exact measure but only on LSH candidates).
+    Scale guardrails: the shingle self-join is **quadratic in
+    posting-list length** — at corpus scale either use
+    ``minhash_lsh_pairs`` (verifies with this exact measure but only
+    on LSH candidates; the default scale path) or set
+    ``max_shingle_df`` to drop stop-shingles whose document frequency
+    exceeds the cap before the join (standard stop-shingle pruning:
+    a shingle shared by k docs contributes k² join rows; capping k
+    bounds the worst posting list while near-dup pairs, which share
+    many *rare* shingles, still collide).  ``max_shingle_df=None``
+    (default) is the exact variant — the d02 oracle; with a cap the
+    Jaccard is computed over the *pruned* shingle sets (both
+    intersection and sizes), the standard stop-shingle measure.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -202,3 +202,44 @@ def test_infn_splash():
         "Tromba, Renata Longo Giuliana"
     )
     assert r["abstract"].startswith("The main aim of the PhD research")
+
+
+# --- POST-form seed generators (S9) --------------------------------------
+
+def test_infn_seed_generator(spark):
+    """Form semantics parity: infn_spider.py:78-84."""
+    from hepcrawl_spark.sources.seedgen import infn_seeds
+
+    rows = infn_seeds(spark, year="2017").collect()
+    assert len(rows) == 1
+    assert rows[0].url == (
+        "http://www.infn.it/thesis/index.php"
+        "?TESI%5Bdata_conseguimentoyy%5D=2017"
+        "&TESI%5Btesi_tipo%5D=1"
+        "&TESI%5Bpaginazione%5D=0"
+    )
+    assert rows[0].format == "html-infn"
+    assert rows[0].source == "infn"
+
+
+def test_mit_seed_generator(spark):
+    """Form semantics parity: mit_spider.py:70-78 (start_requests
+    passes n=2)."""
+    from hepcrawl_spark.sources.seedgen import mit_seeds
+
+    rows = mit_seeds(spark, year="2016").collect()
+    assert len(rows) == 1
+    assert rows[0].url == (
+        "http://dspace.mit.edu/handle/1721.1/7695/browse"
+        "?year=2016&sort_by=2&rpp=2"
+    )
+    assert rows[0].format == "html-mit"
+
+
+def test_seed_generator_defaults_to_current_year(spark):
+    import datetime
+
+    from hepcrawl_spark.sources.seedgen import infn_seeds
+
+    rows = infn_seeds(spark).collect()
+    assert str(datetime.date.today().year) in rows[0].url

@@ -193,3 +193,20 @@ def test_multimodal_decode(spark):
 def test_real_decode_hook_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_hook(b"\x89PNG", "image/png")
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # the df-cap guardrail: a stop-shingle shared by every doc is
+    # pruned from index AND set sizes; near-dup pairs that share rare
+    # shingles survive with the pruned-set jaccard
+    rows = [(i, "common filler text here plus unique%d token%d extra%d"
+             % (i % 2, i % 2, i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.9, max_shingle_df=4).collect()}
+    # identical docs (0,2,4 / 1,3,5 groups) stay pairs under the cap
+    assert {(0, 2), (0, 4), (2, 4), (1, 3), (1, 5), (3, 5)} <= capped
+    assert capped <= exact

@@ -104,6 +104,23 @@ def test_kill_resume_produces_identical_output(spark, arxiv_pages):
         assert full.select(key_cols).exceptAll(resumed.select(key_cols)).count() == 0
         assert resumed.select(key_cols).exceptAll(full.select(key_cols)).count() == 0
 
+        # close-of-crawl manifest (K3/K4 payload contract,
+        # reference pipelines.py:159-192): written after the final
+        # commit on both the full and the resumed crawl
+        import json
+        import os
+        for ckpt in (full_ckpt, resumed_ckpt):
+            path = os.path.join(ckpt, "manifest.json")
+            assert os.path.exists(path)
+            with open(path) as fh:
+                manifest = json.load(fh)
+            assert set(manifest) >= {
+                "job_id", "results_uri", "log_file", "errors"
+            }
+            assert manifest["errors"] == []
+            assert manifest["results_uri"]  # committed records tables
+            assert "totals" in manifest
+
 
 def test_expand_children_mega_expansion_order_and_parallelism(spark):
     # a package-expansion round (few parents, 10^5 children) must (a)

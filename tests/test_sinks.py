@@ -77,3 +77,37 @@ def test_json_array_writer(records, tmp_path):
     assert text.count("\n,") == 2  # reference separator layout
     parsed = json.loads(text)
     assert len(parsed) == 3 and all("url" in p for p in parsed)
+
+
+def test_files_pipeline_stores_and_attaches(spark, tmp_path):
+    """K5 FilesPipeline analog (settings.py:87-98): file_urls fetched
+    from the corpus, stored under full/<sha1(url)><ext>, results
+    folded back as the `files` column; a missing url is skipped like a
+    failed download."""
+    import hashlib
+    import os
+
+    from hepcrawl_spark.sinks.files import files_pipeline
+
+    records = spark.createDataFrame(
+        [("http://r/1", ["http://files/a.pdf", "http://files/missing.pdf"]),
+         ("http://r/2", None)],
+        "url string, file_urls array<string>",
+    )
+    pages = spark.createDataFrame(
+        [("http://files/a.pdf", bytearray(b"%PDF-1.4 payload"))],
+        "url string, html binary",
+    )
+    store = str(tmp_path / "store")
+    out = files_pipeline(records, pages, store).collect()
+    by_url = {r.url: r for r in out}
+
+    files = by_url["http://r/1"].files
+    assert len(files) == 1                       # missing url skipped
+    f = files[0]
+    sha1 = hashlib.sha1(b"http://files/a.pdf").hexdigest()
+    assert f.path == f"full/{sha1}.pdf"
+    assert f.checksum == hashlib.md5(b"%PDF-1.4 payload").hexdigest()
+    with open(os.path.join(store, f.path), "rb") as fh:
+        assert fh.read() == b"%PDF-1.4 payload"
+    assert by_url["http://r/2"].files is None    # no file_urls → no files

@@ -59,3 +59,32 @@ def test_error_capture_continues(spark):
     assert len(errs) == 2
     assert "ParseError" in errs["http://bad.host/broken.xml"]
     assert "no extractor" in errs["http://bad.host/unknown.fmt"]
+
+
+def test_classify_links_mime_seam(spark):
+    """T22 get_mime_type (utils.py:154-162): the live HTTP HEAD is a
+    relational seam — a mime(url, content_type) dimension wins over
+    the suffix heuristic, unknown urls fall back to it."""
+    from hepcrawl_spark.flows.enrichment import classify_links
+
+    urls = spark.createDataFrame(
+        [("http://a/x.pdf",), ("http://a/y.jpg",),
+         ("http://a/page",), ("http://a/override.pdf",)],
+        "url string",
+    )
+    # heuristic only (no HEAD table)
+    got = {r.url: r.content_type
+           for r in classify_links(urls, None).collect()}
+    assert got["http://a/x.pdf"] == "application/pdf"
+    assert got["http://a/y.jpg"] == "image/jpeg"
+    assert got["http://a/page"] == "text/html"
+
+    # HEAD table overrides: the server says the .pdf URL is HTML
+    mime = spark.createDataFrame(
+        [("http://a/override.pdf", "text/html; charset=utf-8")],
+        "url string, content_type string",
+    )
+    got = {r.url: r.content_type
+           for r in classify_links(urls, mime).collect()}
+    assert got["http://a/override.pdf"] == "text/html; charset=utf-8"
+    assert got["http://a/x.pdf"] == "application/pdf"  # fallback intact
