@@ -371,6 +371,17 @@ def _q_dedup_minhash(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _q_dedup_jaccard_capped(spark, sf_dir):
+    # the stop-shingle guardrail variant: document-frequency cap on
+    # the inverted index bounds the quadratic self-join; fully
+    # SQL-expressible, so it gets its own exact oracle
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8,
+        max_shingle_df=20,
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     pairs = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), hamming_max=3)
     return pairs.select(
@@ -417,6 +428,16 @@ def _q_multimodal_meta(spark, sf_dir):
     return meta.select("doc_id", "n_bytes", "width", "height", "channels")
 
 
+def _q_media_resize(spark, sf_dir):
+    media = multimodal.with_media_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(multimodal.decode_media(media))
+
+
+def _q_media_frames(spark, sf_dir):
+    media = multimodal.with_media_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(multimodal.decode_media(media))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q_pricing_summary,
@@ -440,11 +461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_dedup_jaccard": _q_dedup_jaccard,
         "d03_dedup_minhash": _q_dedup_minhash,
         "d04_dedup_simhash": _q_dedup_simhash,
+        "d05_dedup_jaccard_capped": _q_dedup_jaccard_capped,
         "s01_ann_topk": _q_ann_topk,
         "s02_ann_lsh": _q_ann_lsh,
         "s03_emb_neardup": _q_emb_neardup,
         "s04_emb_neardup_lsh": _q_emb_neardup_lsh,
         "m01_multimodal_meta": _q_multimodal_meta,
+        "m02_media_resize": _q_media_resize,
+        "m03_media_frames": _q_media_frames,
     }
 
 
@@ -464,6 +488,35 @@ WITH toks AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
   FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
   WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE, 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+""".format(toks=_TOKS)
+
+# d05 mirror: identical to d02 but shingles with document frequency
+# > 20 are pruned from the index AND the set sizes before the join —
+# the stop-shingle guardrail measure.
+_JACCARD_CAPPED_SQL = """
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), rare AS (
+  SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 20
+), sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
@@ -709,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         # 1 - 4.6e-8, so the exact-pairs oracle is the correct check.
         "d03_dedup_minhash": _JACCARD_SQL,
         "d04_dedup_simhash": _SIMHASH_SQL,
+        "d05_dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "s01_ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -746,5 +800,33 @@ def oracle_sql() -> dict[str, str]:
                    (16 + (octet_length(encode(text)) * 7) % 464)::INT AS height,
                    3::INT AS channels
             FROM documents
+        """,
+        "m02_media_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     (16 + octet_length(encode(text)) % 624)::INT AS width,
+                     (16 + (octet_length(encode(text)) * 7) % 464)::INT AS height
+              FROM documents
+            )
+            SELECT doc_id, width, height,
+                   greatest(1, (width::BIGINT * 224)
+                               // greatest(width, height))::BIGINT AS out_width,
+                   greatest(1, (height::BIGINT * 224)
+                               // greatest(width, height))::BIGINT AS out_height
+            FROM m
+        """,
+        "m03_media_frames": """
+            WITH m AS (
+              SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+              FROM documents
+              WHERE octet_length(encode(text)) > 0
+            ), s AS (
+              SELECT doc_id, n, greatest(1, n // 4)::BIGINT AS stride FROM m
+            )
+            SELECT doc_id, i::BIGINT AS frame_id,
+                   (i * stride)::BIGINT AS offset,
+                   least(stride, n - i * stride)::BIGINT AS frame_len
+            FROM s, unnest(range(0, 4)) AS r(i)
+            WHERE i * stride < n
         """,
     }

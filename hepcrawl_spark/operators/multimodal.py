@@ -93,6 +93,60 @@ def decode_media(media_df: DataFrame) -> DataFrame:
     return narrowed.mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
 
 
+def resize_plan(meta: DataFrame, target: int = 224) -> DataFrame:
+    """Resize plumbing: output dimensions that fit the longest side to
+    ``target`` preserving aspect ratio, minimum 1 px.
+
+    Pure integer arithmetic in whole-stage codegen (the pixel
+    resample itself is codec work that plugs into
+    ``real_decode_hook``); exactly mirrored by the DuckDB oracle, so
+    the scheduling/plumbing layer is correctness-gated even though the
+    codec is stubbed.
+    """
+    longest = F.greatest(F.col("width"), F.col("height")).cast("long")
+    out_w = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("width").cast("long") * target) / longest),
+    )
+    out_h = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((F.col("height").cast("long") * target) / longest),
+    )
+    return meta.select(
+        "doc_id", "width", "height",
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+    )
+
+
+def frame_sample(meta: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame with its
+    byte offset and length (≤ 4 frames, stride = max(1, n_bytes//4) —
+    the ``decode_media`` sampling contract).
+
+    ``posexplode`` over the typed offsets array; the frame byte-slice
+    extraction itself is the codec seam.  Lengths are integer
+    arithmetic → oracle-mirrorable.
+    """
+    stride = F.greatest(F.lit(1).cast("long"),
+                        F.floor(F.col("n_bytes") / 4).cast("long"))
+    return (
+        meta.filter(F.col("n_bytes") > 0)
+        .select(
+            "doc_id", "n_bytes",
+            stride.alias("_stride"),
+            F.posexplode("frame_offsets").alias("frame_id", "offset"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_id").cast("long").alias("frame_id"),
+            "offset",
+            F.least(F.col("_stride"),
+                    F.col("n_bytes") - F.col("offset")).alias("frame_len"),
+        )
+    )
+
+
 def with_media_payload(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Synthesize an opaque media payload column from document text

@@ -210,3 +210,30 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     # identical docs (0,2,4 / 1,3,5 groups) stay pairs under the cap
     assert {(0, 2), (0, 4), (2, 4), (1, 3), (1, 5), (3, 5)} <= capped
     assert capped <= exact
+
+
+def test_media_resize_plan(spark):
+    meta = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 400), (3, 10, 10)],
+        "doc_id long, width int, height int",
+    )
+    r = {x.doc_id: x for x in multimodal.resize_plan(meta, 224).collect()}
+    assert (r[1].out_width, r[1].out_height) == (224, 168)
+    assert (r[2].out_width, r[2].out_height) == (56, 224)
+    assert (r[3].out_width, r[3].out_height) == (224, 224)
+
+
+def test_media_frame_sample(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "abc"), (3, "")], "doc_id long, text string"
+    )
+    meta = multimodal.decode_media(multimodal.with_media_payload(docs))
+    rows = multimodal.frame_sample(meta).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.offset, r.frame_len))
+    # n=10 → stride 2 → 4 frames at 0,2,4,6, each len 2
+    assert sorted(by_doc[1]) == [(0, 0, 2), (1, 2, 2), (2, 4, 2), (3, 6, 2)]
+    # n=3 → stride 1 → frames at 0,1,2 len 1
+    assert sorted(by_doc[2]) == [(0, 0, 1), (1, 1, 1), (2, 2, 1)]
+    assert 3 not in by_doc  # empty payload → no frames
