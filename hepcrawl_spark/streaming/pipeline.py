@@ -15,7 +15,9 @@ table (SURVEY.md §2.3 F8).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +59,61 @@ def stream_extract(pages_stream: DataFrame, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+UNSEEN_OUTPUT_SCHEMA = "url string, fingerprint long, seq long"
+UNSEEN_STATE_SCHEMA = "fps array<long>"
+
+
+def stream_unseen(cand_stream: DataFrame, num_shards: int = 64) -> DataFrame:
+    """Streaming URL-seen gate — the continuous analog of
+    ``frontier.seen.filter_unseen`` (F1), built on
+    ``applyInPandasWithState``.
+
+    Candidates are grouped by fingerprint shard (``fingerprint %
+    num_shards`` — the same host-hash sharding the batch cuckoo filter
+    uses), and each shard's GroupState carries its fingerprint set
+    across micro-batches: a URL admitted in batch 3 stays seen in
+    batch 300, surviving restarts through the state store checkpoint.
+    Within a batch, first occurrence wins in arrival order (the
+    streaming equivalent of the min-seq rule).
+
+    At scale the state store partitions by the shard key, so state
+    volume per task is |frontier| / num_shards and the shuffle is the
+    one groupBy — identical topology to the batch cuckoo probe.
+    """
+    def _dedup(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")  # min-seq wins within a chunk
+            keep = []
+            for fp in pdf["fingerprint"]:
+                fp = int(fp)
+                if fp in seen:
+                    keep.append(False)
+                else:
+                    seen.add(fp)
+                    keep.append(True)
+            out = pdf[keep][["url", "fingerprint", "seq"]]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        cand_stream
+        .withColumn("_shard", F.pmod(F.col("fingerprint"),
+                                     F.lit(num_shards)))
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _dedup,
+            outputStructType=UNSEEN_OUTPUT_SCHEMA,
+            stateStructType=UNSEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def stream_host_stats(pages_stream: DataFrame,

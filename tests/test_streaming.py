@@ -71,3 +71,47 @@ def test_stream_host_stats(spark, tmp_path):
     hosts = {r.url_host for r in rows}
     assert "export.arxiv.org" in hosts
     assert all(r.n_pages > 0 and r.bytes > 0 for r in rows)
+
+
+def test_stream_unseen_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState URL-seen gate: a fingerprint admitted in
+    micro-batch 1 is rejected when it reappears in micro-batch 2 (the
+    GroupState carries the shard's seen set across batches)."""
+    import time
+
+    from hepcrawl_spark.streaming.pipeline import stream_unseen
+
+    src = tmp_path / "cand"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = []
+
+    # batch 1: urls a,b ; batch 2: b (dup), c — as two files so
+    # maxFilesPerTrigger=1 forces two micro-batches
+    spark.createDataFrame(
+        [("http://x/a", 11, 1), ("http://x/b", 22, 2)],
+        "url string, fingerprint long, seq long",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("http://x/b", 22, 3), ("http://x/c", 33, 4)],
+        "url string, fingerprint long, seq long",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream
+        .schema("url string, fingerprint long, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_unseen(stream, num_shards=4)
+        .writeStream
+        .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = sorted((r.url, r.seq) for r in sink)
+    assert admitted == [("http://x/a", 1), ("http://x/b", 2),
+                        ("http://x/c", 4)]
