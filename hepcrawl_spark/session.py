@@ -41,6 +41,13 @@ def get_spark(app_name: str = "hepcrawl-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # metastore-backed (bucketed) tables live under /tmp, never in
+        # the repo working dir
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/hepcrawl-spark-warehouse"))
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/hepcrawl-spark-derby")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # ship the package to executor python workers (the pip-less
         # local analog of `spark-submit --py-files hepcrawl_spark.zip`)
