@@ -476,7 +476,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (ANSI SQL mirrors)
 # ---------------------------------------------------------------------------
 
-_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# explicit whitespace class + explicit regex edge-trim, NOT \s / trim:
+# Java regex \s includes \x0b where RE2/DuckDB \s does not, and DuckDB
+# trim strips Unicode spaces where Spark/Python strip only ASCII —
+# this pair reads identically in Java, RE2, and Python re
+# (textops.WS_CLASS / WS_EDGE; divergences found by hypothesis).
+_TOKS = (
+    "regexp_split_to_array(regexp_replace(lower(text), "
+    "'^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'), "
+    "'[ \\t\\n\\f\\r]+')"
+)
 _CENTS = "floor({x} * 100 + 0.5)::BIGINT"
 
 _STOPWORDS_SQL = "['" + "','".join(textops.EN_STOPWORDS) + "']"

@@ -36,23 +36,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .textops import tokens_col
+from .textops import WS_CLASS, WS_EDGE, tokens_col
 
-# ASCII-only \s, exactly what Java regex (Spark `split`) and RE2
-# (DuckDB `regexp_split_to_array`) match by default.  Python's bare
-# str.split() splits on the Unicode superset (NBSP, ideographic space,
-# …), which on real web text silently diverges the UDF paths from the
-# JVM/SQL exact paths — so every tokenizer below goes through this.
-_WS_RE = re.compile(r"\s+", re.ASCII)
-# Java String.trim() strips chars <= U+0020 from both ends.
-_JAVA_TRIM = "".join(map(chr, range(0x21)))
+# The explicit cross-engine whitespace contract (see textops.WS_CLASS
+# / WS_EDGE): NOT bare str.split() (Unicode superset: NBSP etc.), NOT
+# \s (Java includes \x0b, RE2 does not), NOT trim/strip (DuckDB's trim
+# strips Unicode spaces, Python/Java strip only ASCII) — the one regex
+# pair all three engines read identically.  Every tokenizer below goes
+# through this.
+_WS_RE = re.compile(WS_CLASS)
+_EDGE_RE = re.compile(WS_EDGE)
 
 
 def _tokenize(t: str | None) -> list[str]:
-    """Exact Python mirror of ``tokens_col`` / the DuckDB oracle:
-    ``regexp_split_to_array(trim(lower(text)), '\\s+')`` — including
+    """Exact Python mirror of ``tokens_col`` / the DuckDB oracle
+    (regex edge-trim + explicit-class split, lowercased) — including
     the engines' ``['']`` result for empty input."""
-    return _WS_RE.split((t or "").lower().strip(_JAVA_TRIM))
+    return _WS_RE.split(_EDGE_RE.sub("", (t or "").lower()))
 
 
 MINHASH_PERMS = 128

@@ -28,12 +28,26 @@ EN_STOPWORDS = [
 FP_MOD = 2147483647
 
 
+# The cross-engine whitespace contract.  NOT ``\s`` (Java regex \s
+# includes \x0b, RE2/DuckDB \s does not) and NOT ``trim`` (DuckDB's
+# strips Unicode spaces like NBSP/U+3000, Spark's and Python's strip
+# only ASCII space) — both divergences found by the hypothesis parity
+# test.  An explicit class + explicit regex edge-trim are interpreted
+# identically by Java regex, RE2, and Python re.
+WS_CLASS = r"[ \t\n\f\r]+"
+WS_EDGE = r"^[ \t\n\f\r]+|[ \t\n\f\r]+$"
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization, lowercased.
 
-    SQL mirror: ``regexp_split_to_array(trim(lower(text)), '\\s+')``.
+    SQL mirror: ``regexp_split_to_array(regexp_replace(lower(text),
+    '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'),
+    '[ \\t\\n\\f\\r]+')`` (same explicit class on both engines).
     """
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(
+        F.regexp_replace(F.lower(text), WS_EDGE, ""), WS_CLASS
+    )
 
 
 def token_stats(docs: DataFrame, text_col: str = "text",

@@ -237,3 +237,64 @@ def test_media_frame_sample(spark):
     # n=3 → stride 1 → frames at 0,1,2 len 1
     assert sorted(by_doc[2]) == [(0, 0, 1), (1, 1, 1), (2, 2, 1)]
     assert 3 not in by_doc  # empty payload → no frames
+
+
+def test_tokenize_matches_duckdb_property():
+    # property-based parity of the shared Python tokenizer with the
+    # DuckDB oracle expression over adversarial unicode inputs
+    # (NBSP, controls, emoji, mixed-case schemes of whitespace)
+    duckdb = pytest.importorskip("duckdb")
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from hepcrawl_spark.operators.dedup import _tokenize
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "S", "Z", "C"),
+            exclude_characters="\x00",
+        ),
+        max_size=60,
+    ))
+    def check(text):
+        got = _tokenize(text)
+        want = con.execute(
+            "SELECT regexp_split_to_array(regexp_replace(lower(?), "
+            "'^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'), "
+            "'[ \\t\\n\\f\\r]+')", [text]
+        ).fetchone()[0]
+        assert got == want, repr(text)
+
+    check()
+
+
+def test_tokenize_three_way_adversarial(spark):
+    # Spark JVM split, the Python UDF tokenizer, and the DuckDB oracle
+    # must agree on the whitespace corner cases that \s-based
+    # tokenization gets wrong across engines
+    duckdb = pytest.importorskip("duckdb")
+
+    from hepcrawl_spark.operators.dedup import _tokenize
+
+    cases = [
+        "", " ", "a b", "  a  b  ", "\ta\tb\t", "a\x0bb", "\x0b",
+        "a\xa0b c", "\x1f", "a\nb\rc\fd", " \x0b ", "A B\tC",
+        "　wide　space", "mix \xa0\x0b\t mix",
+    ]
+    tok = textops.tokens_col(F.col("t"))
+    jvm = {r.t: list(r.toks) for r in spark.createDataFrame(
+        [(c,) for c in cases], "t string"
+    ).select("t", tok.alias("toks")).collect()}
+    con = duckdb.connect()
+    for c in cases:
+        py = _tokenize(c)
+        sql = con.execute(
+            "SELECT regexp_split_to_array(regexp_replace(lower(?), "
+            "'^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'), "
+            "'[ \\t\\n\\f\\r]+')", [c]
+        ).fetchone()[0]
+        assert jvm[c] == py == sql, repr(c)
