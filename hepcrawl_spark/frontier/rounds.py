@@ -151,8 +151,12 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
     bases = counts.withColumn(
         "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
     ).select(*_pkeys, "_base")
+    # NO broadcast hint: bases is one row per parent page — usually
+    # tiny (AQE broadcasts it at runtime), but unbounded at a
+    # 10^7-page round, where forcing a broadcast would OOM the
+    # executors; the equi-join degrades safely to sort-merge instead
     kids = (
-        kids.join(F.broadcast(bases), on=_pkeys)
+        kids.join(bases, on=_pkeys)
         .withColumn("_order", F.col("_base") + F.col("_pos") + 1)
     )
     child_format = F.col("_pformat")
