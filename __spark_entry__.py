@@ -339,6 +339,16 @@ def _q_text_langid(spark, sf_dir):
     )
 
 
+def _q_text_langid_multi(spark, sf_dir):
+    li = textops.lang_id_multi(_t(spark, sf_dir, "documents"))
+    return li.select(
+        "doc_id",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        "ratio_de", "ratio_en", "ratio_es", "ratio_fr",
+        "guessed_lang",
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     qs = textops.quality_score(_t(spark, sf_dir, "documents"))
     return qs.select(
@@ -457,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_text_langid": _q_text_langid,
         "t03_text_quality": _q_text_quality,
         "t04_text_fingerprint": _q_text_fingerprint,
+        "t05_text_langid_multi": _q_text_langid_multi,
         "d01_dedup_exact": _q_dedup_exact,
         "d02_dedup_jaccard": _q_dedup_jaccard,
         "d03_dedup_minhash": _q_dedup_minhash,
@@ -489,6 +500,16 @@ _TOKS = (
 _CENTS = "floor({x} * 100 + 0.5)::BIGINT"
 
 _STOPWORDS_SQL = "['" + "','".join(textops.EN_STOPWORDS) + "']"
+
+_LANG_LISTS_SQL = {
+    lang: "['" + "','".join(words) + "']"
+    for lang, words in sorted(textops.LANG_PROFILES.items())
+}
+_LANG_RATIO_SQL = {
+    lang: (f"len(list_filter({{toks}}, t -> list_contains({lst}, t)))"
+           f"::DOUBLE / len({{toks}})::DOUBLE")
+    for lang, lst in _LANG_LISTS_SQL.items()
+}
 
 _JACCARD_SQL = """
 WITH toks AS (
@@ -751,6 +772,30 @@ def oracle_sql() -> dict[str, str]:
                          + 0.3 * (d / n)
                          + 0.2 * least(1.0, (chars / n) / 8.0), 9) AS quality
             FROM s
+        """,
+        "t05_text_langid_multi": f"""
+            WITH r AS (
+              SELECT doc_id,
+                     len({_TOKS})::BIGINT AS token_cnt,
+                     {_LANG_RATIO_SQL['de'].format(toks=_TOKS)} AS r_de,
+                     {_LANG_RATIO_SQL['en'].format(toks=_TOKS)} AS r_en,
+                     {_LANG_RATIO_SQL['es'].format(toks=_TOKS)} AS r_es,
+                     {_LANG_RATIO_SQL['fr'].format(toks=_TOKS)} AS r_fr
+              FROM documents
+            )
+            SELECT doc_id, token_cnt,
+                   round(r_de, 9) AS ratio_de,
+                   round(r_en, 9) AS ratio_en,
+                   round(r_es, 9) AS ratio_es,
+                   round(r_fr, 9) AS ratio_fr,
+                   CASE
+                     WHEN greatest(r_de, r_en, r_es, r_fr) < 0.04 THEN 'und'
+                     WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                     WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                     WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS guessed_lang
+            FROM r
         """,
         "t04_text_fingerprint": f"""
             SELECT doc_id,

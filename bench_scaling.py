@@ -52,14 +52,15 @@ def _replicate(df, reps: int, key_col: str):
     )
 
 
-def run_once(cpus: int, sf_dir: str) -> dict:
+def run_once(cpus: int, sf_dir: str, master: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from hepcrawl_spark.frontier.politeness import schedule
     from hepcrawl_spark.session import get_spark
     import __spark_entry__ as em
 
-    spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+    os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus, master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers so fixed startup cost is excluded
@@ -129,6 +130,48 @@ def main():
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(run_once(cpus, sf_dir)))
+        return
+    if "--executors" in sys.argv:
+        # N separate executor JVMs × 2 cores (own heap, own GC, own
+        # python workers) — the closest in-sandbox analog of "N
+        # executors" in the north rule; driver stays out of the
+        # executor count
+        n = int(sys.argv[sys.argv.index("--executors") + 1])
+        print(json.dumps(run_once(
+            n * 2, sf_dir, master=f"local-cluster[{n},2,6144]"
+        )))
+        return
+    if "--multi-executor" in sys.argv:
+        # 1 executor vs 4 executors (N → 4N executor JVMs)
+        results = {}
+        env = dict(os.environ, SPARK_DRIVER_MEM="16g")
+        for n in (1, 4):
+            best = None
+            for _ in range(2):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--executors", str(n)],
+                    capture_output=True, text=True, check=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                run = json.loads(out.stdout.strip().splitlines()[-1])
+                if best is None or run["throughput"] > best["throughput"]:
+                    best = run
+            results[n] = best
+        eff = round(
+            (results[4]["throughput"] / results[1]["throughput"]) / 4.0, 3
+        )
+        summary = {
+            "metric": "scaling_efficiency_executors_N_to_4N",
+            "value": eff,
+            "pair": "local-cluster[1,2] -> local-cluster[4,2]",
+            "runs": results,
+            "meets_north_rule": eff >= 0.8,
+        }
+        print(json.dumps(summary))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scaling_executors.json", "w") as fh:
+            json.dump(summary, fh, indent=2)
         return
 
     cap = host_capacity()

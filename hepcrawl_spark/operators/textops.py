@@ -23,6 +23,19 @@ EN_STOPWORDS = [
     "with", "is", "are", "was", "be", "by", "at", "from", "as", "it",
 ]
 
+# per-language function-word profiles for multi-language ID (same
+# public-knowledge caveat; profiles are deliberately disjoint-ish so
+# the argmax is sharp on real text)
+LANG_PROFILES = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "den", "von", "zu", "im", "für", "auf", "dem"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du",
+           "dans", "pour", "que", "qui", "au", "pas", "sur"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "del", "en",
+           "por", "que", "con", "para", "su", "se", "lo"],
+}
+
 # rolling-hash modulus: 2^31 - 1 (Mersenne prime).  h < 2^31 and token
 # hashes < 2^60, so h*31 + tok never overflows int64.
 FP_MOD = 2147483647
@@ -88,6 +101,42 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         F.when(ratio >= F.lit(threshold), F.lit("en"))
          .otherwise(F.lit("und")).alias("guessed_lang"),
     )
+
+
+def lang_id_multi(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  threshold: float = 0.04) -> DataFrame:
+    """Multi-language ID: per-language function-word hit ratios, argmax
+    wins if its ratio ≥ threshold, else ``und``.
+
+    Still a single codegen scan pass — one ``size(filter(...))`` per
+    profile over the same token array, no UDFs, no shuffle.  Ties
+    break by language code ascending (deterministic; mirrored in SQL
+    by ordering the CASE greatest() comparison the same way).
+    """
+    t = tokens_col(F.col(text_col))
+    total = F.size(t).cast("double")
+    ratios = {
+        lang: F.size(F.filter(t, lambda x: x.isin(*words))).cast("double")
+        / total
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = F.greatest(*ratios.values())
+    guess = F.lit("und")
+    # reverse order so the FIRST language in ascending order wins ties
+    for lang in sorted(ratios, reverse=True):
+        guess = F.when(
+            (ratios[lang] == best) & (best >= F.lit(threshold)),
+            F.lit(lang),
+        ).otherwise(guess)
+    out = docs.select(
+        F.col(id_col),
+        F.size(t).alias("token_cnt"),
+        *[F.round(ratios[lang], 9).alias(f"ratio_{lang}")
+          for lang in sorted(ratios)],
+        guess.alias("guessed_lang"),
+    )
+    return out
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",

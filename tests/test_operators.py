@@ -298,3 +298,17 @@ def test_tokenize_three_way_adversarial(spark):
             "'[ \\t\\n\\f\\r]+')", [c]
         ).fetchone()[0]
         assert jvm[c] == py == sql, repr(c)
+
+
+def test_lang_id_multi(spark):
+    rows = [
+        (0, "the cat is on the roof and it is happy"),
+        (1, "der hund ist nicht mit der katze im haus"),
+        (2, "le chat est dans la maison pour la nuit"),
+        (3, "el perro es un animal en la casa por la noche"),
+        (4, "zxqv wkrp plgh mnty"),   # no function words → und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x.guessed_lang
+         for x in textops.lang_id_multi(df).collect()}
+    assert r == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
