@@ -413,6 +413,17 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF coarse-quantization ANN (multi-probe) — approximate by
+    # construction (rows-only; subset-of-exact asserted in pytest)
+    res = similarity.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=10, n_centroids=32, n_probe=4
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     # exact all-pairs variant: the recall oracle for s04 (never the
     # production path — neardup_pairs defaults to bucketed=True)
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_ann_lsh": _q_ann_lsh,
         "s03_emb_neardup": _q_emb_neardup,
         "s04_emb_neardup_lsh": _q_emb_neardup_lsh,
+        "s05_ann_ivf": _q_ann_ivf,
         "m01_multimodal_meta": _q_multimodal_meta,
         "m02_media_resize": _q_media_resize,
         "m03_media_frames": _q_media_frames,

@@ -263,6 +263,104 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
     )
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 32,
+                  iters: int = 8, sample: int = 2048,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means centroids for IVF coarse quantization.
+
+    Trained driver-side on a deterministic sample (first ``sample``
+    ids — centroid fitting is a tiny model; the corpus itself never
+    leaves the cluster).  Unit-norm centroids, deterministic seeded
+    init, fixed iteration count → the same centroids on every run.
+    """
+    rows = (
+        embeddings.orderBy(id_col).limit(sample)
+        .select(vec_col).collect()
+    )
+    V = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.RandomState(7)
+    cent = V[rng.choice(len(V), n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = (V @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = V[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_cells_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Arrow-vectorized top-``n_probe`` IVF cell assignment (one
+    batch matmul against the broadcast centroid matrix)."""
+    C = centroids.T  # (dim, k)
+
+    @pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (V / norms) @ C
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _cells
+
+
+def ann_ivf_topk(embeddings: DataFrame, k: int = 10,
+                 n_centroids: int = 32, n_probe: int = 4,
+                 query_filter: Column | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their top-1
+    coarse cell, queries probe their ``n_probe`` nearest cells, and
+    only same-cell candidates are exactly cosine-scored.
+
+    The 100 TB shape: the cell id is the partition key — the corpus is
+    written clustered by cell, a query touches n_probe partitions, and
+    candidate volume is Σ probed-cell sizes instead of N.  Recall < 1
+    by construction (rows-only check s05; subset-of-exact asserted in
+    pytest).
+    """
+    if query_filter is None:
+        query_filter = F.col(id_col) % 50 == 0
+    cent = ivf_centroids(embeddings, n_centroids,
+                         id_col=id_col, vec_col=vec_col)
+    corpus = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(ivf_cells_udf(cent, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+    )
+    queries = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_cells_udf(cent, n_probe)(F.col(vec_col)))
+        .alias("cell"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", pair_cosine_udf()(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",

@@ -312,3 +312,16 @@ def test_lang_id_multi(spark):
     r = {x.doc_id: x.guessed_lang
          for x in textops.lang_id_multi(df).collect()}
     assert r == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_ann_ivf_subset_of_exact(emb):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_topk(emb, k=20).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ann_ivf_topk(
+               emb, k=20, n_centroids=4, n_probe=2).collect()}
+    assert ivf                 # cells populated
+    assert ivf <= exact        # exact-scored candidates only
+    # the identical-direction neighbor shares the query's top cell, so
+    # multi-probe IVF must always recall it
+    assert (0, 10) in ivf
