@@ -144,3 +144,34 @@ def test_per_host_rank_matches_window_on_skewed_data(spark):
     joined = ranked.join(naive.select("url", "naive_rank"), on="url")
     mismatches = joined.filter(F.col("host_rank") != F.col("naive_rank")).count()
     assert mismatches == 0
+
+
+def test_per_host_rank_mega_host_multi_partition(spark):
+    """F4 skew evidence: one mega-host (100k rows, the arxiv.org
+    case) must rank across many tasks — the seq-bucketed two-phase
+    rank, not a single-partition window — and still produce the exact
+    dense 1..N rank in (priority DESC, seq DESC) order."""
+    from pyspark.sql import functions as F
+
+    from hepcrawl_spark.frontier.politeness import per_host_rank
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("mega.example.org").alias("url_host"),
+        F.lit(0).cast("long").alias("priority"),
+        F.col("id").alias("seq"),
+    ).repartition(16)
+    ranked = per_host_rank(df)
+    # the window must partition by (host, priority, seq-bucket) — the
+    # skew-splitting key — not by host alone (which would serialize
+    # the mega-host into one task; AQE may still coalesce the tiny
+    # OUTPUT, so the plan is the honest probe, not partition counts)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" in plan
+    rows = ranked.select("seq", "host_rank").collect()
+    assert len(rows) == n
+    # LIFO: highest seq gets rank 1
+    by_seq = {r.seq: r.host_rank for r in rows}
+    assert by_seq[n - 1] == 1
+    assert by_seq[0] == n
+    assert sorted(by_seq.values()) == list(range(1, n + 1))
