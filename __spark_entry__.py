@@ -303,6 +303,17 @@ def _q_frontier_seen(spark, sf_dir):
     return admitted.select("url", "seq")
 
 
+def _q_frontier_seen_cuckoo(spark, sf_dir):
+    # the 10^10-scale seen gate: sharded cuckoo filters probed via
+    # cogroup/applyInPandas.  Approximate by construction (~16
+    # bits/key false-positive rate), so rows-only — the exact-mode
+    # equivalence on this corpus is asserted in
+    # tests/test_frontier_seen.py.
+    cand = _event_candidates(spark, sf_dir)
+    admitted, _ = filter_unseen(cand, None, mode="cuckoo", num_shards=8)
+    return admitted.select("url", "seq")
+
+
 def _q_frontier_robots(spark, sf_dir):
     cand = _event_candidates(spark, sf_dir)
     robots = spark.createDataFrame(
@@ -474,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f02_frontier_seen": _q_frontier_seen,
         "f03_frontier_robots": _q_frontier_robots,
         "f04_crawl_records": _q_crawl_records,
+        "f05_frontier_seen_cuckoo": _q_frontier_seen_cuckoo,
         "t01_text_tokens": _q_text_tokens,
         "t02_text_langid": _q_text_langid,
         "t03_text_quality": _q_text_quality,

@@ -98,3 +98,18 @@ def test_cuckoo_state_persists_blobs(spark):
     blobs = state.collect()
     assert {r.shard for r in blobs} <= set(range(4))
     assert all(r.blob is not None and len(r.blob) > 32 for r in blobs)
+
+
+def test_cuckoo_matches_exact_on_event_candidates(spark):
+    """f05's quality claim: on the sf0.01 frontier the cuckoo gate
+    admits exactly the exact-mode set (FP probability ~2^-13 per probe
+    at this occupancy — a mismatch here means a real regression)."""
+    import __spark_entry__ as em
+    from hepcrawl_spark.frontier.seen import filter_unseen
+
+    cand = em._event_candidates(spark, "/root/testdata/sf0.01")
+    exact, _ = filter_unseen(cand, None, mode="exact")
+    cuckoo, _ = filter_unseen(cand, None, mode="cuckoo", num_shards=8)
+    e = {(r.url, r.seq) for r in exact.select("url", "seq").collect()}
+    c = {(r.url, r.seq) for r in cuckoo.select("url", "seq").collect()}
+    assert c == e

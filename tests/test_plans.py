@@ -1,0 +1,61 @@
+"""Physical-plan regression guards.
+
+PLANS.md records plan facts read off `.explain("formatted")`; these
+tests pin the load-bearing ones so a refactor that silently
+un-pushes a filter, un-broadcasts a dimension, or reintroduces a
+cartesian/per-row-Python path fails CI instead of surviving until the
+next 100×-scale run."""
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(em.queries()["q01_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # 6-of-11 column projection reaches the scan
+    assert "ReadSchema: struct<l_quantity" in plan
+    assert "l_comment" not in plan          # untouched column never read
+
+
+def test_q05_dimension_joins_broadcast(spark):
+    plan = _plan(em.queries()["q05_broadcast_dim"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan      # fact side never shuffles
+
+
+def test_f04_crawl_round_stays_vectorized(spark):
+    plan = _plan(em.queries()["f04_crawl_records"](spark, SF))
+    # Arrow-vectorized python only — a row-at-a-time BatchEvalPython
+    # in this pipeline would be a 10-100x regression
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d03_minhash_no_cartesian(spark):
+    plan = _plan(em.queries()["d03_dedup_minhash"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s04_bucketed_neardup_no_cartesian(spark):
+    plan = _plan(em.queries()["s04_emb_neardup_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan        # band keys are one Arrow pass
+
+
+def test_t01_tokens_pure_codegen(spark):
+    plan = _plan(em.queries()["t01_text_tokens"](spark, SF))
+    # text analysis is JVM-side column expressions, no Python at all
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # codegen spans render as "*(n)" in executedPlan().toString()
+    assert "*(1)" in plan
