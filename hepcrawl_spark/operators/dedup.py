@@ -136,6 +136,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     Jaccard is computed over the *pruned* shingle sets (both
     intersection and sizes), the standard stop-shingle measure.
     """
+    # spread the input FIRST: a single-row-group parquet would run the
+    # (interpreted higher-order-function) shingling in one task —
+    # measured 40 s → ~3 s at sf0.1 on 32 cores
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
