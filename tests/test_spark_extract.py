@@ -88,3 +88,44 @@ def test_classify_links_mime_seam(spark):
            for r in classify_links(urls, mime).collect()}
     assert got["http://a/override.pdf"] == "text/html; charset=utf-8"
     assert got["http://a/x.pdf"] == "application/pdf"  # fallback intact
+
+
+def test_every_format_survives_malformed_bytes(spark):
+    """Web-scale robustness: every registered extractor fed empty,
+    garbage, truncated-XML/JSON/HTML and binary-noise payloads must
+    either return records or raise (captured as an error row) — never
+    hang, never kill the batch, never poison sibling rows."""
+    from hepcrawl_spark.extractors import known_formats
+
+    payloads = [
+        b"",
+        b"garbage not markup at all",
+        b"<?xml version='1.0'?><unclosed><record>",
+        b'{"data": [{"broken": ',
+        b"<html><body><div class=",
+        bytes(range(256)) * 4,
+        "\xa0　<r\xe9cord>￿</r\xe9cord>".encode("utf-8"),
+    ]
+    rows = [
+        (f"http://fuzz.test/{fmt}/{i}", payload, fmt)
+        for fmt in known_formats()
+        for i, payload in enumerate(payloads)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, format string"
+    )
+    out = extract_records(pages)
+    # one good row mixed in proves siblings survive a bad batch
+    good = open("/root/reference/tests/responses/arxiv/sample_arxiv_record0.xml", "rb").read()
+    mixed = spark.createDataFrame(
+        rows[:5] + [("http://ok.test/x", good, "arxiv-oai")] + rows[5:],
+        "url string, html binary, format string",
+    )
+    n_total = out.count()                      # must terminate
+    # outputs are records, error rows, or nothing (a page that parses
+    # but holds no records is legitimately empty) — never a crash
+    assert 0 < n_total <= len(rows) * 3
+    ok = extract_records(mixed).filter(
+        F.col("url") == "http://ok.test/x"
+    ).filter(F.col("error").isNull())
+    assert ok.count() == 1
