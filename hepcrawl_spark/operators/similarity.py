@@ -369,14 +369,23 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                   dim: int = 64) -> DataFrame:
     """Cosine near-duplicate pairs (id_a, id_b, cosine ≥ threshold).
 
-    Default (``bucketed=True``, the 100 TB path): banded-SRP candidate
-    generation — each vector explodes into ``n_bands`` small band
-    keys, candidates are the band-key equi-join (co-partitionable by
-    key), and every candidate is *exactly* cosine-verified, so
-    precision is 1.0 and recall 1-(1-p^r)^b (~0.91 at cosine 0.45,
-    ~0.999 at 0.9 with r=4, b=12).  Same shape as
-    ``dedup.minhash_lsh_pairs``: candidate volume scales with bucket
-    occupancy, not N².
+    Default (``bucketed=True``): banded-SRP candidate generation —
+    each vector explodes into ``n_bands`` band keys, candidates are
+    the band-key equi-join (co-partitionable by key), and every
+    candidate is *exactly* cosine-verified, so precision is 1.0 and
+    recall 1-(1-p^r)^b with p = 1-θ/π.
+
+    Honest scale accounting (parameterize by threshold): expected
+    candidate volume is ~b·p_rand^r·N²/2 where p_rand is the
+    per-plane agreement of a *random* pair (0.5 for centered
+    corpora).  At r=4 that constant is ~0.5·b/16 — the join is dense,
+    chosen here because the s03/s04 contract pins τ=0.45, where the
+    p_true/p_rand gap (0.65 vs 0.5) is information-theoretically too
+    small for sparse LSH at high recall.  For production near-dup
+    thresholds (τ ≥ 0.8, p_true ≥ 0.9) raise ``band_planes`` to
+    8-16: the same plan prunes to ~b·2^-r of all pairs with recall
+    ≥ 1-(1-0.9^r)^b.  The verify itself is the Arrow bit-parity fold,
+    so even dense candidate sets stream at numpy speed.
 
     ``bucketed=False`` is the exact all-pairs O(N²) variant — the
     recall oracle for the bucketed path; never run it on a corpus.

@@ -63,26 +63,35 @@ def stream_extract(pages_stream: DataFrame, checkpoint: str,
 
 UNSEEN_OUTPUT_SCHEMA = "url string, fingerprint long, seq long"
 UNSEEN_STATE_SCHEMA = "fps array<long>"
+UNSEEN_CUCKOO_STATE_SCHEMA = "blob binary"
 
 
-def stream_unseen(cand_stream: DataFrame, num_shards: int = 64) -> DataFrame:
+def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
+                  mode: str = "exact",
+                  shard_buckets: int = 1 << 16) -> DataFrame:
     """Streaming URL-seen gate — the continuous analog of
     ``frontier.seen.filter_unseen`` (F1), built on
     ``applyInPandasWithState``.
 
     Candidates are grouped by fingerprint shard (``fingerprint %
-    num_shards`` — the same host-hash sharding the batch cuckoo filter
-    uses), and each shard's GroupState carries its fingerprint set
+    num_shards`` — the same sharding the batch cuckoo filter uses),
+    and each shard's GroupState carries its membership structure
     across micro-batches: a URL admitted in batch 3 stays seen in
     batch 300, surviving restarts through the state store checkpoint.
-    Within a batch, first occurrence wins in arrival order (the
-    streaming equivalent of the min-seq rule).
+    Within a batch, first occurrence wins by ``seq`` within a chunk.
 
-    At scale the state store partitions by the shard key, so state
-    volume per task is |frontier| / num_shards and the shuffle is the
-    one groupBy — identical topology to the batch cuckoo probe.
+    ``mode="exact"`` keeps the shard's fingerprint set (8 bytes/key —
+    fine to ~10^8 frontier).  ``mode="cuckoo"`` keeps the same
+    serialized cuckoo shard the batch gate uses (~2 bytes/key, fixed
+    blob size): the 10^10 path, at the filter's false-positive cost.
+    State volume per task is |frontier| / num_shards either way, and
+    the only shuffle is the one groupBy.
     """
-    def _dedup(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..frontier.cuckoo import CuckooShard
+
+    def _dedup_exact(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             pdf = pdf.sort_values("seq")  # min-seq wins within a chunk
@@ -99,7 +108,30 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64) -> DataFrame:
                 yield out
         state.update((list(seen),))
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    def _dedup_cuckoo(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            shard = CuckooShard.from_bytes(bytes(state.get[0]))
+        else:
+            shard = CuckooShard(n_buckets=shard_buckets)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            keep = []
+            for fp in pdf["fingerprint"]:
+                h = int(fp)  # raw signed, same as the batch gate
+                if shard.contains(h):
+                    keep.append(False)
+                else:
+                    shard.insert(h)
+                    keep.append(True)
+            out = pdf[keep][["url", "fingerprint", "seq"]]
+            if len(out):
+                yield out
+        state.update((shard.to_bytes(),))
+
+    fn, schema = {
+        "exact": (_dedup_exact, UNSEEN_STATE_SCHEMA),
+        "cuckoo": (_dedup_cuckoo, UNSEEN_CUCKOO_STATE_SCHEMA),
+    }[mode]
 
     return (
         cand_stream
@@ -107,9 +139,9 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64) -> DataFrame:
                                      F.lit(num_shards)))
         .groupBy("_shard")
         .applyInPandasWithState(
-            _dedup,
+            fn,
             outputStructType=UNSEEN_OUTPUT_SCHEMA,
-            stateStructType=UNSEEN_STATE_SCHEMA,
+            stateStructType=schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

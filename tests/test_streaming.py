@@ -73,12 +73,15 @@ def test_stream_host_stats(spark, tmp_path):
     assert all(r.n_pages > 0 and r.bytes > 0 for r in rows)
 
 
-def test_stream_unseen_state_survives_microbatches(spark, tmp_path):
-    """applyInPandasWithState URL-seen gate: a fingerprint admitted in
-    micro-batch 1 is rejected when it reappears in micro-batch 2 (the
-    GroupState carries the shard's seen set across batches)."""
-    import time
+import pytest
 
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_stream_unseen_state_survives_microbatches(spark, tmp_path, mode):
+    """applyInPandasWithState URL-seen gate (exact set and serialized
+    cuckoo-shard state): a fingerprint admitted in micro-batch 1 is
+    rejected when it reappears in micro-batch 2 (the GroupState
+    carries the shard's membership across batches)."""
     from hepcrawl_spark.streaming.pipeline import stream_unseen
 
     src = tmp_path / "cand"
@@ -104,7 +107,7 @@ def test_stream_unseen_state_survives_microbatches(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     q = (
-        stream_unseen(stream, num_shards=4)
+        stream_unseen(stream, num_shards=4, mode=mode)
         .writeStream
         .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
         .option("checkpointLocation", ckpt)
