@@ -21,18 +21,36 @@ from typing import Iterable, List
 # aborting the parse — exactly what the reference's Scrapy/lxml
 # selectors do in recover mode (visible in its goldens, e.g.
 # /root/reference/tests/test_elsevier.py "10&ndash;12" → "1012").
-# The five XML-predefined entities and numeric references survive.
+# The five XML-predefined entities and numeric references survive,
+# and CDATA sections are passed through untouched ('&name;' inside
+# CDATA is literal content that lxml preserves).
 _UNDEF_ENTITY_B = re.compile(rb"&(?!amp;|lt;|gt;|apos;|quot;|#)"
                              rb"[A-Za-z][A-Za-z0-9._-]*;")
 _UNDEF_ENTITY_S = re.compile(r"&(?!amp;|lt;|gt;|apos;|quot;|#)"
                              r"[A-Za-z][A-Za-z0-9._-]*;")
+_CDATA_B = re.compile(rb"(<!\[CDATA\[.*?\]\]>)", re.S)
+_CDATA_S = re.compile(r"(<!\[CDATA\[.*?\]\]>)", re.S)
+
+
+def _strip_undefined_entities(data, cdata_re, entity_re, empty):
+    # split keeps the CDATA delimiters as odd-index chunks; only the
+    # even-index (non-CDATA) chunks get entity-stripped
+    parts = cdata_re.split(data)
+    return empty.join(
+        part if i % 2 else entity_re.sub(empty, part)
+        for i, part in enumerate(parts)
+    )
 
 
 def parse_xml(data) -> ET.Element:
     """Parse bytes/str into an Element tree root."""
     if isinstance(data, (bytes, bytearray)):
-        return ET.fromstring(_UNDEF_ENTITY_B.sub(b"", bytes(data)))
-    return ET.fromstring(_UNDEF_ENTITY_S.sub("", data))
+        return ET.fromstring(_strip_undefined_entities(
+            bytes(data), _CDATA_B, _UNDEF_ENTITY_B, b""
+        ))
+    return ET.fromstring(_strip_undefined_entities(
+        data, _CDATA_S, _UNDEF_ENTITY_S, ""
+    ))
 
 
 _NS_TAG = re.compile(r"\{[^}]*\}")

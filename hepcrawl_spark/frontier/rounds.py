@@ -131,33 +131,41 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
         records.sparkSession.sparkContext.defaultParallelism
     )
     # Deterministic global enqueue order WITHOUT a single-task global
-    # sort (a package-expansion round — one zip → 10^5 members — would
-    # funnel through one task).  Two-phase exact rank, same idea as
-    # politeness.per_host_rank: within a parent the local rank is just
-    # _pos (posexplode is already contiguous 0..k-1), and the global
-    # base of each parent is the cumulative child count over the
-    # parent ordering (_pts ASC, _pprio DESC, _pseq DESC — _pseq is
-    # unique, so the order is total).  The only window runs over the
-    # per-parent count table (one row per *page*, not per child), and
-    # the explode output itself is never globally sorted.
+    # sort over the children (a package-expansion round — one zip →
+    # 10^5 members — would funnel through one task).  Two-phase exact
+    # rank, same idea as politeness.per_host_rank, with groups keyed
+    # by (parent, _pos): one parent page can emit SEVERAL records that
+    # each carry new_urls (an elsevier-zip page → many member records
+    # with sciencedirect hops), and posexplode restarts _pos per
+    # record row — so _pos alone is NOT unique within a parent.  The
+    # local rank orders the (parent, _pos) group by child_url
+    # (deterministic total order; the group holds at most
+    # records-per-page rows), and the global base is the cumulative
+    # group count over (parent order, _pos ASC).  Only the per-group
+    # COUNT table flows through the single-task cumulative window —
+    # tiny rows, never the children payload.
     _pkeys = ["parent_url", "_pts", "_pprio", "_pseq"]
-    counts = kids.groupBy(*_pkeys).agg(F.count(F.lit(1)).alias("_cnt"))
+    _gkeys = _pkeys + ["_pos"]
+    counts = kids.groupBy(*_gkeys).agg(F.count(F.lit(1)).alias("_cnt"))
     w_cum = (
         Window.orderBy(
-            F.col("_pts").asc(), F.col("_pprio").desc(), F.col("_pseq").desc()
+            F.col("_pts").asc(), F.col("_pprio").desc(),
+            F.col("_pseq").desc(), F.col("_pos").asc(),
         )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = counts.withColumn(
         "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
-    ).select(*_pkeys, "_base")
-    # NO broadcast hint: bases is one row per parent page — usually
-    # tiny (AQE broadcasts it at runtime), but unbounded at a
-    # 10^7-page round, where forcing a broadcast would OOM the
-    # executors; the equi-join degrades safely to sort-merge instead
+    ).select(*_gkeys, "_base")
+    w_local = Window.partitionBy(*_gkeys).orderBy(F.col("child_url").asc())
+    # NO broadcast hint on bases: usually tiny (AQE broadcasts it at
+    # runtime) but unbounded at a 10^7-page round, where forcing a
+    # broadcast would OOM the executors; the equi-join degrades safely
+    # to sort-merge instead
     kids = (
-        kids.join(bases, on=_pkeys)
-        .withColumn("_order", F.col("_base") + F.col("_pos") + 1)
+        kids.withColumn("_lr", F.row_number().over(w_local))
+        .join(bases, on=_gkeys)
+        .withColumn("_order", F.col("_base") + F.col("_lr"))
     )
     child_format = F.col("_pformat")
     for pattern, fmt in (format_routes or {}).items():
@@ -237,7 +245,16 @@ def run_crawl(
             seq_bounds=(int(qstats.lo), int(qstats.hi)),
         )
         scheduled = scheduled.persist()
+        prev_offsets = offsets
         offsets = _merge_offsets(offsets, new_offsets).persist()
+        if store is None and prev_offsets is not None:
+            # store-less (test/bench) mode: materialize the merged
+            # ledger (per-host-tiny — one cheap job) and release the
+            # previous round's cache, so a long crawl doesn't pin one
+            # offsets RDD per round (the store path gets this for free
+            # from the commit/re-read cycle below)
+            offsets.count()
+            prev_offsets.unpersist()
 
         fetched = scheduled.join(
             pages.select("url", "html"), on="url", how="left"

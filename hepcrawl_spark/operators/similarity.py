@@ -129,15 +129,20 @@ def ann_topk(embeddings: DataFrame, k: int = 10,
     )
     queries = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
     )
     cands = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
     )
+    # norms fold once per ROW (O(N·dim)); only the dot runs per pair
     scored = (
         cands.join(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", pair_cosine_udf()(F.col("qv"), F.col("cv"))
+            "cosine",
+            pair_dot_udf()(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -239,18 +244,22 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
     bucketed = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
         srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     queries = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
         srp_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
     scored = (
         bucketed.join(F.broadcast(queries), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine", pair_cosine_udf()(F.col("qv"), F.col("cv"))
+            "cosine",
+            pair_dot_udf()(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -279,7 +288,12 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 32,
         .select(vec_col).collect()
     )
     V = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    V = V[norms > 0]                      # zero vectors would NaN-poison
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(V))  # tiny corpora
+    if n_centroids == 0:
+        raise ValueError("no non-zero vectors to train IVF centroids on")
     rng = np.random.RandomState(7)
     cent = V[rng.choice(len(V), n_centroids, replace=False)].copy()
     for _ in range(iters):
@@ -337,19 +351,25 @@ def ann_ivf_topk(embeddings: DataFrame, k: int = 10,
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
         F.element_at(ivf_cells_udf(cent, 1)(F.col(vec_col)), 1)
         .alias("cell"),
     )
     queries = embeddings.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
         F.explode(ivf_cells_udf(cent, n_probe)(F.col(vec_col)))
         .alias("cell"),
     )
     scored = (
         corpus.join(F.broadcast(queries), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", pair_cosine_udf()(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            pair_dot_udf()(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

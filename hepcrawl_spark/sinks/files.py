@@ -71,13 +71,22 @@ def write_files(manifest: DataFrame, store_dir: str) -> DataFrame:
                   "store_path string, checksum string, n_bytes long")
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
         for pdf in batches:
             for path, blob in zip(pdf["store_path"], pdf["html"]):
                 if blob is None:
                     continue
                 full = os.path.join(store_dir, path)
                 os.makedirs(os.path.dirname(full), exist_ok=True)
-                tmp = full + ".tmp"
+                # task-unique tmp name: the same file_url can appear in
+                # several records/partitions, and two tasks sharing one
+                # tmp path would race (torn file or FileNotFoundError
+                # at replace); with unique tmps the last atomic rename
+                # wins and both writers produced identical bytes anyway
+                tmp = "{}.tmp.{}.{}".format(
+                    full, os.getpid(), uuid.uuid4().hex[:8]
+                )
                 with open(tmp, "wb") as fh:
                     fh.write(bytes(blob))
                 os.replace(tmp, full)

@@ -73,12 +73,14 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
     ``frontier.seen.filter_unseen`` (F1), built on
     ``applyInPandasWithState``.
 
-    Candidates are grouped by fingerprint shard (``fingerprint %
-    num_shards`` — the same sharding the batch cuckoo filter uses),
-    and each shard's GroupState carries its membership structure
-    across micro-batches: a URL admitted in batch 3 stays seen in
-    batch 300, surviving restarts through the state store checkpoint.
-    Within a batch, first occurrence wins by ``seq`` within a chunk.
+    Candidates are grouped by shard — ``xxhash64(url_host) %
+    num_shards`` when the frame carries ``url_host`` (the batch gate's
+    sharding, so batch-built cuckoo blobs and streaming state place
+    keys identically), else ``fingerprint % num_shards`` — and each
+    shard's GroupState carries its membership structure across
+    micro-batches: a URL admitted in batch 3 stays seen in batch 300,
+    surviving restarts through the state store checkpoint.  Within a
+    batch, first occurrence wins by ``seq`` within a chunk.
 
     ``mode="exact"`` keeps the shard's fingerprint set (8 bytes/key —
     fine to ~10^8 frontier).  ``mode="cuckoo"`` keeps the same
@@ -133,10 +135,14 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
         "cuckoo": (_dedup_cuckoo, UNSEEN_CUCKOO_STATE_SCHEMA),
     }[mode]
 
+    if "url_host" in cand_stream.columns:
+        from ..frontier.seen import shard_of_host
+        shard = shard_of_host(F.col("url_host"), num_shards)
+    else:
+        shard = F.pmod(F.col("fingerprint"), F.lit(num_shards))
     return (
         cand_stream
-        .withColumn("_shard", F.pmod(F.col("fingerprint"),
-                                     F.lit(num_shards)))
+        .withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandasWithState(
             fn,

@@ -158,3 +158,37 @@ def test_expand_children_mega_expansion_order_and_parallelism(spark):
     assert got == want
     seqs = sorted(r.seq for r in rows)
     assert seqs[0] == 10**6 + 1 and seqs[-1] == 10**6 + n_parents * n_kids
+
+
+def test_expand_children_multi_record_parent_unique_seq(spark):
+    """One parent page can emit several records that each carry
+    new_urls (zip-member records with sciencedirect hops); posexplode
+    restarts _pos per record, so ranks must disambiguate within
+    (parent, _pos) — every child needs a unique, deterministic seq."""
+    from hepcrawl_spark.frontier.rounds import _expand_children
+
+    records = spark.createDataFrame(
+        [("http://h0.x/page", ["http://sd/a"]),
+         ("http://h0.x/page", ["http://sd/b"]),
+         ("http://h0.x/page", ["http://sd/c", "http://sd/d"]),
+         ("http://h1.x/other", ["http://sd/e"])],
+        "url string, new_urls array<string>",
+    )
+    scheduled = spark.createDataFrame(
+        [("http://h0.x/page", 0.0, 0, 100, 0, "t", "f"),
+         ("http://h1.x/other", 1.0, 0, 101, 0, "t", "f")],
+        "url string, fetch_ts double, priority long, seq long, "
+        "depth int, source string, format string",
+    )
+    out = _expand_children(records, scheduled, seq_base=1000, max_depth=4)
+    rows = sorted((r.seq, r.url) for r in out.collect())
+    seqs = [s for s, _ in rows]
+    assert len(seqs) == 5
+    assert len(set(seqs)) == 5          # NO duplicate seq values
+    assert seqs == [1001, 1002, 1003, 1004, 1005]
+    # deterministic order: parent h0 (earlier fetch_ts) first; within
+    # it _pos 0 group by child_url (a, b, c), then _pos 1 (d), then h1
+    assert [u for _, u in rows] == [
+        "http://sd/a", "http://sd/b", "http://sd/c",
+        "http://sd/d", "http://sd/e",
+    ]
