@@ -175,3 +175,40 @@ def test_per_host_rank_mega_host_multi_partition(spark):
     assert by_seq[n - 1] == 1
     assert by_seq[0] == n
     assert sorted(by_seq.values()) == list(range(1, n + 1))
+
+
+def test_parity_randomized_scenarios(spark):
+    """Seeded random frontier/budget scenarios vs the Scrapy-semantics
+    simulator: mixed priorities, skewed hosts, carried round starts —
+    the distributed schedule must reproduce the serial contract
+    exactly on every one."""
+    rng = random.Random(20260817)
+    for _ in range(4):
+        hosts = [f"h{i}.x" for i in range(rng.randint(1, 6))]
+        budgets = {
+            h: HostBudget(
+                delay=rng.choice([0.0, 2.0, 5.0, 10.0]),
+                concurrency=rng.choice([1, 2, 4, 16]),
+            )
+            for h in hosts
+        }
+        n = rng.randint(1, 120)
+        seqs = rng.sample(range(1000), n)
+        # skew: first host soaks up most of the frontier
+        requests = [
+            (
+                "http://{}/p{}".format(
+                    h := (hosts[0] if rng.random() < 0.6
+                          else rng.choice(hosts)),
+                    i,
+                ),
+                h,
+                rng.choice([0, 0, 0, 1, 5]),
+                seqs[i],
+            )
+            for i in range(n)
+        ]
+        _assert_parity(
+            spark, requests, budgets,
+            round_start=rng.choice([0.0, 7.5]),
+        )
