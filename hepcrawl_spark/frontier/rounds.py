@@ -142,29 +142,82 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
     # (deterministic total order; the group holds at most
     # records-per-page rows), and the global base is the cumulative
     # group count over (parent order, _pos ASC).  Only the per-group
-    # COUNT table flows through the single-task cumulative window —
-    # tiny rows, never the children payload.
+    # COUNT table is cumulated — never the children payload — and the
+    # cumulation itself is two-phase (range buckets), so no single
+    # task ever sees the whole table.
     _pkeys = ["parent_url", "_pts", "_pprio", "_pseq"]
     _gkeys = _pkeys + ["_pos"]
+    # global child order = parent fetch order (fetch_ts ASC, priority
+    # DESC, seq DESC), then record position
+    _order = [
+        F.col("_pts").asc(), F.col("_pprio").desc(),
+        F.col("_pseq").desc(), F.col("_pos").asc(),
+    ]
     counts = kids.groupBy(*_gkeys).agg(F.count(F.lit(1)).alias("_cnt"))
-    w_cum = (
-        Window.orderBy(
-            F.col("_pts").asc(), F.col("_pprio").desc(),
-            F.col("_pseq").desc(), F.col("_pos").asc(),
-        )
+    # Two-phase skew-safe cumulation of the count table (the
+    # per_host_rank recipe; at a 10^7-parent round this table is
+    # O(parents × records-per-page) — it must never funnel through one
+    # task).  The leading sort key is the DOUBLE fetch_ts, so no
+    # closed-form seq-range bucket exists; the contiguous-range buckets
+    # come from a range exchange over the full sort key instead:
+    # range-partition → cumulate within each range bucket → re-base
+    # with the prefix of per-bucket totals.  The prefix over the
+    # ≤ n_buckets totals is a triangular join, not a window — NO
+    # unpartitioned window remains anywhere in the expansion plan.
+    n_buckets = records.sparkSession.sparkContext.defaultParallelism
+    # PERSIST the bucketed count table: the bucket id is the range
+    # partition index, and the frame is consumed by three branches
+    # (cumsum, totals, totals again for the prefix join).  Without the
+    # cache, per-branch column pruning makes the three range-exchange
+    # subtrees non-identical, exchange reuse does NOT fire, and each
+    # branch samples its own boundaries + evaluates its own
+    # spark_partition_id — silently inconsistent bucket ids (observed:
+    # permuted child seq).  With the cache there is exactly one
+    # physical plan, one boundary sample, one partition-id evaluation;
+    # every branch reads the same InMemoryRelation (and AQE does not
+    # re-plan inside cached plans).  run_crawl releases the cache once
+    # the next round's queue is materialized; direct callers can
+    # unpersist via the ``_expand_cache`` attribute on the result.
+    counts = (
+        counts.repartitionByRange(n_buckets, *_order)
+        .withColumn("_bkt", F.spark_partition_id())
+        .persist()
+    )
+    _cached_counts = counts
+    w_in_bucket = (
+        Window.partitionBy("_bkt").orderBy(*_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bases = counts.withColumn(
-        "_base", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0))
-    ).select(*_gkeys, "_base")
+    counts = counts.withColumn(
+        "_lcum", F.coalesce(F.sum("_cnt").over(w_in_bucket), F.lit(0))
+    )
+    # bucket ids are range-ordered (every sort key in bucket k precedes
+    # every key in bucket k+1), so base(bucket k) = Σ totals of buckets
+    # < k — computed with a triangular join over the ≤ n_buckets
+    # totals, never an unpartitioned window.
+    totals = counts.groupBy("_bkt").agg(F.sum("_cnt").alias("_btot"))
+    bucket_bases = (
+        totals.alias("ta")
+        .join(totals.alias("tb"), F.col("tb._bkt") < F.col("ta._bkt"),
+              "left")
+        .groupBy(F.col("ta._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("tb._btot"), F.lit(0)).alias("_bbase"))
+    )
+    bases = (
+        counts.join(F.broadcast(bucket_bases), on="_bkt")
+        .withColumn("_base", F.col("_bbase") + F.col("_lcum"))
+        .select(*_gkeys, "_base")
+    )
     w_local = Window.partitionBy(*_gkeys).orderBy(F.col("child_url").asc())
-    # NO broadcast hint on bases: usually tiny (AQE broadcasts it at
-    # runtime) but unbounded at a 10^7-page round, where forcing a
-    # broadcast would OOM the executors; the equi-join degrades safely
-    # to sort-merge instead
+    # merge hint, NOT broadcast: bases is unbounded at a 10^7-page
+    # round (forcing a broadcast would OOM the executors), and letting
+    # AQE pick can broadcast the CHILDREN payload — the larger side —
+    # when both look small.  The sort-merge join is free on the kids
+    # side: the rank window just partitioned AND sorted it by exactly
+    # these keys, so only the (far smaller) bases side shuffles.
     kids = (
         kids.withColumn("_lr", F.row_number().over(w_local))
-        .join(bases, on=_gkeys)
+        .join(bases.hint("merge"), on=_gkeys)
         .withColumn("_order", F.col("_base") + F.col("_lr"))
     )
     child_format = F.col("_pformat")
@@ -184,7 +237,12 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
         F.col("_psource").alias("source"),
         F.col("_pformat").alias("format"),
     )
-    return with_url_identity(out.drop("canon_url", "url_host", "fingerprint"))
+    out = with_url_identity(out.drop("canon_url", "url_host", "fingerprint"))
+    # expose the bucketed count cache so the caller can release it once
+    # the children are durably materialized (unpersisting EARLIER would
+    # re-trigger the inconsistent per-branch recompute described above)
+    out._expand_cache = _cached_counts
+    return out
 
 
 def run_crawl(
@@ -219,6 +277,7 @@ def run_crawl(
             round_no = last + 1
 
     totals = {"records": 0, "errors": 0, "scheduled": 0, "blocked": 0}
+    pending_expand_cache: Optional[DataFrame] = None
 
     while queue is not None and round_no < config.max_rounds:
         queue = queue.persist()
@@ -230,6 +289,12 @@ def run_crawl(
             F.count(F.lit(1)).alias("n"),
             F.min("seq").alias("lo"), F.max("seq").alias("hi"),
         ).first()
+        # qstats materialized the queue cache, so the previous round's
+        # bucketed expansion-count cache (store-less mode) is no longer
+        # reachable — release it
+        if pending_expand_cache is not None:
+            pending_expand_cache.unpersist()
+            pending_expand_cache = None
         if qstats.n == 0:
             queue.unpersist()
             break
@@ -295,6 +360,7 @@ def run_crawl(
             max_depth=config.max_depth,
             format_routes=config.child_format_routes,
         )
+        expand_cache = getattr(children, "_expand_cache", None)
         next_queue = deferred.select(_CAND_COLS).unionByName(
             children.select(_CAND_COLS)
         ).persist()
@@ -353,6 +419,10 @@ def run_crawl(
             # long crawl must not accumulate one pinned RDD per round)
             next_queue.unpersist()
             offsets.unpersist()
+            if expand_cache is not None:
+                # the committed parquet holds the children now
+                expand_cache.unpersist()
+                expand_cache = None
             next_queue = store.read_table(round_no, "queue")
             offsets = store.read_table(round_no, "offsets")
             if config.seen_mode != "off":
@@ -362,9 +432,12 @@ def run_crawl(
         scheduled.unpersist()
         fetched.unpersist()
         extracted.unpersist()
+        pending_expand_cache = expand_cache
         queue = next_queue
         round_no += 1
 
+    if pending_expand_cache is not None:
+        pending_expand_cache.unpersist()
     totals["rounds"] = round_no
     if store is not None:
         # close-of-crawl push payload (K3/K4 analog,

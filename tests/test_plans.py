@@ -53,6 +53,42 @@ def test_s04_bucketed_neardup_no_cartesian(spark):
     assert "ArrowEvalPython" in plan        # band keys are one Arrow pass
 
 
+def test_expand_children_no_unpartitioned_window(spark):
+    # VERDICT r2 #1: the child-expansion re-base must never cumulate
+    # through a single task — every window in the expansion plan has a
+    # partition spec, the bases join is sort-merge (children are never
+    # broadcast), and all three consumers of the bucketed count table
+    # read ONE cached instance (one range exchange, one consistent
+    # spark_partition_id evaluation).
+    import re
+
+    from hepcrawl_spark.frontier.rounds import _expand_children
+
+    records = spark.createDataFrame(
+        [(f"http://h{i % 3}.org/p{i}",
+          [f"http://h{i % 3}.org/p{i}/c{j}" for j in range(40)])
+         for i in range(12)],
+        "url string, new_urls array<string>",
+    )
+    scheduled = spark.createDataFrame(
+        [(f"http://h{i % 3}.org/p{i}", float(i % 4), 0, 100 + i, 0,
+          "t", "html-generic") for i in range(12)],
+        "url string, fetch_ts double, priority long, seq long, "
+        "depth int, source string, format string",
+    )
+    out = _expand_children(records, scheduled, seq_base=0, max_depth=4)
+    out.collect()
+    plan = _plan(out)
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window in expansion plan: " + m.group(0)
+        )
+    assert "SortMergeJoin" in plan
+    assert "InMemoryTableScan" in plan
+    out._expand_cache.unpersist()
+
+
 def test_t01_tokens_pure_codegen(spark):
     plan = _plan(em.queries()["t01_text_tokens"](spark, SF))
     # text analysis is JVM-side column expressions, no Python at all
