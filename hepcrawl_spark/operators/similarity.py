@@ -274,17 +274,25 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, planes: int = 6,
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 32,
                   iters: int = 8, sample: int = 2048,
+                  sample_mod: int = 8,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> np.ndarray:
     """Spherical k-means centroids for IVF coarse quantization.
 
-    Trained driver-side on a deterministic sample (first ``sample``
-    ids — centroid fitting is a tiny model; the corpus itself never
-    leaves the cluster).  Unit-norm centroids, deterministic seeded
-    init, fixed iteration count → the same centroids on every run.
+    Trained driver-side on a deterministic hash sample (ids with
+    ``xxhash64(id) ≡ 0 (mod sample_mod)``, capped at ``sample`` rows —
+    centroid fitting is a tiny model; the corpus itself never leaves
+    the cluster).  The hash filter + limit reads only enough leading
+    partitions to find ``sample`` matches instead of scanning the full
+    corpus the way an ``orderBy(id).limit(n)`` TakeOrdered does — at
+    100× scale that is the difference between one bounded read and one
+    full pass.  Unit-norm centroids, deterministic seeded init, fixed
+    iteration count → the same centroids on every run.
     """
     rows = (
-        embeddings.orderBy(id_col).limit(sample)
+        embeddings
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .limit(sample)
         .select(vec_col).collect()
     )
     V = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])

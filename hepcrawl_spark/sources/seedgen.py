@@ -15,8 +15,7 @@ The form field sets are the byte-parity contract
 
 from __future__ import annotations
 
-import datetime
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 from urllib.parse import urlencode
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,27 +25,30 @@ from ..frontier.rounds import make_seeds
 INFN_START_URL = "http://www.infn.it/thesis/index.php"
 MIT_START_URL = "http://dspace.mit.edu/handle/1721.1/7695/browse"
 
+# ``year`` is deliberately REQUIRED everywhere below.  The reference
+# spiders default to ``date.today().year`` (infn_spider.py:78-84,
+# mit_spider.py:70-78), but a frontier seed that silently changes on
+# Jan 1 breaks resumable-crawl reproducibility — so the wall-clock
+# default lives in the APPLICATION (scripts/submit_crawl.py resolves
+# it once per job and records it in the job config), never in the
+# library.
 
-def _current_year() -> str:
-    return str(datetime.date.today().year)
 
-
-def infn_form_data(year: Optional[str] = None) -> List[Tuple[str, str]]:
-    """Parity: infn_spider.py:78-84 — current year, doctoral theses,
+def infn_form_data(year: str) -> List[Tuple[str, str]]:
+    """Parity: infn_spider.py:78-84 — given year, doctoral theses,
     unpaginated (all results)."""
     return [
-        ("TESI[data_conseguimentoyy]", year or _current_year()),
+        ("TESI[data_conseguimentoyy]", year),
         ("TESI[tesi_tipo]", "1"),       # Dottoral
         ("TESI[paginazione]", "0"),     # All results
     ]
 
 
-def mit_form_data(year: Optional[str] = None,
-                  n: int = 2) -> List[Tuple[str, str]]:
+def mit_form_data(year: str, n: int = 2) -> List[Tuple[str, str]]:
     """Parity: mit_spider.py:70-78 — year, sorted by date, n results
     per page (the reference's start_requests uses n=2)."""
     return [
-        ("year", year or _current_year()),
+        ("year", year),
         ("sort_by", "2"),               # sort by date
         ("rpp", str(n)),                # results per page
     ]
@@ -58,14 +60,13 @@ def listing_url(base_url: str, form_data: List[Tuple[str, str]]) -> str:
     return base_url + "?" + urlencode(form_data)
 
 
-def infn_seeds(spark: SparkSession, year: Optional[str] = None) -> DataFrame:
+def infn_seeds(spark: SparkSession, year: str) -> DataFrame:
     return make_seeds(spark, [
         (listing_url(INFN_START_URL, infn_form_data(year)), "infn", 0)
     ])
 
 
-def mit_seeds(spark: SparkSession, year: Optional[str] = None,
-              n: int = 2) -> DataFrame:
+def mit_seeds(spark: SparkSession, year: str, n: int = 2) -> DataFrame:
     return make_seeds(spark, [
         (listing_url(MIT_START_URL, mit_form_data(year, n)), "MIT", 0)
     ])

@@ -30,6 +30,14 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--max-rounds", type=int, default=4)
     ap.add_argument("--job-id", default="submit-crawl")
+    ap.add_argument("--seeds", choices=["corpus", "infn", "mit"],
+                    default="corpus")
+    # The ONE place the wall clock may set a seed year: resolved per
+    # job at submit time and recorded in the summary, so a resumed or
+    # re-run job can pass the same value explicitly.  The seedgen
+    # library itself requires an explicit year (reproducibility).
+    ap.add_argument("--seed-year",
+                    default=str(__import__("datetime").date.today().year))
     args = ap.parse_args()
 
     # spark-submit owns the session; the imports below must resolve
@@ -67,11 +75,20 @@ def main() -> int:
     )
     # make_seeds routes source → format via SOURCE_FORMATS (unknown
     # sources pass through as the format tag itself)
-    seeds = make_seeds(
-        spark,
-        [(r.url, "html-generic", 0)
-         for r in pages.select("url").orderBy("url").collect()],
-    )
+    if args.seeds == "infn":
+        from hepcrawl_spark.sources.seedgen import infn_seeds
+
+        seeds = infn_seeds(spark, year=args.seed_year)
+    elif args.seeds == "mit":
+        from hepcrawl_spark.sources.seedgen import mit_seeds
+
+        seeds = mit_seeds(spark, year=args.seed_year)
+    else:
+        seeds = make_seeds(
+            spark,
+            [(r.url, "html-generic", 0)
+             for r in pages.select("url").orderBy("url").collect()],
+        )
     summary = run_crawl(
         spark, seeds, pages, checkpoint_path=args.checkpoint,
         config=CrawlConfig(seen_mode="exact", max_rounds=args.max_rounds,
@@ -84,6 +101,7 @@ def main() -> int:
         records.write.mode("overwrite").parquet(args.out)
         n_out = spark.read.parquet(args.out).count()
     summary["records_written"] = n_out
+    summary["seed_year"] = args.seed_year
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -236,10 +236,17 @@ def test_mit_seed_generator(spark):
     assert rows[0].format == "html-mit"
 
 
-def test_seed_generator_defaults_to_current_year(spark):
-    import datetime
+def test_seed_generator_requires_explicit_year():
+    # reproducibility: the library must never read the wall clock — a
+    # seed URL that silently changes on Jan 1 breaks resumable crawls.
+    # The application (scripts/submit_crawl.py --seed-year) resolves
+    # the default once per job instead.
+    import inspect
 
-    from hepcrawl_spark.sources.seedgen import infn_seeds
+    import hepcrawl_spark.sources.seedgen as sg
 
-    rows = infn_seeds(spark).collect()
-    assert str(datetime.date.today().year) in rows[0].url
+    for fn in (sg.infn_form_data, sg.mit_form_data, sg.infn_seeds,
+               sg.mit_seeds):
+        params = inspect.signature(fn).parameters
+        assert params["year"].default is inspect.Parameter.empty
+    assert "datetime" not in inspect.getsource(sg)
