@@ -253,14 +253,20 @@ def run_crawl(
     robots: Optional[DataFrame] = None,
     checkpoint_path: Optional[str] = None,
     config: CrawlConfig = CrawlConfig(),
+    store: Optional["RoundStore"] = None,
 ) -> Dict:
     """Run the crawl to completion (or max_rounds); returns a summary.
 
     ``pages`` is the Common-Crawl-style corpus (the sandbox "fetch" is a
     url equi-join — at cluster scale both sides are bucketed by
     url_host, making it shuffle-free; SURVEY.md §2.6 J5).
+
+    ``store`` may be any ``BaseRoundStore`` implementation (e.g.
+    ``SnapshotLogStore`` — the Iceberg-shaped metadata log); when None,
+    ``checkpoint_path`` selects the default filesystem ``RoundStore``.
     """
-    store = RoundStore(spark, checkpoint_path) if checkpoint_path else None
+    if store is None and checkpoint_path:
+        store = RoundStore(spark, checkpoint_path)
     politeness = effective_politeness(politeness, robots)
 
     round_no = 0
