@@ -70,6 +70,14 @@ class CrawlConfig:
     # per-callback dispatch (e.g. Elsevier atom feed → .zip packages →
     # member XMLs → sciencedirect splash, elsevier_spider.py:142-181)
     child_format_routes: Dict[str, str] = field(default_factory=dict)
+    # saved bucketed pages corpus (sources.bucketed.write_bucketed):
+    # when set, each round's scheduled frontier is written co-bucketed
+    # and the fetch join plans with NO Exchange on either side — the
+    # 100 TB shape (the corpus never re-shuffles per round)
+    pages_table: Optional[str] = None
+    # record the executed fetch-join plan per round in the summary
+    # (tests assert the zero-Exchange shape on the REAL crawl plans)
+    collect_fetch_plans: bool = False
 
 
 def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFrame:
@@ -269,6 +277,23 @@ def run_crawl(
         store = RoundStore(spark, checkpoint_path)
     politeness = effective_politeness(politeness, robots)
 
+    frontier_tables: List[str] = []
+    pages_buckets: Optional[int] = None
+    if config.pages_table:
+        from ..sources.bucketed import table_num_buckets
+
+        # bucketed mode: the corpus is a saved bucketed table and the
+        # per-round frontier is written with the SAME bucket spec, so
+        # the fetch join never shuffles the (100 TB) pages side — or
+        # the frontier side (``pages`` argument, if any, is ignored)
+        pages = spark.table(config.pages_table)
+        pages_buckets = table_num_buckets(spark, config.pages_table)
+        if pages_buckets is None:
+            raise ValueError(
+                f"pages_table {config.pages_table!r} is not bucketed; "
+                "write it with sources.bucketed.write_bucketed"
+            )
+
     round_no = 0
     queue: Optional[DataFrame] = seeds
     seen_state: Optional[DataFrame] = None
@@ -315,7 +340,23 @@ def run_crawl(
             horizon=config.horizon,
             seq_bounds=(int(qstats.lo), int(qstats.hi)),
         )
-        scheduled = scheduled.persist()
+        if config.pages_table:
+            from ..sources.bucketed import write_bucketed
+
+            import re as _re
+
+            ftable = "crawl_frontier_%s_r%05d" % (
+                _re.sub(r"[^0-9a-zA-Z_]", "_", config.job_id or "job"),
+                round_no,
+            )
+            # one bucketed write per round buys a shuffle-free fetch
+            # join (the write shuffles the SMALL frontier side once;
+            # the huge corpus side never moves)
+            write_bucketed(scheduled, ftable, buckets=pages_buckets)
+            scheduled = spark.table(ftable)
+            frontier_tables.append(ftable)
+        else:
+            scheduled = scheduled.persist()
         prev_offsets = offsets
         offsets = _merge_offsets(offsets, new_offsets).persist()
         if store is None and prev_offsets is not None:
@@ -329,7 +370,12 @@ def run_crawl(
 
         fetched = scheduled.join(
             pages.select("url", "html"), on="url", how="left"
-        ).persist()
+        )
+        if config.collect_fetch_plans:
+            totals.setdefault("fetch_plans", []).append(
+                fetched._jdf.queryExecution().executedPlan().toString()
+            )
+        fetched = fetched.persist()
         miss_errors = fetched.filter(F.col("html").isNull()).select(
             "url", F.lit("FetchMiss: url not in corpus").alias("error")
         )
@@ -444,6 +490,8 @@ def run_crawl(
 
     if pending_expand_cache is not None:
         pending_expand_cache.unpersist()
+    for t in frontier_tables:  # per-round scratch tables
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     totals["rounds"] = round_no
     if store is not None:
         # close-of-crawl push payload (K3/K4 analog,

@@ -47,3 +47,12 @@ def bucketed_fetch_join(spark: SparkSession, frontier_table: str,
     frontier = spark.table(frontier_table)
     pages = spark.table(pages_table)
     return frontier.join(pages.select("url", "html"), on="url", how="left")
+
+
+def table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    """Bucket count of a saved table (None if unbucketed) — the round
+    loop matches its per-round frontier writes to the corpus spec."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name.strip() == "Num Buckets":
+            return int(row.data_type)
+    return None
