@@ -154,6 +154,67 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
     )
 
 
+def stream_schedule(cand_stream: DataFrame, checkpoint: str,
+                    output_path: str, offsets_path: str,
+                    politeness: Optional[DataFrame] = None,
+                    available_now: bool = True):
+    """Streaming politeness scheduler (SURVEY §1.2: "streaming via
+    foreachBatch over the same round function").
+
+    Each micro-batch of frontier candidates runs the SAME
+    ``frontier.politeness.schedule`` the batch round loop uses; the
+    per-host offset ledger (``next_fetch_ts`` per host) is carried
+    across micro-batches through an epoch-versioned parquet ledger and
+    merged with the batch loop's ``_merge_offsets`` — so each
+    micro-batch IS exactly one batch round (same function, same
+    carried-offset semantics) and per-host spacing holds CONTINUOUSLY:
+    a host throttled to one fetch per ``delay`` seconds stays
+    throttled across batch boundaries.  (A batch boundary closes any
+    partially-filled concurrency slot — conservative, never early.)
+
+    Epoch-versioned writes make retried micro-batches idempotent: a
+    re-run of epoch N overwrites ``epoch-N`` of both ledgers, and the
+    next batch reads only the highest committed epoch.  At scale both
+    writers are per-host-tiny; the scheduled output is the streaming
+    peer of the round loop's ``scheduled`` table.
+    """
+    import glob
+    import os
+
+    from ..frontier.fingerprint import with_url_identity
+    from ..frontier.politeness import schedule
+    from ..frontier.rounds import _merge_offsets
+
+    def batch_fn(df: DataFrame, epoch: int) -> None:
+        spark = df.sparkSession
+        if "url_host" not in df.columns:
+            df = with_url_identity(df)
+        prior = sorted(glob.glob(os.path.join(offsets_path, "epoch-*")))
+        prior = [p for p in prior
+                 if int(p.rsplit("-", 1)[1]) < int(epoch)]
+        offsets = spark.read.parquet(prior[-1]) if prior else None
+        scheduled, _deferred, new_offsets = schedule(
+            df, politeness, offsets
+        )
+        (
+            scheduled.withColumn("epoch", F.lit(int(epoch)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(output_path, f"epoch-{int(epoch):09d}"))
+        )
+        _merge_offsets(offsets, new_offsets).write.mode("overwrite").parquet(
+            os.path.join(offsets_path, f"epoch-{int(epoch):09d}")
+        )
+
+    writer = (
+        cand_stream.writeStream
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_host_stats(pages_stream: DataFrame,
                       window: str = "1 minute",
                       watermark: str = "10 minutes") -> DataFrame:

@@ -118,3 +118,72 @@ def test_stream_unseen_state_survives_microbatches(spark, tmp_path, mode):
     admitted = sorted((r.url, r.seq) for r in sink)
     assert admitted == [("http://x/a", 1), ("http://x/b", 2),
                         ("http://x/c", 4)]
+
+
+def test_stream_schedule_politeness_across_microbatches(spark, tmp_path):
+    """VERDICT r2 #9: foreachBatch politeness — each micro-batch runs
+    the batch engine's schedule() with offsets carried through the
+    epoch ledger, so per-host spacing holds ACROSS batches and the
+    stream is bit-equal to running the batch engine round-by-round on
+    the same inputs."""
+    from hepcrawl_spark.frontier.fingerprint import with_url_identity
+    from hepcrawl_spark.frontier.politeness import schedule
+    from hepcrawl_spark.frontier.rounds import _merge_offsets
+    from hepcrawl_spark.schema import POLITENESS_SCHEMA
+    from hepcrawl_spark.streaming.pipeline import stream_schedule
+
+    src = tmp_path / "cand"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sched")
+    led = str(tmp_path / "offsets")
+
+    cand_schema = "url string, priority long, seq long"
+    b1 = [("http://h0.x/u0", 0, 1), ("http://h0.x/u1", 0, 2),
+          ("http://h1.x/v0", 0, 3), ("http://h1.x/v1", 0, 4),
+          ("http://h1.x/v2", 0, 5)]
+    b2 = [("http://h0.x/u2", 0, 6), ("http://h0.x/u3", 0, 7),
+          ("http://h1.x/v3", 0, 8)]
+    spark.createDataFrame(b1, cand_schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    spark.createDataFrame(b2, cand_schema).coalesce(1).write.parquet(
+        str(src / "b2"))
+    politeness = spark.createDataFrame(
+        [("h0.x", 5.0, 1), ("h1.x", 2.0, 2)], POLITENESS_SCHEMA
+    )
+
+    stream = (
+        spark.readStream.schema(cand_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_schedule(stream, ckpt, out, led, politeness=politeness)
+    q.awaitTermination(120)
+
+    got = {
+        (r.url, r.fetch_ts)
+        for r in spark.read.parquet(out + "/epoch-*").collect()
+    }
+    assert len(got) == 8
+
+    # batch-engine round-by-round replay on the same inputs = parity
+    o = None
+    want = set()
+    for batch in (b1, b2):
+        df = with_url_identity(spark.createDataFrame(batch, cand_schema))
+        sched, _, new_o = schedule(df, politeness, o)
+        want |= {(r.url, r.fetch_ts) for r in sched.collect()}
+        o = _merge_offsets(o, new_o)
+    assert got == want
+
+    # spacing invariant across the batch boundary, per host
+    by_host = {}
+    for url, ts in got:
+        by_host.setdefault(url.split("/")[2], []).append(ts)
+    # h0: delay 5, concurrency 1 → strictly one fetch per 5 s
+    h0 = sorted(by_host["h0.x"])
+    assert h0 == [0.0, 5.0, 10.0, 15.0]
+    # h1: delay 2, concurrency 2 → ≤2 per slot, slots ≥2 s apart,
+    # batch-2 url waits for the carried offset (4.0), never early
+    h1 = sorted(by_host["h1.x"])
+    assert h1 == [0.0, 0.0, 2.0, 4.0]
