@@ -69,6 +69,17 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # Warm the session before timing: JVM classloading + codegen +
+    # Arrow python-worker startup otherwise lands entirely on the
+    # first suite query (measured ~5 s on q01 — the whole of its
+    # apparent r01→r02 "regression").  One cheap scan + one Arrow UDF
+    # query, untimed.
+    from pyspark.sql import functions as F
+
+    _materialize(spark.range(1024).select(F.sum("id").alias("s")))
+    _materialize(entrymod.queries()["t01_text_tokens"](spark, sf_dir))
+    _materialize(entrymod.queries()["m01_multimodal_meta"](spark, sf_dir))
+
     per_query = {}
     suite_t0 = time.time()
     for name, fn in entrymod.queries().items():

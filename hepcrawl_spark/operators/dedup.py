@@ -341,20 +341,36 @@ def simhash_udf(bits: int = 64):
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        # votes are Σ_token count(token)·vote_vector(token) — integer
+        # addition, so regrouping by UNIQUE token is bit-exact while
+        # the md5 + universal-hash fan-out runs once per distinct
+        # token per batch (web text repeats tokens heavily; measured
+        # ~2× on the d04 bench leg)
+        cache: dict = {}
         out = []
         for t in texts:
             toks = _tokenize(t)
             # _tokenize never returns [] (empty text → ['']), matching
             # the SQL mirror exactly; md5('') votes like any token.
-            hs = np.fromiter(
-                (
-                    int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16)
-                    % _PRIME
-                    for tk in toks
-                ),
-                dtype=np.int64, count=len(toks),
-            )
-            votes = ((((A * hs + B) % _PRIME) & 1) * 2 - 1).sum(axis=1)
+            counts = Counter(toks)
+            fresh = [tk for tk in counts if tk not in cache]
+            if fresh:
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(tk.encode("utf-8"))
+                            .hexdigest()[:15], 16) % _PRIME
+                        for tk in fresh
+                    ),
+                    dtype=np.int64, count=len(fresh),
+                )
+                vote_mat = (((A * hs + B) % _PRIME) & 1) * 2 - 1
+                for j, tk in enumerate(fresh):
+                    cache[tk] = vote_mat[:, j]
+            votes = np.zeros(bits, dtype=np.int64)
+            for tk, c in counts.items():
+                votes += cache[tk] * c
             v = 0
             for b in range(bits):
                 if votes[b] > 0:
