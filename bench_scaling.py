@@ -110,6 +110,133 @@ def run_once(cpus: int, sf_dir: str, master: str | None = None) -> dict:
     }
 
 
+def lsh_growth(cpus: int = 32) -> dict:
+    """Candidate-volume growth of the LSH scale paths vs the quadratic
+    all-pairs control, measured across sf0.001/sf0.01/sf0.1 (VERDICT
+    r2 #3 — the asymptotic claim as a measurement, not a formula).
+
+    For each scale: corpus size N, candidate-pair count and wall time
+    for (a) banded-SRP embedding near-dup candidates (s04 path),
+    (b) banded-MinHash candidates (d03 path), and (c) the exact
+    inverted-shingle-index pair volume (d02 path, the control).
+    The growth exponent is the log-log slope between the smallest and
+    largest scale; sub-quadratic means exponent well below the
+    control's.
+    """
+    import math
+
+    from hepcrawl_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_candidate_pairs,
+    )
+    from hepcrawl_spark.operators.similarity import srp_candidate_pairs
+    from hepcrawl_spark.session import get_spark
+
+    spark = get_spark("lsh-growth", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    def timed_count(df):
+        t0 = time.time()
+        n = df.count()
+        return n, round(time.time() - t0, 3)
+
+    points = {}
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}"
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").repartition(par)
+        n_docs, n_emb = docs.count(), emb.count()
+        srp_c, srp_t = timed_count(srp_candidate_pairs(emb))
+        mh_c, mh_t = timed_count(minhash_candidate_pairs(docs))
+        ex_c, ex_t = timed_count(ngram_candidate_pairs(docs))
+        points[sf] = {
+            "n_docs": n_docs, "n_emb": n_emb,
+            "srp_candidates": srp_c, "srp_sec": srp_t,
+            "minhash_candidates": mh_c, "minhash_sec": mh_t,
+            "exact_pairs": ex_c, "exact_sec": ex_t,
+        }
+    spark.stop()
+
+    # SRP prune sweep at the largest scale: at the s03/s04 CONTRACT
+    # threshold (τ=0.45) the r=4 banding is dense by design (the
+    # docstring's b·p_rand^r math: 1-(1-0.5^4)^12 ≈ 0.54 of all
+    # pairs — confirmed by the exponent above); the production
+    # near-dup regime raises band_planes, collapsing the candidate
+    # constant.  Measure the prune factor AND the recall against the
+    # exact τ=0.45 pairs for r ∈ {4, 8, 12}.
+    spark = get_spark("lsh-growth-sweep", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    from hepcrawl_spark.operators.similarity import neardup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).repartition(par).persist()
+    n_emb = emb.count()
+    all_pairs = n_emb * (n_emb - 1) // 2
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs(emb, bucketed=False).collect()
+    }
+    sweep = {}
+    for r_planes in (4, 8, 12):
+        t0 = time.time()
+        cands = srp_candidate_pairs(emb, band_planes=r_planes, n_bands=12)
+        got = {(x.id_a, x.id_b) for x in cands.collect()}
+        sweep[r_planes] = {
+            "candidates": len(got),
+            "fraction_of_all_pairs": round(len(got) / all_pairs, 4),
+            "recall_vs_exact": (
+                round(len(got & true_pairs) / len(true_pairs), 4)
+                if true_pairs else None
+            ),
+            "sec": round(time.time() - t0, 3),
+        }
+    emb.unpersist()
+    spark.stop()
+
+    lo, hi = points["0.001"], points["0.1"]
+
+    def expo(metric, n_key):
+        if lo[metric] == 0 or hi[metric] == 0:
+            return None
+        return round(
+            math.log(hi[metric] / lo[metric])
+            / math.log(hi[n_key] / lo[n_key]), 3
+        )
+
+    exps = {
+        "srp_candidates": expo("srp_candidates", "n_emb"),
+        "minhash_candidates": expo("minhash_candidates", "n_docs"),
+        "exact_pairs": expo("exact_pairs", "n_docs"),
+    }
+    summary = {
+        "metric": "lsh_candidate_growth_exponents",
+        "points": points,
+        "exponents": exps,
+        "srp_prune_sweep_sf0.1": sweep,
+        # the claims under test: the MinHash path grows with an
+        # exponent well below the quadratic control's, and the SRP
+        # candidate constant collapses as band_planes rises (the
+        # production regime) while r=4 stays the documented dense
+        # contract-threshold oracle-recall setting
+        "minhash_subquadratic": bool(
+            exps["minhash_candidates"] is not None
+            and exps["exact_pairs"] is not None
+            and exps["minhash_candidates"] < exps["exact_pairs"] - 0.3
+        ),
+        "srp_prunes_with_band_planes": bool(
+            sweep[12]["candidates"] < sweep[8]["candidates"]
+            < sweep[4]["candidates"]
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/lsh_growth.json", "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary
+
+
 def host_capacity(n_list=(2, 8, 32)) -> dict:
     """Aggregate CPU throughput of n independent python processes
     (no coordination) — the host's scaling ceiling."""
@@ -140,6 +267,9 @@ def main():
         print(json.dumps(run_once(
             n * 2, sf_dir, master=f"local-cluster[{n},2,6144]"
         )))
+        return
+    if "--lsh-growth" in sys.argv:
+        print(json.dumps(lsh_growth()))
         return
     if "--multi-executor" in sys.argv:
         # 1 executor vs 4 executors (N → 4N executor JVMs)

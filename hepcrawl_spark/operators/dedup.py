@@ -270,6 +270,73 @@ def minhash_bands_udf(n: int = 3, perms: int = MINHASH_PERMS,
     return _f
 
 
+def minhash_base(docs: DataFrame, n: int = 3, perms: int = MINHASH_PERMS,
+                 band_rows: int = MINHASH_BAND_ROWS,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh, bands) — one Arrow pass over the spread corpus;
+    shared by the LSH pipeline and the growth bench."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    f = minhash_bands_udf(n, perms, band_rows)
+    return (
+        docs.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), f(F.col(text_col)).alias("t"))
+        .select("doc_id", F.col("t.sh").alias("sh"),
+                F.col("t.bands").alias("bands"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def _band_candidates(base: DataFrame) -> DataFrame:
+    banded = base.select("doc_id", F.explode("bands").alias("band_key"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on="band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, n: int = 3,
+                            perms: int = MINHASH_PERMS,
+                            band_rows: int = MINHASH_BAND_ROWS,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Banded-MinHash candidate pairs BEFORE the exact-Jaccard verify —
+    the volume knob of ``minhash_lsh_pairs``, exposed for the
+    sub-quadratic growth bench (bench_scaling --lsh-growth)."""
+    return _band_candidates(
+        minhash_base(docs, n, perms, band_rows, text_col, id_col)
+    )
+
+
+def ngram_candidate_pairs(docs: DataFrame, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Distinct pairs sharing ≥ 1 shingle — the inverted-index join
+    volume of exact ``ngram_jaccard_pairs``: the QUADRATIC control the
+    growth bench compares the LSH paths against."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                       perms: int = MINHASH_PERMS,
                       band_rows: int = MINHASH_BAND_ROWS,
@@ -286,25 +353,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # is JVM-native joins.  A narrow input (single-row-group parquet)
     # is spread across the cluster first.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    f = minhash_bands_udf(n, perms, band_rows)
-    base = (
-        docs.repartition(par)
-        .select(F.col(id_col).alias("doc_id"), f(F.col(text_col)).alias("t"))
-        .select("doc_id", F.col("t.sh").alias("sh"), F.col("t.bands").alias("bands"))
-        .filter(F.size("sh") > 0)
-    )
-
-    banded = base.select("doc_id", F.explode("bands").alias("band_key"))
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    base = minhash_base(docs, n, perms, band_rows, text_col, id_col)
+    cands = _band_candidates(base)
     # candidates are explicitly re-spread — AQE coalesces the tiny
     # post-distinct shuffle to ~1 partition, which would serialize the
     # per-pair array_intersect verify

@@ -411,6 +411,37 @@ def ann_ivf_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
+def srp_candidate_pairs(embeddings: DataFrame,
+                        band_planes: int = 4, n_bands: int = 12,
+                        dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Banded-SRP candidate pairs (id_a < id_b) BEFORE exact verify —
+    the volume knob of the ``neardup_pairs`` scale path, exposed so
+    ``bench_scaling.py --lsh-growth`` can measure candidate-count
+    growth against the quadratic all-pairs control (VERDICT r2 #3).
+
+    Band keys are one Arrow matmul pass in their own narrow frame (the
+    wider vector sides never carry them); candidates are the band-key
+    equi-join, deduped.
+    """
+    f = srp_band_keys_udf(band_planes, n_bands, dim)
+    banded = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.explode(f(F.col(vec_col))).alias("band_key"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on="band_key")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
@@ -445,23 +476,9 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         embeddings.sparkSession.sparkContext.defaultParallelism
     )
     if bucketed:
-        f = srp_band_keys_udf(band_planes, n_bands, dim)
-        # band keys projected in their own narrow frame — the Arrow
-        # pass runs once for the candidate join, the (wider) vector
-        # sides never carry it
-        banded = embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.explode(f(F.col(vec_col))).alias("band_key"),
-        )
-        cands = (
-            banded.alias("a")
-            .join(banded.alias("b"), on="band_key")
-            .filter(F.col("a.vid") < F.col("b.vid"))
-            .select(
-                F.col("a.vid").alias("id_a"),
-                F.col("b.vid").alias("id_b"),
-            )
-            .distinct()
+        cands = srp_candidate_pairs(
+            embeddings, band_planes=band_planes, n_bands=n_bands,
+            dim=dim, id_col=id_col, vec_col=vec_col,
         )
         vecs_a = embeddings.select(F.col(id_col).alias("id_a"),
                                    F.col(vec_col).alias("va"),
