@@ -1,0 +1,58 @@
+"""Runtime-golden loader: expected values parsed out of the
+REFERENCE's own pytest sources.
+
+The reference test suites follow one shape — each test assigns its
+expected value to a local literal, then asserts a record field equals
+it.  ``literal_assignments`` reads those literals with ``ast`` at
+runtime, so our parity tests assert against the reference's bytes
+directly and any drift (ours or a reference re-vendoring) fails
+loudly instead of silently diverging from a hand-copied value.
+(Extends the pattern tests/test_elsevier_references.py established
+for the Elsevier fixture bodies — VERDICT r2 #5.)
+"""
+
+from __future__ import annotations
+
+import ast
+from functools import lru_cache
+
+REF_TESTS = "/root/reference/tests"
+
+
+@lru_cache(maxsize=None)
+def literal_assignments(name: str) -> dict:
+    """{test_fn_name: {var_name: literal_value}} for one reference
+    test module (``name`` without .py), via ``ast.literal_eval`` over
+    each test function's top-level assignments.  Non-literal
+    assignments are skipped — tests needing those keep inline values
+    with a file:line citation instead."""
+    path = f"{REF_TESTS}/{name}.py"
+    with open(path, encoding="utf-8") as fh:
+        tree = ast.parse(fh.read())
+    out: dict = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name.startswith("test"):
+            vals = {}
+            for stmt in node.body:
+                if (
+                    isinstance(stmt, ast.Assign)
+                    and len(stmt.targets) == 1
+                    and isinstance(stmt.targets[0], ast.Name)
+                ):
+                    try:
+                        vals[stmt.targets[0].id] = ast.literal_eval(stmt.value)
+                    except (ValueError, TypeError, SyntaxError):
+                        pass
+            out[node.name] = vals
+    return out
+
+
+def golden(module: str, test_fn: str, var: str):
+    """One expected literal from a reference test, loudly."""
+    mod = literal_assignments(module)
+    assert test_fn in mod, f"{module}.{test_fn} not found in reference tests"
+    assert var in mod[test_fn], (
+        f"{module}.{test_fn} has no literal {var!r} "
+        f"(found: {sorted(mod[test_fn])})"
+    )
+    return mod[test_fn][var]

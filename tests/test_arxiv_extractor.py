@@ -1,11 +1,20 @@
-"""arXiv OAI extraction byte-parity vs the reference pytest goldens
-(/root/reference/tests/test_arxiv_single.py and test_arxiv_all.py)."""
+"""arXiv OAI extraction byte-parity vs the reference pytest goldens.
+
+Expected values are read AT RUNTIME from the reference's own test
+sources (/root/reference/tests/test_arxiv_single.py and
+test_arxiv_all.py) via tests/ref_goldens.py, so parity bytes cannot
+drift from a hand copy (VERDICT r2 #5 — the Elsevier runtime-golden
+pattern, extended)."""
 
 import pytest
 
 from hepcrawl_spark.extractors.arxiv_oai import extract
 
+from ref_goldens import golden
+
 FIXDIR = "/root/reference/tests/responses/arxiv"
+SINGLE = "test_arxiv_single"
+ALL = "test_arxiv_all"
 
 
 def _load(name):
@@ -28,89 +37,85 @@ def many():
 
 
 def test_abstract(record):
-    assert record["abstract"] == (
-        "We study the dynamics of quantum coherence under Unruh thermal noise "
-        "and seek under which condition the coherence can be frozen in a "
-        "relativistic setting. We find that the quantum coherence can not be "
-        "frozen for any acceleration due to the effect of Unruh thermal noise. "
-        "We also find that quantum coherence is more robust than entanglement "
-        "under the effect of Unruh thermal noise and therefore the coherence "
-        "type quantum resources are more accessible for relativistic quantum "
-        "information processing tasks. Besides, the dynamic of quantum "
-        "coherence is found to be more sensitive than entanglement to the "
-        "preparation of the detectors' initial state and the atom-field "
-        "coupling strength, while it is less sensitive than entanglement to "
-        "the acceleration of the detector."
-    )
+    assert record["abstract"] == golden(SINGLE, "test_abstract", "abstract")
 
 
 def test_scalar_fields(record):
-    assert record["title"] == (
-        "Irreversible degradation of quantum coherence under relativistic motion"
+    assert record["title"] == golden(SINGLE, "test_title", "title")
+    assert record["preprint_date"] == golden(
+        SINGLE, "test_preprint_date", "preprint_date"
     )
-    assert record["preprint_date"] == "2016-01-13"
-    assert record["page_nr"] == ["6"]
-    assert record["pubinfo_freetext"] == "Phys.Rev. D93 (2015) 016005"
+    assert record["page_nr"] == golden(SINGLE, "test_page_nr", "page_nr")
+    assert record["pubinfo_freetext"] == golden(
+        SINGLE, "test_journal_ref", "jref"
+    )
     assert record["source"] == "arXiv"
 
 
 def test_structured_fields(record):
-    assert record["dois"][0]["value"] == "10.1103/PhysRevD.93.016005"
-    assert record["report_numbers"] == [{"value": "YITP-2016-26", "source": ""}]
-    assert record["collaborations"] == [{"value": "Planck"}]
-    assert record["license"] == [{
-        "license": "CC-BY-3.0",
-        "url": "https://creativecommons.org/licenses/by/3.0/",
-    }]
-    assert set(c["primary"] for c in record["collections"]) == \
-        {"HEP", "Citeable", "arXiv", "ConferencePaper"}
-    assert record["public_notes"][0] == {
-        "source": "arXiv", "value": "6 pages, 4 figures, conference paper",
-    }
-    assert record["arxiv_eprints"][0]["value"] == "1601.03238"
-    assert record["arxiv_eprints"][0]["categories"] == \
-        ["quant-ph", "gr-qc", "hep-th"]
-    assert record["external_system_numbers"][0] == {
-        "institute": "arXiv", "value": "oai:arXiv.org:1601.03238",
-    }
-    assert [a["full_name"] for a in record["authors"]] == \
-        ["Wang, Jieci", "Tian, Zehua", "Jing, Jiliang", "Fan, Heng"]
+    assert record["dois"][0]["value"] == golden(SINGLE, "test_dois", "dois")
+    assert record["report_numbers"] == golden(
+        SINGLE, "test_repno", "expected_repno"
+    )
+    assert record["collaborations"] == golden(
+        SINGLE, "test_collaborations", "collaborations"
+    )
+    assert record["license"] == golden(
+        SINGLE, "test_license", "expected_license"
+    )
+    assert set(c["primary"] for c in record["collections"]) == set(
+        golden(SINGLE, "test_collections", "doctype")
+    )
+    assert record["public_notes"][0] == golden(SINGLE, "test_notes", "notes")
+    eprints = golden(SINGLE, "test_arxiv_eprints", "eprints")
+    assert record["arxiv_eprints"][0]["value"] == eprints["value"]
+    assert record["arxiv_eprints"][0]["categories"] == eprints["categories"]
+    assert record["external_system_numbers"][0] == golden(
+        SINGLE, "test_external_system_numbers", "esn"
+    )
+    assert [a["full_name"] for a in record["authors"]] == golden(
+        SINGLE, "test_authors", "author_full_names"
+    )
 
 
 def test_many_collaborations(many):
-    expected = [
-        ["Planck"], ["IceCube"], ["JLQCD"], ["NuPRISM", "Hyper-K"],
-        ["BICEP2", "Keck Array"], ["Planck"], ["DES"], [],
-        ["Super-Kamiokande"], ["CMS"], [],
-    ]
+    expected = golden(ALL, "test_collaborations", "collaborations")
     for rec, exp in zip(many, expected):
         got = [c["value"] for c in rec.get("collaborations", [])]
         assert got == exp
 
 
 def test_many_page_nr_and_doctype(many):
-    page_nrs = [["6"], ["8"], ["10"], ["11"], None, ["4"], ["8"], ["24"],
-                ["23"], None, None]
-    doctypes = ["ConferencePaper"] * 4 + ["", "ConferencePaper", "", "", "",
-                "ConferencePaper", "Thesis"]
+    page_nrs = golden(ALL, "test_page_nr", "page_nrs")
+    doctypes = golden(ALL, "test_collections", "doctypes")
     for rec, pages, doctype in zip(many, page_nrs, doctypes):
         if pages:
             assert rec["page_nr"] == pages
-        expected = {"HEP", "Citeable", "arXiv"} | ({doctype} if doctype else set())
+        expected = {"HEP", "Citeable", "arXiv"} | (
+            {doctype} if doctype else set()
+        )
         assert set(c["primary"] for c in rec["collections"]) == expected
 
 
-def test_many_authors_and_affiliations(many):
-    # spot-check the two hardest records: multi-part surname with comma and
-    # the affiliation-rich Super-K record (reference test_arxiv_all.py:134-180)
-    saxton = many[7]
-    assert [a["full_name"] for a in saxton["authors"]] == \
-        ["Saxton Walton, Curtis J.", "Younsi, Ziri", "Wu, Kinwah"]
-    assert [[af["value"] for af in a["affiliations"]]
-            for a in saxton["authors"]] == \
-        [["Technion", "DESY"], ["U.Frankfurt"], []]
+def test_many_report_numbers(many):
+    expected = golden(ALL, "test_repno", "expected_repnos")
+    for rec, exp in zip(many, expected):
+        if exp is not None:
+            # order-insensitive, exactly as the reference asserts
+            got = rec.get("report_numbers", [])
+            assert len(got) == len(exp)
+            for repno in exp:
+                assert repno in got
 
-    superk = many[8]
-    assert [a["full_name"] for a in superk["authors"]] == \
-        ["Abe, K.", "Suzuki, Y.", "Vagins, M.R.", "Nantais, C.M.",
-         "Martin, J.F.", "de Perio, P."]
+
+def test_many_authors_and_affiliations(many):
+    # the reference's FULL per-record golden (test_arxiv_all.py:134-180)
+    full_names = golden(ALL, "test_authors", "full_names")
+    affiliations = golden(ALL, "test_authors", "affiliations")
+    for rec, names, affs in zip(many, full_names, affiliations):
+        authors = rec.get("authors", [])
+        assert [a["full_name"] for a in authors] == names
+        assert [
+            [af["value"] for af in a.get("affiliations", [])]
+            for a in authors
+        ] == affs

@@ -1,8 +1,12 @@
 """EDP Sciences (jats + rich + references) parity vs the reference
-goldens (/root/reference/tests/test_edp.py over tests/responses/edp).
+goldens — expected values read AT RUNTIME from
+/root/reference/tests/test_edp.py (tests/ref_goldens.py), so parity
+bytes cannot drift from a hand copy (VERDICT r2 #5).
 """
 
 import pytest
+
+from ref_goldens import golden
 
 from hepcrawl_spark.extractors.edp import (
     extract_edp_jats,
@@ -12,6 +16,7 @@ from hepcrawl_spark.extractors.edp import (
 from hepcrawl_spark.sources.packages import iter_tar_members
 
 RESP = "/root/reference/tests/responses/edp"
+EDP = "test_edp"
 
 
 def _member_xml(package, suffix=".xml"):
@@ -34,25 +39,23 @@ def rich():
 
 
 def test_jats_title(jats):
-    assert jats["title"] == (
-        "Calculation of photo-nuclear reaction cross sections for O"
-    )
+    assert jats["title"] == golden(EDP, "test_title", "title")
 
 
 def test_jats_abstract(jats):
-    assert jats["abstract"].startswith(
-        "Because of the high thermal expansion coefficient of uranium"
-    )
-    assert jats["abstract"].endswith("were used to get theoretical results.")
+    # the reference's FULL abstract golden (test_edp.py:121-135)
+    assert jats["abstract"] == golden(EDP, "test_abstract", "abstract")
 
 
 def test_jats_date_and_year(jats):
-    assert jats["date_published"] == "2015-01-01"
+    assert jats["date_published"] == golden(
+        EDP, "test_date_published", "date_published"
+    )
     assert jats["journal_year"] == 2015
 
 
 def test_jats_collections(jats):
-    for coll in ["HEP", "ConferencePaper"]:
+    for coll in golden(EDP, "test_collections", "collections"):
         assert {"primary": coll} in jats["collections"]
 
 
@@ -64,33 +67,34 @@ def test_jats_publication_info(jats):
     assert jats["journal_lpage"] == "3"
     assert jats["journal_issue"] == "1"
     assert jats["page_nr"][0] == "3"
-    assert jats["dois"][0]["value"] == "10.1051/epjconf/201510001001"
+    assert jats["dois"][0]["value"] == golden(EDP, "test_doi", "doi")
 
 
 def test_jats_authors(jats):
     astr = jats["authors"]
-    assert [a["full_name"] for a in astr] == [
-        "Arasoglu, Ali", "Ozdemir, Omer Faruk"
-    ]
-    assert astr[0]["affiliations"][0]["value"] == (
-        "Y\xfcz\xfcnc\xfc Yil University, Science Faculty, "
-        "Physics Department"
-    )
+    names = golden(EDP, "test_authors", "authors")
+    surnames = golden(EDP, "test_authors", "surnames")
+    affiliations = golden(EDP, "test_authors", "affiliations")
+    assert len(astr) == len(names)
+    for index in range(len(names)):
+        assert astr[index]["full_name"] == names[index]
+        assert astr[index]["surname"] == surnames[index]
+        assert astr[index]["affiliations"][0]["value"] == affiliations[0]
 
 
 def test_jats_license_and_copyright(jats):
-    assert jats["license"] == [{
-        "license": "CC-BY-4.0",
-        "url": "http://creativecommons.org/licenses/by/4.0/",
-    }]
-    assert jats["copyright_holder"] == (
-        "Owned by the authors, published by EDP Sciences"
+    assert jats["license"] == golden(EDP, "test_license",
+                                     "expected_license")
+    assert jats["copyright_holder"] == golden(
+        EDP, "test_copyrights", "copyright_holder"
     )
-    assert jats["copyright_statement"] == (
-        "\xa9 Owned by the authors, published by EDP Sciences, 2015"
+    assert jats["copyright_statement"] == golden(
+        EDP, "test_copyrights", "copyright_statement"
     )
     assert jats["copyright_year"] == "2015"
-    assert jats["copyright_material"] == "Article"
+    assert jats["copyright_material"] == golden(
+        EDP, "test_copyrights", "copyright_material"
+    )
 
 
 def test_jats_open_access_hop(jats):
@@ -101,41 +105,38 @@ def test_jats_open_access_hop(jats):
 
 
 def test_rich_title(rich):
-    assert rich["title"] == "A representative sample of Be stars"
-    assert rich["subtitle"] == "II. $K$ band spectroscopy"
+    assert rich["title"] == golden(EDP, "test_title_rich", "title")
+    assert rich["subtitle"] == golden(EDP, "test_title_rich", "subtitle")
 
 
 def test_rich_date_and_pages(rich):
-    assert rich["date_published"] == "2000-01"
+    assert rich["date_published"] == golden(
+        EDP, "test_date_published_rich", "date_published"
+    )
     assert rich["page_nr"][0] == "13"
     assert rich["journal_fpage"] == "65"
     assert rich["journal_lpage"] == "77"
 
 
 def test_rich_collections(rich):
-    for coll in ["HEP", "Published"]:
+    for coll in golden(EDP, "test_collections_rich", "collections"):
         assert {"primary": coll} in rich["collections"]
 
 
 def test_rich_publication_info(rich):
-    assert rich["journal_title"] == (
-        "Astronomy and Astrophysics Supplement Series"
-    )
-    assert rich["journal_year"] == 2000
-    assert rich["journal_volume"] == "141"
+    for field in ("journal_title", "journal_year", "journal_volume"):
+        assert rich[field] == golden(
+            EDP, "test_publication_info_rich", field
+        )
 
 
 def test_rich_authors(rich):
     astr = rich["authors"]
-    assert [a["full_name"] for a in astr] == ["Clark, J.S.", "Steele, I.A."]
-    assert astr[0]["affiliations"][0]["value"] == (
-        "Astronomy Centre, CPES, University of Sussex, Brighton, "
-        "BN1 9QH, UK"
-    )
-    assert astr[1]["affiliations"][0]["value"] == (
-        "Astrophysics Research Institute, Liverpool John Moores "
-        "University, Liverpool, L41 1LD, UK"
-    )
+    names = golden(EDP, "test_authors_rich", "authors")
+    affiliations = golden(EDP, "test_authors_rich", "affiliations")
+    assert [a["full_name"] for a in astr] == names
+    assert astr[0]["affiliations"][0]["value"] == affiliations[0]
+    assert astr[1]["affiliations"][0]["value"] == affiliations[1]
 
 
 REF_BODY = b"""<article xmlns:xlink="http://www.w3.org/1999/xlink" xmlns:mml="http://www.w3.org/1998/Math/MathML" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" article-type="research-article" xml:lang="en" dtd-version="3.0">
@@ -152,27 +153,11 @@ REF_BODY = b"""<article xmlns:xlink="http://www.w3.org/1999/xlink" xmlns:mml="ht
 
 def test_references():
     refs = extract_edp_jats(REF_BODY)[0]["references"]
-    first = refs[0]
-    assert first["authors"] == [
-        "Krishnan, R.V.", "Panneerselvam, G.", "Manikandan, P.",
-        "Antony, M.P.", "Nagarajan, K.",
-    ]
-    assert first["doctype"] == "journal"
-    assert first["fpage"] == "19"
-    assert first["issue"] == "1"
-    assert first["journal_title"] == "J. Nucl. Radiochem. Sci."
-    assert first["journal_volume"] == "10"
-    assert first["number"] == "5a"
-    assert first["year"] == "2009"
-    # byte parity incl. the re-injected root xmlns declarations
-    assert first["raw_reference"].startswith(
-        '<mixed-citation xmlns:xlink="http://www.w3.org/1999/xlink" '
-        'xmlns:mml="http://www.w3.org/1998/Math/MathML" '
-        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
-        'publication-type="journal" id="a">'
-    )
+    # the reference's FULL expected dict, raw_reference bytes included
+    # (test_edp.py:539-558) — whole-dict equality, not spot checks
+    assert refs[0] == golden(EDP, "test_references", "reference")
     assert refs[1]["doi"] == "doi:10.4271/852086"
-    assert refs[2]["title"].startswith("Simulation in ANSYS flow")
+    assert refs[2]["title"] == golden(EDP, "test_reference_title", "title")
 
 
 def test_splash_pdf():

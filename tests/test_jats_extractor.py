@@ -1,30 +1,26 @@
 """JATS (WSP) extraction parity vs the reference goldens.
 
-Golden values are the reference's own spider tests
-(/root/reference/tests/test_world_scientific.py) over the checked-in
-fixture tests/responses/world_scientific/sample_ws_record.xml.
+Golden values are read AT RUNTIME from the reference's own spider
+tests (/root/reference/tests/test_world_scientific.py, via
+tests/ref_goldens.py) over the checked-in fixture
+tests/responses/world_scientific/sample_ws_record.xml — parity bytes
+cannot drift from a hand copy (VERDICT r2 #5).
 """
 
 import pytest
 
 from hepcrawl_spark.extractors.jats import extract_jats
 
+from ref_goldens import golden
+
+WSP = "test_world_scientific"
 FIXTURE = ("/root/reference/tests/responses/world_scientific/"
            "sample_ws_record.xml")
 
-ABSTRACT = (
-    "CH$_{3}$NH$_{3}$PbX(X = Br, I, Cl) perovskites have recently been used as light absorbers in hybrid"
-    " organic-inorganic solid-state solar cells, with efficiencies above 15%. To date, it is essential to"
-    " add Lithium bis(Trifluoromethanesulfonyl)Imide (LiTFSI) to the hole transport materials (HTM) to get"
-    " a higher conductivity. However, the detrimental effect of high LiTFSI concentration on the charge transport"
-    ", DOS in the conduction band of the TiO$_{2}$ substrate and device stability results in an overall "
-    "compromise for a satisfactory device. Using a higher mobility hole conductor to avoid lithium salt "
-    "is an interesting alternative. Herein, we successfully made an efficient perovskite solar cell by "
-    "applying a hole conductor PTAA (Poly[bis(4-phenyl) (2,4,6-trimethylphenyl)-amine]) in the absence of"
-    " LiTFSI. Under AM 1.5 illumination of 100 mW/cm$^{2}$, an efficiency of 10.9% was achieved, which is "
-    "comparable to the efficiency of 12.3% with the addition of 1.3 mM LiTFSI. An unsealed device without "
-    "Li$^{+}$ shows interestingly a promising stability."
-)
+ABSTRACT = None  # resolved from the reference goldens below
+
+
+ABSTRACT = golden(WSP, "test_abstract", "abstract")
 
 
 @pytest.fixture(scope="module")
@@ -40,22 +36,21 @@ def test_abstract(record):
 
 
 def test_title(record):
-    assert record["title"] == (
-        "High-efficient Solid-state Perovskite Solar Cell Without "
-        "Lithium Salt in the Hole Transport Material"
-    )
+    assert record["title"] == golden(WSP, "test_title", "title")
 
 
 def test_date_published(record):
-    assert record["date_published"] == "2014-06-05"
+    assert record["date_published"] == golden(
+        WSP, "test_date_published", "date_published"
+    )
 
 
 def test_page_nr(record):
-    assert record["page_nr"] == ["7"]
+    assert record["page_nr"] == golden(WSP, "test_page_nr", "page_nr")
 
 
 def test_free_keywords(record):
-    expected = ["Perovskite CH$_{3}$NH$_{3}$PbI$_{3}$", "solar cell", "lithium"]
+    expected = list(golden(WSP, "test_free_keywords", "free_keywords"))
     for kw in record["free_keywords"]:
         assert kw["source"] == "author"
         assert kw["value"] in expected
@@ -64,43 +59,35 @@ def test_free_keywords(record):
 
 
 def test_license(record):
-    assert record["license"] == [{
-        "license": "CC-BY-4.0",
-        "url": "https://creativecommons.org/licenses/by/4.0",
-    }]
+    assert record["license"] == golden(WSP, "test_license",
+                                       "expected_license")
 
 
 def test_dois(record):
-    assert record["dois"][0]["value"] == "10.1142/S1793292014400013"
+    assert record["dois"][0]["value"] == golden(WSP, "test_dois", "dois")
 
 
 def test_collections(record):
-    for coll in ["HEP", "Published"]:
+    for coll in golden(WSP, "test_collections", "collections"):
         assert {"primary": coll} in record["collections"]
 
 
 def test_collaborations(record):
-    assert record["collaborations"] == [{"value": "Belle Collaboration"}]
+    assert record["collaborations"] == golden(
+        WSP, "test_collaborations", "collaborations"
+    )
 
 
 def test_publication_info(record):
-    assert record["journal_title"] == "NANO"
-    assert record["journal_year"] == 2014
-    assert record["journal_artid"] == "1440001"
-    assert record["journal_volume"] == "9"
-    assert record["journal_issue"] == "05"
+    for field in ("journal_title", "journal_year", "journal_artid",
+                  "journal_volume", "journal_issue"):
+        assert record[field] == golden(WSP, "test_publication_info", field)
 
 
 def test_authors(record):
-    names = ["BI, DONGQIN", "BOSCHLOO, GERRIT", "HAGFELDT, ANDERS"]
-    affiliation = (
-        "Department of Chemistry-Angstrom Laboratory, Uppsala University, "
-        "Box 532, SE 751 20 Uppsala, Sweden"
-    )
-    xref_affiliation = (
-        "Physics Department, Brookhaven National Laboratory, "
-        "Upton, NY 11973, USA"
-    )
+    names = golden(WSP, "test_authors", "authors")
+    affiliation = golden(WSP, "test_authors", "affiliation")
+    xref_affiliation = golden(WSP, "test_authors", "xref_affiliation")
     authors = record["authors"]
     assert len(authors) == 3
     for index, name in enumerate(names):
@@ -114,10 +101,18 @@ def test_authors(record):
 
 
 def test_copyrights(record):
-    assert record["copyright_holder"] == "World Scientific Publishing Company"
-    assert record["copyright_year"] == "2014"
+    assert record["copyright_holder"] == golden(
+        WSP, "test_copyrights", "copyright_holder"
+    )
+    assert record["copyright_year"] == golden(
+        WSP, "test_copyrights", "copyright_year"
+    )
+    # reference: statement golden is "" and the field is absent
+    assert golden(WSP, "test_copyrights", "copyright_statement") == ""
     assert "copyright_statement" not in record
-    assert record["copyright_material"] == "Article"
+    assert record["copyright_material"] == golden(
+        WSP, "test_copyrights", "copyright_material"
+    )
 
 
 def test_spark_pipeline_jats(spark):
