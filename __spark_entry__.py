@@ -31,7 +31,13 @@ from hepcrawl_spark.frontier.fingerprint import with_url_identity
 from hepcrawl_spark.frontier.politeness import schedule
 from hepcrawl_spark.frontier.robots import robots_filter
 from hepcrawl_spark.frontier.seen import filter_unseen
-from hepcrawl_spark.operators import dedup, multimodal, similarity, textops
+from hepcrawl_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    textops,
+)
 from hepcrawl_spark.schema import ROBOTS_SCHEMA
 
 
@@ -504,6 +510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_multimodal_meta": _q_multimodal_meta,
         "m02_media_resize": _q_media_resize,
         "m03_media_frames": _q_media_frames,
+        "q10_asof_join": _q_asof_join,
+        "f06_frontier_seen_bloom": _q_frontier_seen_bloom,
+        "d06_dedup_clusters": _q_dedup_clusters,
+        "t06_corpus_stats": _q_corpus_stats,
+        "t07_sample_stratified": _q_sample_stratified,
     }
 
 
@@ -534,6 +545,39 @@ _LANG_RATIO_SQL = {
            f"::DOUBLE / len({{toks}})::DOUBLE")
     for lang, lst in _LANG_LISTS_SQL.items()
 }
+
+# d06: the d02/d03 exact pair graph, closed transitively (recursive
+# CTE), then every document labeled with its component minimum.
+_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+), edges AS (
+  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""".format(toks=_TOKS)
 
 _JACCARD_SQL = """
 WITH toks AS (
@@ -633,6 +677,76 @@ _COS = (
 )
 
 _ROBOTS_HOSTS = ", ".join(f"'h{i}.example.com'" for i in range(10))
+
+
+def _q_frontier_seen_bloom(spark, sf_dir):
+    # the OTHER membership backend the north rule names ("bloom/cuckoo
+    # URL-seen"): sharded Bloom bit arrays probed via the same
+    # cogroup/applyInPandas gate.  Approximate by construction (~6e-4
+    # false-positive rate at 16 bits/key drops that fraction of new
+    # URLs), so rows-only — the no-false-negative containment vs exact
+    # mode is asserted in tests/test_frontier_seen.py.
+    cand = _event_candidates(spark, sf_dir)
+    admitted, _ = filter_unseen(cand, None, mode="bloom", num_shards=8)
+    return admitted.select("url", "seq")
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    # connected components over the MinHash-LSH near-dup graph: the
+    # keep/drop decision per document.  LSH recall at the d03 settings
+    # is 1-4.6e-8, so the exact-pair component oracle (recursive CTE)
+    # is the correct check, exactly as for d03 itself.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+def _q_asof_join(spark, sf_dir):
+    # as-of join: for every 'view' event, the latest 'purchase' by the
+    # same user at or before it — single-shuffle union+window plan (no
+    # inequality join).  SURVEY §2.6: warc_ts gives the crawl corpus
+    # this exact shape (page snapshot as of a fetch).
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = joins.asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], right_seq="event_id",
+    )
+    return out.select(
+        "event_id",
+        _us(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "value",
+        "asof_event_id",
+        "asof_value",
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    cs = textops.corpus_stats(_t(spark, sf_dir, "documents"))
+    return cs.select(
+        "source", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "total_chars",
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.round("avg_tokens", 9).alias("avg_tokens"),
+    )
+
+
+def _q_sample_stratified(spark, sf_dir):
+    samp = textops.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.75, "de": 0.25},
+        default_rate=0.1,
+    )
+    return samp.select("doc_id", "lang", "source")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -906,5 +1020,52 @@ def oracle_sql() -> dict[str, str]:
                    least(stride, n - i * stride)::BIGINT AS frame_len
             FROM s, unnest(range(0, 4)) AS r(i)
             WHERE i * stride < n
+        """,
+        # q10: correlated-subquery formulation (deterministic tie-break
+        # by event_id, matching asof_join's right_seq) — the Spark side
+        # is the single-shuffle union+window plan, not a subquery.
+        "q10_asof_join": """
+            SELECT v.event_id,
+                   epoch_us(v.ts)::BIGINT AS ts_us,
+                   v.user_id, v.value,
+                   (SELECT p.event_id FROM events p
+                     WHERE p.event_type = 'purchase'
+                       AND p.user_id = v.user_id AND p.ts <= v.ts
+                     ORDER BY p.ts DESC, p.event_id DESC
+                     LIMIT 1) AS asof_event_id,
+                   (SELECT p.value FROM events p
+                     WHERE p.event_type = 'purchase'
+                       AND p.user_id = v.user_id AND p.ts <= v.ts
+                     ORDER BY p.ts DESC, p.event_id DESC
+                     LIMIT 1) AS asof_value
+            FROM events v
+            WHERE v.event_type = 'view'
+        """,
+        # d06: connected components of the exact near-dup pair graph
+        # (same pair SQL as d02/d03) via recursive transitive closure;
+        # every document gets its component-min representative.
+        "d06_dedup_clusters": _CLUSTERS_SQL,
+        "t06_corpus_stats": f"""
+            WITH per AS (
+              SELECT source, lang, len({_TOKS})::BIGINT AS toks,
+                     length(text)::BIGINT AS chars
+              FROM documents
+            )
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(toks)::BIGINT AS total_tokens,
+                   sum(chars)::BIGINT AS total_chars,
+                   min(toks)::BIGINT AS min_tokens,
+                   max(toks)::BIGINT AS max_tokens,
+                   round(sum(toks)::DOUBLE / count(*)::DOUBLE, 9) AS avg_tokens
+            FROM per GROUP BY source, lang
+        """,
+        # t07: the deterministic hash-threshold sample — identical md5
+        # hex-prefix predicate in both engines (rates: en .75, de .25,
+        # default .1, quantized to /65536)
+        "t07_sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':s42'), 1, 4))::BIGINT <
+              CASE lang WHEN 'en' THEN 49152 WHEN 'de' THEN 16384
+                        ELSE 6553 END
         """,
     }

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .bloom import BloomShard
 from .cuckoo import CuckooShard
 
 # candidate rows entering the seen gate (url identity already attached)
@@ -152,6 +153,65 @@ def filter_unseen(
         unioned = with_shard.groupBy("shard").cogroup(
             state.groupBy("shard")
         ).applyInPandas(probe_and_insert, _UNION_SCHEMA)
+        unioned = unioned.persist()
+        admitted = unioned.filter(F.col("row_kind") == "url").select(
+            *[n for n, _ in CANDIDATE_FIELDS]
+        )
+        new_state = unioned.filter(F.col("row_kind") == "state").select(
+            "shard", "blob"
+        )
+        return admitted, new_state
+
+    if mode == "bloom":
+        # the OTHER membership backend the north rule names: same
+        # sharded cogroup probe as cuckoo, but the per-shard state is a
+        # Bloom bit array (bloom.BloomShard).  No false negatives —
+        # admitted ⊆ exact-admitted; a ~6e-4 false-positive rate drops
+        # that fraction of genuinely-new URLs, the standard Bloom trade
+        # (shards stay mergeable by bitwise OR, which cuckoo can't do).
+        if state is None:
+            state = empty_cuckoo_state(spark)  # same (shard, blob) schema
+        with_shard = candidates.withColumn(
+            "shard", shard_of_host(F.col("url_host"), num_shards)
+        )
+
+        def bloom_probe(key, cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+            import numpy as np
+
+            shard_id = int(key[0])
+            if len(state_pdf) and state_pdf["blob"].iloc[0] is not None:
+                shard = BloomShard.from_bytes(bytes(state_pdf["blob"].iloc[0]))
+            else:
+                shard = BloomShard(m_bits=shard_buckets * 16, k=8)
+            out_rows = []
+            if len(cand_pdf):
+                cand_pdf = cand_pdf.sort_values("seq", kind="mergesort")
+                hashes = cand_pdf["fingerprint"].to_numpy()
+                pre_seen = shard.contains_many(hashes)
+                batch_seen: set[int] = set()
+                admitted_hashes = []
+                for (_, row), was_seen in zip(cand_pdf.iterrows(), pre_seen):
+                    h = int(row["fingerprint"])
+                    if was_seen or h in batch_seen:
+                        continue
+                    batch_seen.add(h)
+                    admitted_hashes.append(h)
+                    rec = {name: row[name] for name, _ in CANDIDATE_FIELDS}
+                    rec.update(row_kind="url", shard=shard_id, blob=None)
+                    out_rows.append(rec)
+                # int64 (possibly negative) — BloomShard remaps to uint64
+                shard.insert_many(np.array(admitted_hashes, dtype=np.int64))
+            out_rows.append({
+                "row_kind": "state",
+                **{name: None for name, _ in CANDIDATE_FIELDS},
+                "shard": shard_id,
+                "blob": shard.to_bytes(),
+            })
+            return pd.DataFrame(out_rows, columns=_UNION_SCHEMA.fieldNames())
+
+        unioned = with_shard.groupBy("shard").cogroup(
+            state.groupBy("shard")
+        ).applyInPandas(bloom_probe, _UNION_SCHEMA)
         unioned = unioned.persist()
         admitted = unioned.filter(F.col("row_kind") == "url").select(
             *[n for n, _ in CANDIDATE_FIELDS]

@@ -115,28 +115,46 @@ _RE_ATTR = re.compile(r"([\w:.-]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
 
 
 def strip_unsafe_attributes(text: str) -> str:
-    """Drop non-whitelisted attributes from any tags present.
+    """Drop non-whitelisted attributes from any tags present, and
+    XML-escape ``& < >`` in the text between tags.
 
-    Parity: hepcrawl/inputs.py:137-145 (lxml Cleaner safe_attrs_only) for
-    the observable cases — text without markup passes through unchanged,
-    MathML/HTML tags keep only safe attributes.
+    Parity: hepcrawl/inputs.py:137-145 (lxml ``Cleaner(safe_attrs_only=
+    True).clean_html``).  The reference call *re-serializes* the value
+    through lxml, so plain-text ``>`` comes back as ``&gt;`` (observable
+    in the reference's own golden: tests/test_magic.py:95 keeps
+    ``E(QG2) &gt; 4x10^10`` escaped in the final abstract).  The
+    escaping applies to every field routed through the loader chains
+    that include remove_attributes_from_tags (abstract/title/subtitle,
+    loaders.py:78-110), not just ones carrying markup.
     """
-    if not text or "<" not in text:
+    if not text:
         return text
 
-    def _clean(m: re.Match) -> str:
+    out = []
+    pos = 0
+    for m in _RE_FULL_TAG.finditer(text):
+        out.append(_xml_escape_text(text[pos:m.start()]))
         close, name, attrs, selfclose = m.groups()
         if close:
-            return "</%s>" % name
-        kept = []
-        for am in _RE_ATTR.finditer(attrs or ""):
-            aname, aval = am.group(1), am.group(2)
-            if aname.lower() in _SAFE_ATTRS:
-                kept.append("%s=%s" % (aname, aval) if aval else aname)
-        inner = (" " + " ".join(kept)) if kept else ""
-        return "<%s%s%s>" % (name, inner, "/" if selfclose else "")
+            out.append("</%s>" % name)
+        else:
+            kept = []
+            for am in _RE_ATTR.finditer(attrs or ""):
+                aname, aval = am.group(1), am.group(2)
+                if aname.lower() in _SAFE_ATTRS:
+                    kept.append("%s=%s" % (aname, aval) if aval else aname)
+            inner = (" " + " ".join(kept)) if kept else ""
+            out.append("<%s%s%s>" % (name, inner, "/" if selfclose else ""))
+        pos = m.end()
+    out.append(_xml_escape_text(text[pos:]))
+    return "".join(out)
 
-    return _RE_FULL_TAG.sub(_clean, text)
+
+def _xml_escape_text(segment: str) -> str:
+    """lxml text-node serialization escapes exactly ``& < >``."""
+    return (
+        segment.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
 
 
 def fix_title_capitalization(title: str) -> str:

@@ -374,6 +374,85 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → one canonical
+    representative per document: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the smallest doc id in the component (documents
+    in no pair are their own cluster).  This is the step that turns
+    pairwise near-dup detection (d02/d03/d04) into an actionable
+    keep/drop decision over the corpus.
+
+    Algorithm: iterated *hash-to-min* label propagation — each round
+    every node adopts the minimum label in its closed neighborhood
+    (one join + one groupBy per round), until a round changes nothing.
+    Rounds needed = graph diameter; near-dup components are
+    near-cliques (members share most shingles, so most pairs exist),
+    giving 2-3 rounds in practice — at 100 TB each round is two
+    shuffles on the (small) pair set, not on the corpus.  The loop
+    ``localCheckpoint``s each iteration to truncate lineage, and the
+    convergence probe is an aggregate (no collect of data rows).
+    ``max_iters`` bounds pathological chain graphs (a chain is what
+    LSH near-dup graphs do not look like; hitting the bound raises).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        # eager: a lazily-checkpointed edge RDD can lose blocks to a
+        # task retry mid-loop; the graph is small relative to the corpus
+        .localCheckpoint()
+    )
+    # labels only for nodes that appear in an edge; singletons join back
+    # at the end (keeps every iteration proportional to the graph, not
+    # the corpus)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, on=edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=labels.node == neighbor_min.u, how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "pair graph has a long chain; raise max_iters"
+        )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, on=F.col("doc_id") == labels.node, how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_udf(bits: int = 64):
     """Arrow-vectorized 64-bit SimHash over whitespace tokens.
 

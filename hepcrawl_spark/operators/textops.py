@@ -167,6 +167,70 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 group_cols: tuple[str, ...] = ("source", "lang")) -> DataFrame:
+    """Per-(source, lang) corpus statistics — the C4-style corpus audit
+    (doc counts, token volume, length distribution) a training-data
+    pipeline publishes per shard.
+
+    One scan pass (token counting in codegen) + one partial→final
+    hash aggregation on a low-cardinality key: no window, no second
+    shuffle, broadcast-sized output at any corpus size.  Averages are
+    sum/count divisions computed once from the aggregated longs, so
+    they are bit-identical across engines.
+    """
+    t = tokens_col(F.col(text_col))
+    per_doc = docs.select(
+        *group_cols,
+        F.size(t).alias("_toks"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum("_chars").alias("total_chars"),
+        F.min("_toks").alias("min_tokens"),
+        F.max("_toks").alias("max_tokens"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        (F.col("total_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("avg_tokens"),
+    )
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      salt: str = "s42",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling by hash threshold — the
+    reproducible mixture-reweighting step of a training-data pipeline
+    (e.g. keep 80%% of English, 20%% of everything else), stable
+    across runs, engines and cluster sizes.
+
+    A row survives iff the first 4 hex chars of
+    ``md5(id || ':' || salt)`` fall below ``rate * 0x10000`` for its
+    stratum — pure codegen filter (one md5 per row, no shuffle, no
+    RNG state), and the identical predicate runs in any engine with
+    md5 (the cross-engine oracle uses the same hex-prefix compare).
+    Rates quantize to 1/65536 granularity.
+    """
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    thresh = F.lit(int(default_rate * 0x10000))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 0x10000))
+        ).otherwise(thresh)
+    return docs.filter(bucket < thresh)
+
+
 def token_hash(tok: Column) -> Column:
     """Portable 60-bit token hash: first 15 hex chars of md5.
 

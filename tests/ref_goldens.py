@@ -14,6 +14,7 @@ for the Elsevier fixture bodies — VERDICT r2 #5.)
 from __future__ import annotations
 
 import ast
+import warnings
 from functools import lru_cache
 
 REF_TESTS = "/root/reference/tests"
@@ -28,7 +29,12 @@ def literal_assignments(name: str) -> dict:
     with a file:line citation instead."""
     path = f"{REF_TESTS}/{name}.py"
     with open(path, encoding="utf-8") as fh:
-        tree = ast.parse(fh.read())
+        src = fh.read()
+    with warnings.catch_warnings():
+        # the reference is py2-era source; non-raw '\p' escapes in its
+        # string literals warn on parse but evaluate identically
+        warnings.simplefilter("ignore")
+        tree = ast.parse(src)
     out: dict = {}
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name.startswith("test"):

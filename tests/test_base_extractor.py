@@ -1,8 +1,11 @@
 """BASE (oai-base-dc + splash pdf hunt) parity vs the reference
 goldens (/root/reference/tests/test_base.py over tests/responses/base).
-"""
 
-import hashlib
+Expected values are read from the reference test sources at runtime
+via tests/ref_goldens.py wherever the reference assigns them as
+literals -- including the abstract with its soft-hyphen characters,
+previously pinned only as an md5 because the bytes do not survive
+copy-paste."""
 
 import pytest
 
@@ -11,13 +14,11 @@ from hepcrawl_spark.extractors.base_dc import (
     extract_base_splash,
 )
 
+from ref_goldens import golden
+
 FIXTURE = "/root/reference/tests/responses/base/test_1.xml"
 SPLASH = "/root/reference/tests/responses/base/test_1_splash.htm"
-
-# md5 of the reference's golden abstract literal (test_base.py
-# test_abstract) — pinned as a hash because the text carries
-# soft-hyphen characters that do not survive copy-paste
-ABSTRACT_MD5 = "a24baaa8d0c78a347bebc3bd0cba13cc"
+MOD = "test_base"
 
 
 @pytest.fixture(scope="module")
@@ -29,32 +30,29 @@ def record():
 
 
 def test_abstract(record):
-    assert len(record["abstract"]) == 3116
-    assert hashlib.md5(record["abstract"].encode()).hexdigest() == ABSTRACT_MD5
+    assert record["abstract"] == golden(MOD, "test_abstract", "abstract")
 
 
 def test_title(record):
-    assert record["title"] == (
-        "The effect of ground-state spin on fission and "
-        "quasi-fission anisotropies"
-    )
-    assert record["subtitle"] == "This is an optional subtitle"
+    assert record["title"] == golden(MOD, "test_title", "title")
+    assert record["subtitle"] == golden(MOD, "test_title", "subtitle")
 
 
 def test_date_published(record):
-    assert record["date_published"] == "2013-05-09"
+    assert record["date_published"] == golden(
+        MOD, "test_date_published", "date_published"
+    )
 
 
 def test_authors(record):
-    authors = ["Butt, Rachel Deborah",
-               "Butt Surname, Rachel Deborah Firstname"]
+    authors = golden(MOD, "test_authors", "authors")
     assert len(record["authors"]) == len(authors)
     for index, name in enumerate(authors):
         assert record["authors"][index]["full_name"] == name
 
 
 def test_urls(record):
-    assert record["urls"] == [{"value": "http://hdl.handle.net/1885/10005"}]
+    assert record["urls"] == golden(MOD, "test_urls", "urls")
 
 
 def test_get_urls_and_splash_hop(record):

@@ -1,9 +1,10 @@
-"""URL-seen gate (F1): cuckoo shard unit behavior + Spark seen-filter
-modes (off = reference parity, exact, cuckoo)."""
+"""URL-seen gate (F1): cuckoo/bloom shard unit behavior + Spark
+seen-filter modes (off = reference parity, exact, cuckoo, bloom)."""
 
 import numpy as np
 import pytest
 
+from hepcrawl_spark.frontier.bloom import BloomShard
 from hepcrawl_spark.frontier.cuckoo import CuckooShard
 from hepcrawl_spark.frontier.fingerprint import with_url_identity
 from hepcrawl_spark.frontier.seen import (
@@ -58,7 +59,7 @@ def _candidates(spark, urls, start_seq=0):
     return with_url_identity(df.drop("canon_url", "url_host", "fingerprint"))
 
 
-@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+@pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
 def test_seen_filter_dedups_across_batches(spark, mode):
     urls1 = [f"http://h{i % 3}.org/p{i}" for i in range(30)]
     cand1 = _candidates(spark, urls1)
@@ -113,3 +114,61 @@ def test_cuckoo_matches_exact_on_event_candidates(spark):
     e = {(r.url, r.seq) for r in exact.select("url", "seq").collect()}
     c = {(r.url, r.seq) for r in cuckoo.select("url", "seq").collect()}
     assert c == e
+
+
+# --- Bloom backend (the other filter the north rule names) ---------------
+
+def test_bloom_no_false_negatives_and_roundtrip():
+    s = BloomShard(m_bits=1 << 16, k=8)
+    hs = np.random.RandomState(7).randint(
+        -2**63, 2**63 - 1, size=4000, dtype=np.int64
+    )
+    s.insert_many(hs)
+    assert s.contains_many(hs).all()  # Bloom guarantee: never forgets
+    b = BloomShard.from_bytes(s.to_bytes())
+    assert (b.words == s.words).all() and b.count == s.count
+    assert b.contains(int(hs[0]))
+
+
+def test_bloom_false_positive_rate_reasonable():
+    s = BloomShard(m_bits=1 << 16, k=8)
+    rng = np.random.RandomState(11)
+    seen = rng.randint(-2**63, 2**63 - 1, size=4000, dtype=np.int64)
+    fresh = rng.randint(-2**63, 2**63 - 1, size=20000, dtype=np.int64)
+    s.insert_many(seen)
+    fp = s.contains_many(fresh).mean()
+    assert fp < 0.01  # ~16 bits/key, k=8 → ~6e-4 expected
+
+
+def test_bloom_merge_is_bitwise_union():
+    a, b = BloomShard(1 << 12, 4), BloomShard(1 << 12, 4)
+    a.insert(1234)
+    b.insert(-99)
+    m = a.merge(b)
+    assert m.contains(1234) and m.contains(-99)
+    with pytest.raises(ValueError):
+        a.merge(BloomShard(1 << 13, 4))
+
+
+def test_bloom_admits_subset_of_exact_on_event_candidates(spark):
+    """f06's quality claim: Bloom admits a SUBSET of the exact-mode set
+    (false positives may drop new URLs; false negatives cannot exist),
+    and on the sf0.01 frontier the subset is the full set."""
+    import __spark_entry__ as em
+
+    cand = em._event_candidates(spark, "/root/testdata/sf0.01")
+    exact, _ = filter_unseen(cand, None, mode="exact")
+    bloom, _ = filter_unseen(cand, None, mode="bloom", num_shards=8)
+    e = {(r.url, r.seq) for r in exact.select("url", "seq").collect()}
+    b = {(r.url, r.seq) for r in bloom.select("url", "seq").collect()}
+    assert b <= e
+    assert len(b) >= 0.99 * len(e)  # fp budget at this occupancy
+    assert b == e  # measured: zero false positives on this corpus
+
+
+def test_bloom_state_persists_blobs(spark):
+    cand = _candidates(spark, [f"http://h{i}.org/{i}" for i in range(10)])
+    _, state = filter_unseen(cand, None, mode="bloom", num_shards=4)
+    blobs = state.collect()
+    assert {r.shard for r in blobs} <= set(range(4))
+    assert all(r.blob is not None and len(r.blob) > 24 for r in blobs)

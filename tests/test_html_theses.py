@@ -1,7 +1,9 @@
 """HTML thesis spiders parity (alpha / t2k / magic / phenix / mit /
-infn) vs the reference goldens over tests/responses/*."""
+infn) vs the reference goldens over tests/responses/*.
 
-import hashlib
+Expected values are read from the reference test sources at runtime
+via tests/ref_goldens.py wherever the reference assigns them as
+literals."""
 
 import pytest
 
@@ -17,6 +19,8 @@ from hepcrawl_spark.extractors.html_theses import (
     extract_t2k,
     extract_t2k_splash,
 )
+
+from ref_goldens import golden
 
 RESP = "/root/reference/tests/responses"
 
@@ -36,24 +40,23 @@ def alpha():
 
 
 def test_alpha_fields(alpha):
-    assert alpha["title"] == (
-        "Antiproton and positron dynamics in antihydrogen production"
+    assert alpha["title"] == golden("test_alpha", "test_title", "title")
+    assert alpha["date_published"] == golden(
+        "test_alpha", "test_date_published", "date_published"
     )
-    assert alpha["date_published"] == "2014"
-    assert alpha["authors"][0]["full_name"] == "So, Chukman"
-    assert alpha["authors"][0]["affiliations"][0]["value"] == (
-        "University of California"
+    assert alpha["authors"][0]["full_name"] == golden(
+        "test_alpha", "test_authors", "authors"
+    )[0]
+    assert alpha["authors"][0]["affiliations"][0]["value"] == golden(
+        "test_alpha", "test_authors", "affiliation"
     )
-    assert alpha["file_urls"] == [
-        "http://alpha.web.cern.ch/sites/alpha.web.cern.ch/files/"
-        "thesis_chukman_dec23_dist.pdf"
-    ]
-    assert alpha["urls"] == [{"value": "http://alpha.web.cern.ch/node/276"}]
-    assert alpha["thesis"]["degree_type"] == "PhD"
-    # byte-identical abstract (md5 of the reference golden literal)
-    assert hashlib.md5(alpha["abstract"].encode()).hexdigest() == (
-        "5bebb647f6e33f473c680337873cb912"
-    )
+    assert alpha["file_urls"] == golden("test_alpha", "test_pdf_link", "files")
+    assert alpha["urls"] == golden("test_alpha", "test_urls", "urls")
+    assert alpha["thesis"]["degree_type"] == golden(
+        "test_alpha", "test_thesis", "thesis"
+    )["degree_type"]
+    # full byte-identical abstract (previously pinned only as an md5)
+    assert alpha["abstract"] == golden("test_alpha", "test_abstract", "abstract")
 
 
 # --- T2K -------------------------------------------------------------------
@@ -63,19 +66,22 @@ def test_t2k_listing_and_splash():
     recs = extract_t2k(_read(f"{RESP}/t2k/test_1.html"), listing_url)
     assert len(recs) == 1
     r = recs[0]
-    assert r["title"] == ("Development of T2K 280m Near Detector Software "
-                          "for Muon and Photon Reconstruction")
-    assert r["date_published"] == "2009-07-11"
-    assert r["authors"][0]["full_name"] == "Taylor, Ian"
-    assert r["urls"] == [{"value": "file:///tests/responses/t2k/001"}]
+    assert r["title"] == golden("test_t2k", "test_title", "title")
+    assert r["date_published"] == golden(
+        "test_t2k", "test_date_published", "date_published"
+    )
+    assert r["authors"][0]["full_name"] == golden(
+        "test_t2k", "test_authors", "authors"
+    )[0]
+    assert r["urls"] == [{"value": golden("test_t2k", "test_url", "url")}]
 
     splash = extract_t2k_splash(_read(f"{RESP}/t2k/001.html"),
                                 r["new_urls"][0])[0]
-    assert splash["additional_files"][0]["url"] == (
-        "http://www.t2k.org/docs/thesis/001/IJT-THESIS"
+    assert splash["additional_files"][0]["url"] == golden(
+        "test_t2k", "test_pdf_link", "files"
     )
-    assert splash["abstract"].startswith("A Monte Carlo investigation")
-    assert splash["abstract"].endswith("reconstruction of photon showers.")
+    # reference test fn name has the typo "test_abstact"
+    assert splash["abstract"] == golden("test_t2k", "test_abstact", "abstract")
 
 
 # --- MAGIC -----------------------------------------------------------------
@@ -85,23 +91,25 @@ def test_magic_listing_and_splash():
     recs = extract_magic(_read(f"{RESP}/magic/test_1.html"), listing_url)
     assert len(recs) == 1
     r = recs[0]
-    assert r["title"].startswith("Limits to the violation of Lorentz")
-    assert r["date_published"] == "2015"
-    assert r["urls"][0]["value"] == (
-        "file:///tests/responses/magic/test_splash.html"
+    assert r["title"] == golden("test_magic", "test_title", "title")
+    assert r["date_published"] == golden(
+        "test_magic", "test_date_published", "date_published"
     )
+    assert r["urls"][0]["value"] == golden("test_magic", "test_url", "url")
 
     splash = extract_magic_splash(
         _read(f"{RESP}/magic/test_splash.html"), r["new_urls"][0]
     )[0]
-    assert splash["authors"][0]["full_name"] == "Terrats, Daniel Garrido"
-    assert splash["authors"][0]["affiliations"][0]["value"] == (
-        "Universitat Aut\xf2noma de Barcelona"
+    assert splash["authors"][0]["full_name"] == golden(
+        "test_magic", "test_authors", "authors"
+    )[0]
+    assert splash["authors"][0]["affiliations"][0]["value"] == golden(
+        "test_magic", "test_authors", "affiliation"
     )
-    assert splash["additional_files"][1]["url"] == (
-        "http://stlab.adobe.com/wiki/images/d/d3/Test.pdf"
+    assert splash["additional_files"][1]["url"] == golden(
+        "test_magic", "test_pdf_link", "files"
     )
-    assert splash["abstract"].startswith("Gamma-ray astronomy is devoted")
+    assert splash["abstract"] == golden("test_magic", "test_abstract", "abstract")
 
 
 # --- PHENIX ----------------------------------------------------------------
@@ -109,19 +117,18 @@ def test_magic_listing_and_splash():
 def test_phenix_record():
     recs = extract_phenix(_read(f"{RESP}/phenix/test_1.html"))
     r = recs[0]
-    assert r["title"] == (
-        "MEASUREMENT OF THE DOUBLE HELICITY ASYMMETRY IN INCLUSIVE "
-        "$\\pi^{0}$ PRODUCTION IN POLARIZED PROTON-PROTON COLLISIONS "
-        "AT $\\sqrt{s}$ = 510 GeV"
+    assert r["title"] == golden("test_phenix", "test_title", "title")
+    assert r["date_published"] == golden(
+        "test_phenix", "test_date_published", "date_published"
     )
-    assert r["date_published"] == "2015"
-    assert r["authors"][0]["full_name"] == "Guragain, Hari"
+    assert r["authors"][0]["full_name"] == golden(
+        "test_phenix", "test_authors", "authors"
+    )[0]
     assert r["authors"][0]["affiliations"] == [
-        {"value": "Georgia State University"}
+        {"value": golden("test_phenix", "test_authors", "affiliation")}
     ]
-    assert r["additional_files"][0]["url"] == (
-        "http://www.phenix.bnl.gov/phenix/WWW/talk/archive/theses/2015/"
-        "Guragain_Hari-DISSERTATION.pdf"
+    assert r["additional_files"][0]["url"] == golden(
+        "test_phenix", "test_pdf_link", "files"
     )
 
 
@@ -138,9 +145,7 @@ def test_phenix_non_thesis_skipped():
 
 def test_mit_listing():
     recs = extract_mit(_read(f"{RESP}/mit/test_list.html"))
-    assert recs[0]["new_urls"] == [
-        "http://dspace.mit.edu/handle/1721.1/99280?show=full"
-    ]
+    assert recs[0]["new_urls"] == [golden("test_mit", "test_url", "url")]
 
 
 def test_mit_splash():
@@ -151,9 +156,11 @@ def test_mit_splash():
         "applications"
     )
     assert r["date_published"] == "2015"
-    assert r["authors"][0]["full_name"] == "Tomasik, Michelle Ruth"
-    assert r["authors"][0]["affiliations"][0]["value"] == (
-        "Massachusetts Institute of Technology. Department of Physics."
+    assert r["authors"][0]["full_name"] == golden(
+        "test_mit", "test_authors", "authors"
+    )[0]
+    assert r["authors"][0]["affiliations"][0]["value"] == golden(
+        "test_mit", "test_authors", "affiliation"
     )
     assert r["additional_files"][0]["url"] == (
         "http://dspace.mit.edu/bitstream/handle/1721.1/99287/"
@@ -173,7 +180,7 @@ def test_mit_splash():
 def test_infn_listing():
     recs = extract_infn(_read(f"{RESP}/infn/test_1.html"))
     assert recs[0]["new_urls"] == [
-        "http://www.infn.it/thesis/thesis_dettaglio.php?tid=10136"
+        golden("test_infn", "test_parse_node", "splash_link")
     ]
 
 
@@ -188,13 +195,14 @@ def test_infn_splash():
         "Radiation"
     )
     assert r["date_published"] == "2016-03-08"
-    assert r["authors"][0]["full_name"] == "Fedon, Christian"
-    assert "Universit Di Trieste" in [
+    assert r["authors"][0]["full_name"] == golden(
+        "test_infn", "test_authors", "authors"
+    )[0]
+    assert golden("test_infn", "test_authors", "affiliation") in [
         a["value"] for a in r["authors"][0]["affiliations"]
     ]
-    assert r["additional_files"][0]["url"] == (
-        "http://www.infn.it/thesis/PDF/getfile.php?"
-        "filename=10136-Fedon-dottorato.pdf"
+    assert r["additional_files"][0]["url"] == golden(
+        "test_infn", "test_parse_node", "pdf_link"
     )
     assert r["thesis"]["date"] == "2016-03-18"
     assert r["thesis"]["institutions"][0]["name"] == "Universit Di Trieste"

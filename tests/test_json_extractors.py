@@ -1,5 +1,9 @@
 """Brown and Philpapers JSON extractors parity vs reference goldens
-(test_brown.py / test_phil.py over tests/responses/{brown,phil})."""
+(test_brown.py / test_phil.py over tests/responses/{brown,phil}).
+
+Expected values are read from the reference test sources at runtime
+via tests/ref_goldens.py wherever the reference assigns them as
+literals."""
 
 import json
 
@@ -13,6 +17,8 @@ from hepcrawl_spark.extractors.json_phil import (
     extract_phil,
     extract_phil_splash,
 )
+
+from ref_goldens import golden
 
 RESP = "/root/reference/tests/responses"
 
@@ -44,6 +50,17 @@ def test_brown_title(brown):
     )
 
 
+def test_brown_abstract(brown):
+    assert brown["abstract"] == golden("test_brown", "test_abstract", "abstract")
+
+
+def test_brown_keywords(brown):
+    keywords_gt = golden("test_brown", "test_keywords", "keywords_gt")
+    assert brown["free_keywords"]
+    for key_gt, key in zip(keywords_gt, brown["free_keywords"]):
+        assert key_gt == key["value"]
+
+
 def test_brown_urls_and_hop(brown):
     assert brown["urls"] == [{"value": "brown/test_splash.html"}]
     assert brown["new_urls"] == ["brown/test_splash.html"]
@@ -52,8 +69,12 @@ def test_brown_urls_and_hop(brown):
 def test_brown_splash_fields(brown_splash):
     assert brown_splash["authors"][0]["full_name"] == "Jiang, Zhijun"
     assert brown_splash["date_published"] == "2011-01-01"
+    # reference test_brown.py::test_files_constructed pins the PDF link
+    # shape; host swapped to the fake response url as the reference does
+    link = golden("test_brown", "test_files_constructed", "link")
     assert brown_splash["file_urls"] == [
-        "http://www.example.com/studio/item/bdr:11303/PDF/"
+        link.replace("https://repository.library.brown.edu",
+                     "http://www.example.com")
     ]
     assert brown_splash["page_nr"] == ["129"]
     assert brown_splash["thesis"]["date"] == "2011"
@@ -75,33 +96,38 @@ def phil_journal():
 
 
 def test_phil_title_and_date(phil_thesis):
-    assert phil_thesis["title"] == "Bringing Goodness"
-    assert phil_thesis["date_published"] == "2015-12-14"
+    assert phil_thesis["title"] == golden("test_phil", "test_title", "title")
+    assert phil_thesis["date_published"] == golden(
+        "test_phil", "test_date_published", "year"
+    )
 
 
 def test_phil_abstract(phil_thesis):
-    assert phil_thesis["abstract"].startswith(
-        "Now indulgence dissimilar for his thoroughly has terminated."
-    )
-    assert phil_thesis["abstract"].endswith(
-        "On am in nearer square wanted."
+    assert phil_thesis["abstract"] == golden(
+        "test_phil", "test_abstract", "abstract"
     )
 
 
 def test_phil_thesis_authors(phil_thesis):
-    assert [a["raw_name"] for a in phil_thesis["authors"]] == [
-        "Jennings, Bob"
-    ]
+    assert [a["raw_name"] for a in phil_thesis["authors"]] == golden(
+        "test_phil", "test__thesis_authors", "authors"
+    )
     assert phil_thesis["collections"] == [{"primary": "THESIS"}]
 
 
 def test_phil_journal(phil_journal):
-    assert phil_journal["journal_title"] == "Analys"
-    assert phil_journal["journal_volume"] == "66"
-    assert phil_journal["journal_issue"] == "3"
-    assert [a["full_name"] for a in phil_journal["authors"]] == [
-        "Jennings, Bob", "Frederik, Jensen"
-    ]
+    assert phil_journal["journal_title"] == golden(
+        "test_phil", "test_journal", "title"
+    )
+    assert phil_journal["journal_volume"] == golden(
+        "test_phil", "test_journal", "volume"
+    )
+    assert phil_journal["journal_issue"] == golden(
+        "test_phil", "test_journal", "issue"
+    )
+    assert [a["full_name"] for a in phil_journal["authors"]] == golden(
+        "test_phil", "test__journal_authors", "authors"
+    )
 
 
 def test_phil_splash_pdf(phil_thesis):

@@ -325,3 +325,123 @@ def test_ann_ivf_subset_of_exact(emb):
     # the identical-direction neighbor shares the query's top cell, so
     # multi-probe IVF must always recall it
     assert (0, 10) in ivf
+
+
+# --- dedup_clusters (connected components over near-dup pairs) -----------
+
+def test_dedup_clusters_components(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    ).withColumn("text", F.lit(""))
+    # components: {0,1,2} via chain 0-1, 1-2; {5,6}; singletons 3,4,7
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_chain_needs_iterations(spark):
+    # a 6-node path graph: min label must propagate hop by hop, so this
+    # exercises the convergence loop past a single round
+    n = 6
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_on_lsh_pairs(docs):
+    # 0,3 exact dup (jaccard 1.0) cluster together; 1 differs in the
+    # final token (jaccard 6/8 = 0.75 < 0.8) so it stays its own
+    # cluster at this threshold
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4}
+
+
+# --- asof_join ------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from hepcrawl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (2, 5, "a"), (3, 30, "a"), (4, 10, "b")],
+        "id long, ts long, k string",
+    )
+    right = spark.createDataFrame(
+        # k=a: updates at ts 5, 10, 20 (two at ts=10 → seq breaks tie)
+        [(100, 5, "a", 1.0), (101, 10, "a", 2.0), (102, 10, "a", 3.0),
+         (103, 20, "a", 4.0)],
+        "rid long, ts long, k string, v double",
+    )
+    out = {r.id: r for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["rid", "v"], right_seq="rid",
+    ).collect()}
+    assert out[2].asof_rid == 100          # only ts=5 precedes ts=5? ties include
+    assert out[1].asof_rid == 102          # ts=10 tie → max rid wins
+    assert out[1].asof_v == 3.0
+    assert out[3].asof_rid == 103          # latest ≤ 30
+    assert out[4].asof_rid is None         # no right rows for k=b
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """Scale claim: the plan is union + one window — no join operator,
+    no cartesian/range explosion."""
+    from hepcrawl_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") + 1000).alias("rid"), (F.col("id") % 5).alias("k"),
+        (F.col("id") * 2).alias("ts"),
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["rid"], right_seq="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+# --- corpus_stats / stratified_sample ------------------------------------
+
+def test_corpus_stats(spark):
+    rows = [
+        ("s0", "en", "one two three"),
+        ("s0", "en", "four five"),
+        ("s0", "de", "ein zwei"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {(r.source, r.lang): r
+           for r in textops.corpus_stats(df).collect()}
+    en = got[("s0", "en")]
+    assert (en.n_docs, en.total_tokens, en.min_tokens, en.max_tokens) == (2, 5, 2, 3)
+    assert en.avg_tokens == 2.5
+    assert en.total_chars == len("one two three") + len("four five")
+    assert got[("s0", "de")].n_docs == 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    samp = textops.stratified_sample(df, rates={"en": 0.5, "de": 0.1})
+    a = sorted(r.doc_id for r in samp.collect())
+    b = sorted(r.doc_id for r in samp.collect())
+    assert a == b  # same rows every run — no RNG state
+    by_lang = {r.lang: r.n for r in samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(by_lang["en"] / 2000 - 0.5) < 0.05
+    assert abs(by_lang.get("de", 0) / 2000 - 0.1) < 0.03
+    # default rate 0.0 drops unknown strata entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert textops.stratified_sample(df2, rates={"en": 0.5}).count() == 0
