@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d06_dedup_clusters": _q_dedup_clusters,
         "t06_corpus_stats": _q_corpus_stats,
         "t07_sample_stratified": _q_sample_stratified,
+        "t08_top_ngrams": _q_top_ngrams,
     }
 
 
@@ -737,6 +738,18 @@ def _q_corpus_stats(spark, sf_dir):
         F.col("min_tokens").cast("long").alias("min_tokens"),
         F.col("max_tokens").cast("long").alias("max_tokens"),
         F.round("avg_tokens", 9).alias("avg_tokens"),
+    )
+
+
+def _q_top_ngrams(spark, sf_dir):
+    # corpus LM statistics: top-5 bigrams per language — explode →
+    # map-side-combined count agg → window rank over the reduced table
+    return textops.top_ngrams(
+        _t(spark, sf_dir, "documents"), n=2, k=5, group_col="lang"
+    ).select(
+        "lang", "ngram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -1067,5 +1080,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':s42'), 1, 4))::BIGINT <
               CASE lang WHEN 'en' THEN 49152 WHEN 'de' THEN 16384
                         ELSE 6553 END
+        """,
+        # t08: top-5 bigrams per language; ties break by ngram asc —
+        # the same deterministic ordering the Spark window uses
+        "t08_top_ngrams": f"""
+            WITH toks AS (
+              SELECT lang, {_TOKS} AS t FROM documents
+            ), grams AS (
+              SELECT lang, t[i] || ' ' || t[i+1] AS ngram
+              FROM toks, unnest(range(1, len(t))) AS r(i)
+              WHERE len(t) >= 2
+            ), counts AS (
+              SELECT lang, ngram, count(*)::BIGINT AS n_occurrences
+              FROM grams GROUP BY lang, ngram
+            ), ranked AS (
+              SELECT lang, ngram, n_occurrences,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_occurrences DESC, ngram ASC
+                     )::BIGINT AS rank
+              FROM counts
+            )
+            SELECT lang, ngram, n_occurrences, rank
+            FROM ranked WHERE rank <= 5
         """,
     }

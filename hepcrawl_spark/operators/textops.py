@@ -12,7 +12,7 @@ across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small English function-word list for the n-gram/stopword language
@@ -229,6 +229,46 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
             F.col(strata_col) == stratum, F.lit(int(rate * 0x10000))
         ).otherwise(thresh)
     return docs.filter(bucket < thresh)
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 5,
+               group_col: str = "lang",
+               text_col: str = "text") -> DataFrame:
+    """Top-k token n-grams per group — the corpus LM-statistics pass
+    (most frequent bigrams per language shard).
+
+    Plan shape at scale: explode → partial→final hash aggregation on
+    (group, ngram) → per-group window rank over the (already reduced)
+    count table.  The explode volume is ~tokens-per-doc rows per
+    document, all map-side combined before the single count shuffle;
+    the ranked window runs over distinct n-grams only.  Ties break by
+    n-gram string ascending — deterministic, mirrored in SQL.
+    """
+    t = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        ),
+    )
+    grams = F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    counts = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(grams).alias("ngram"))
+        .groupBy("grp", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "ngram",
+                "n_occurrences", "rank")
+    )
 
 
 def token_hash(tok: Column) -> Column:

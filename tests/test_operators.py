@@ -445,3 +445,20 @@ def test_stratified_sample_deterministic_and_rated(spark):
     # default rate 0.0 drops unknown strata entirely
     df2 = df.withColumn("lang", F.lit("fr"))
     assert textops.stratified_sample(df2, rates={"en": 0.5}).count() == 0
+
+
+def test_top_ngrams(spark):
+    rows = [
+        ("en", "a b a b c"),      # bigrams: "a b"×2, "b a", "b c"
+        ("en", "a b"),            # +1 "a b"
+        ("de", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = [(r.lang, r.ngram, r.n_occurrences, r.rank)
+           for r in textops.top_ngrams(df, n=2, k=2)
+           .orderBy("lang", "rank").collect()]
+    assert got == [
+        ("de", "x y", 1, 1),
+        ("en", "a b", 3, 1),
+        ("en", "b a", 1, 2),      # tie with "b c" → ngram asc wins
+    ]

@@ -95,3 +95,42 @@ def test_t01_tokens_pure_codegen(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     # codegen spans render as "*(n)" in executedPlan().toString()
     assert "*(1)" in plan
+
+
+def test_q10_asof_join_is_single_shuffle_window(spark):
+    plan = _plan(em.queries()["q10_asof_join"](spark, SF))
+    # the as-of join must plan as union + key-partitioned window — any
+    # Join operator means the inequality-join formulation snuck back
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_d06_clusters_no_cartesian(spark):
+    plan = _plan(em.queries()["d06_dedup_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t06_corpus_stats_partial_agg_no_python(spark):
+    plan = _plan(em.queries()["t06_corpus_stats"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # partial→final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_t07_sample_is_shuffle_free_codegen_filter(spark):
+    plan = _plan(em.queries()["t07_sample_stratified"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan          # pure scan+filter, no shuffle
+    assert "Filter" in plan
+
+
+def test_t08_top_ngrams_partial_agg_then_window(spark):
+    plan = _plan(em.queries()["t08_top_ngrams"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # explode volume reduces through partial→final agg BEFORE the
+    # ranked window (the window sees distinct n-grams only)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
