@@ -335,6 +335,11 @@ def run_crawl(
             allowed, seen_state, mode=config.seen_mode,
             num_shards=config.num_shards,
         )
+        if store is None and seen_state is not None \
+                and config.seen_mode != "off":
+            # same round-boundary plan truncation as next_queue below;
+            # the filter state is tiny (shard blobs / fingerprints)
+            seen_state = seen_state.localCheckpoint()
         scheduled, deferred, new_offsets = schedule(
             admitted, politeness, offsets, round_start=0.0,
             horizon=config.horizon,
@@ -358,15 +363,19 @@ def run_crawl(
         else:
             scheduled = scheduled.persist()
         prev_offsets = offsets
-        offsets = _merge_offsets(offsets, new_offsets).persist()
-        if store is None and prev_offsets is not None:
-            # store-less (test/bench) mode: materialize the merged
-            # ledger (per-host-tiny — one cheap job) and release the
-            # previous round's cache, so a long crawl doesn't pin one
-            # offsets RDD per round (the store path gets this for free
-            # from the commit/re-read cycle below)
-            offsets.count()
-            prev_offsets.unpersist()
+        offsets = _merge_offsets(offsets, new_offsets)
+        if store is None:
+            # store-less (test/bench) mode: localCheckpoint truncates
+            # the ledger's LOGICAL plan (the full_outer merge otherwise
+            # nests every previous round's plan — see the next_queue
+            # comment below) and materializes the per-host-tiny table
+            # in one job; the store path gets the same truncation for
+            # free from the commit/re-read cycle below
+            offsets = offsets.localCheckpoint()
+            if prev_offsets is not None:
+                prev_offsets.unpersist()
+        else:
+            offsets = offsets.persist()
 
         fetched = scheduled.join(
             pages.select("url", "html"), on="url", how="left"
@@ -415,7 +424,24 @@ def run_crawl(
         expand_cache = getattr(children, "_expand_cache", None)
         next_queue = deferred.select(_CAND_COLS).unionByName(
             children.select(_CAND_COLS)
-        ).persist()
+        )
+        if store is None:
+            # TRUNCATE the logical plan at the round boundary.  persist()
+            # caches data but analysis still walks the full nested tree,
+            # and the two-phase expansion references its upstream several
+            # times (counts → cumsum/totals/bases), so the un-truncated
+            # queue plan grows geometrically with rounds — observed as a
+            # JVM stuck in analysis on 3+-round crawls.  localCheckpoint
+            # swaps the plan for a LogicalRDD (one eager job — the queue
+            # is materialized by the next round's qstats anyway); the
+            # store path gets the same truncation from commit/re-read.
+            next_queue = next_queue.localCheckpoint()
+            if expand_cache is not None:
+                # children are durably in the checkpoint blocks now
+                expand_cache.unpersist()
+                expand_cache = None
+        else:
+            next_queue = next_queue.persist()
 
         # bookkeeping job 2 of 2: every round counter in ONE action —
         # four 1-row aggregates cross-joined (each over an already
