@@ -79,7 +79,13 @@ def _event_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("events").alias("source"),
         F.lit("html-generic").alias("format"),
     )
-    return with_url_identity(df)
+    # persist: every frontier query references the candidate frame more
+    # than once (politeness dim + rank sides, or probe + state sides),
+    # and each un-cached reference re-runs the Arrow canonicalization
+    # UDFs.  run_crawl persists its queue for exactly this reason; the
+    # standalone queries get the same treatment.  (Identical logical
+    # plans share one cache entry, so repeated calls don't pile up.)
+    return with_url_identity(df).persist()
 
 
 _CAND_URL_SQL = "'http://h' || (user_id % 20) || '.example.com/p/' || (event_id % 97)"

@@ -134,3 +134,44 @@ def test_t08_top_ngrams_partial_agg_then_window(spark):
     # ranked window (the window sees distinct n-grams only)
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_minhash_base_single_arrow_pass(spark):
+    # PLANS.md round-3 perf pass: a filter on the UDF's output column
+    # used to re-evaluate the whole Arrow pass a second time, BELOW the
+    # spread repartition (i.e. serially over the scan's native row
+    # group).  The base pass must plan exactly one ArrowEvalPython.
+    from hepcrawl_spark.operators.dedup import minhash_base
+
+    # an earlier d03 plan test persists the same base frame; drop the
+    # cache so this test sees the raw (uncached) physical plan.
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_base(docs))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_minhash_lsh_caches_base_pass(spark):
+    # the pair pipeline references its (id, shingles, bands) base four
+    # times; an uncached base re-runs the corpus-wide Arrow pass per
+    # reference.  With the cache every reference reads an
+    # InMemoryTableScan, and each ArrowEvalPython in the plan string is
+    # merely the cached relation's printed definition (one physical
+    # evaluation), never a live operator outside a cache.
+    from hepcrawl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, threshold=0.8))
+    assert plan.count("InMemoryTableScan") >= 4
+    assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation")
+
+
+def test_top_ngrams_tokenizes_once_per_row(spark):
+    # bind_once: the bigram builder must not inline the regex tokenizer
+    # into the per-position lambda — exactly one split(regexp_replace)
+    # in the plan's projection.
+    from hepcrawl_spark.operators.textops import top_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(top_ngrams(docs, n=2, k=5, group_col="lang"))
+    assert plan.count("regexp_replace") == 1
