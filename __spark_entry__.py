@@ -109,22 +109,28 @@ def _doc_pages(docs: DataFrame) -> DataFrame:
         "UTF-8",
     )
     return docs.select(url.alias("url"), html.alias("html"),
-                       F.lit("html-generic").alias("format"))
+                       F.lit("html-generic").alias("format"),
+                       F.col("doc_id"))
 
 
 def _crawl_round(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """One full crawl round: seen gate → schedule → fetch join → extract."""
     pages = _doc_pages(docs)
+    # seq = doc_id: already unique and deterministic, so the frontier
+    # gets its insertion ordinal without a global row_number window
+    # (Window.orderBy with no partitionBy is a single-task sort — the
+    # one plan shape this repo bans from round-critical paths).
     cand = with_url_identity(
         pages.select(
             "url",
             F.lit(0).cast("long").alias("priority"),
             F.lit(0).cast("int").alias("depth"),
-            F.row_number().over(Window.orderBy("url")).cast("long").alias("seq"),
+            F.col("doc_id").cast("long").alias("seq"),
             F.lit("webtext").alias("source"),
             F.lit("html-generic").alias("format"),
         )
     )
+    pages = pages.drop("doc_id")
     admitted, _ = filter_unseen(cand, None, mode="exact")
     hosts = admitted.select("url_host").distinct()
     pol = hosts.select(

@@ -32,12 +32,21 @@ def test_q05_dimension_joins_broadcast(spark):
 
 
 def test_f04_crawl_round_stays_vectorized(spark):
+    import re
+
     plan = _plan(em.queries()["f04_crawl_records"](spark, SF))
     # Arrow-vectorized python only — a row-at-a-time BatchEvalPython
     # in this pipeline would be a 10-100x regression
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # the frontier seq comes from doc_id, not a global row_number —
+    # every window in the flagship plan must carry a partition spec
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window in crawl plan: " + m.group(0)
+        )
 
 
 def test_d03_minhash_no_cartesian(spark):
