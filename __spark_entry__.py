@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t06_corpus_stats": _q_corpus_stats,
         "t07_sample_stratified": _q_sample_stratified,
         "t08_top_ngrams": _q_top_ngrams,
+        "t09_text_gopher": _q_text_gopher,
     }
 
 
@@ -762,6 +763,21 @@ def _q_top_ngrams(spark, sf_dir):
         "lang", "ngram",
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_text_gopher(spark, sf_dir):
+    # Gopher-rule filter signals + verdict — one codegen scan pass
+    g = textops.gopher_quality(_t(spark, sf_dir, "documents"))
+    return g.select(
+        "doc_id",
+        "token_cnt",
+        F.round("mean_word_len", 9).alias("mean_word_len"),
+        F.round("alpha_frac", 9).alias("alpha_frac"),
+        "stopword_cnt",
+        F.round("symbol_ratio", 9).alias("symbol_ratio"),
+        F.round("dup_bigram_frac", 9).alias("dup_bigram_frac"),
+        "passes",
     )
 
 
@@ -1115,5 +1131,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, ngram, n_occurrences, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # t09: Gopher filter signals — same token contract, same
+        # bigram construction, thresholds compared in the same order
+        "t09_text_gopher": f"""
+            WITH s AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS token_cnt,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(toks, t -> length(t)::BIGINT)),
+                       (a, b) -> a + b)::DOUBLE AS chars,
+                     len(list_filter(toks,
+                       t -> regexp_matches(t, '[a-z]')))::DOUBLE AS alpha,
+                     len(list_filter(toks,
+                       t -> list_contains({_STOPWORDS_SQL}, t))
+                     )::BIGINT AS stop_cnt,
+                     len(list_filter(toks,
+                       t -> contains(t, '#') OR ends_with(t, '...')
+                     ))::DOUBLE AS sym,
+                     list_transform(range(len(toks) - 1),
+                       i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams
+              FROM s
+            ), g AS (
+              SELECT doc_id, token_cnt, chars, alpha, stop_cnt, sym,
+                     CASE WHEN len(bigrams) > 0 THEN
+                       1.0 - len(list_distinct(bigrams))::DOUBLE
+                             / len(bigrams)::DOUBLE
+                     ELSE 0.0 END AS dup_frac
+              FROM m
+            )
+            SELECT doc_id, token_cnt,
+                   round(chars / token_cnt, 9) AS mean_word_len,
+                   round(alpha / token_cnt, 9) AS alpha_frac,
+                   stop_cnt AS stopword_cnt,
+                   round(sym / token_cnt, 9) AS symbol_ratio,
+                   round(dup_frac, 9) AS dup_bigram_frac,
+                   (CASE WHEN token_cnt >= 40 AND token_cnt <= 100000
+                         AND chars / token_cnt >= 2.0
+                         AND chars / token_cnt <= 12.0
+                         AND alpha / token_cnt >= 0.8
+                         AND stop_cnt >= 2
+                         AND sym / token_cnt <= 0.1
+                         AND dup_frac <= 0.2
+                    THEN 1 ELSE 0 END)::INTEGER AS passes
+            FROM g
         """,
     }

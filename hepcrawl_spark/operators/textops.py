@@ -247,6 +247,102 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     return docs.filter(bucket < thresh)
 
 
+def ngrams_col(t: Column, n: int) -> Column:
+    """Token n-gram array from a token-array column (space-joined),
+    empty when the document has fewer than ``n`` tokens.
+
+    SQL mirror (n=2): ``CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' ||
+    toks[i+2]) ELSE [] END`` (DuckDB ``range(k)`` is the list
+    [0..k), list indexing is 1-based — same shape as Spark's
+    ``sequence`` + ``element_at``).
+    """
+    g = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_tokens: int = 40, max_tokens: int = 100_000,
+                   min_mean_len: float = 2.0, max_mean_len: float = 12.0,
+                   min_alpha_frac: float = 0.8,
+                   min_stopwords: int = 2,
+                   max_symbol_ratio: float = 0.1,
+                   max_dup_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher-style document filter signals (Rae et al. 2021, public
+    rules): token-count bounds, mean word length bounds, fraction of
+    words containing an alphabetic character, stopword presence,
+    symbol-to-word ratio (``#`` / ``...`` tokens) and duplicate-bigram
+    fraction (the repetition signal), plus the conjunction verdict.
+
+    One codegen scan pass — every signal is a higher-order-function
+    fold over the once-bound token array (``bind_once``), no Python,
+    no shuffle: at 100 TB this is scan-bound with full column pruning,
+    and the verdict predicate pushes into downstream filters.  All
+    ratios are single int/int divisions → bit-identical across
+    engines; thresholds are compared in the same order in the SQL
+    mirror.
+    """
+    def _signals(t):
+        n = F.size(t)
+        nd = n.cast("double")
+        chars = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+        sym = F.size(F.filter(
+            t, lambda x: x.contains("#") | x.endswith("...")
+        ))
+        grams = ngrams_col(t, 2)
+        ng = F.size(grams)
+        dup_frac = F.when(
+            ng > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+            / ng.cast("double"),
+        ).otherwise(F.lit(0.0))
+        mean_len = chars / nd
+        passes = (
+            (n >= F.lit(min_tokens)) & (n <= F.lit(max_tokens))
+            & (mean_len >= F.lit(min_mean_len))
+            & (mean_len <= F.lit(max_mean_len))
+            & (alpha.cast("double") / nd >= F.lit(min_alpha_frac))
+            & (stop >= F.lit(min_stopwords))
+            & (sym.cast("double") / nd <= F.lit(max_symbol_ratio))
+            & (dup_frac <= F.lit(max_dup_bigram_frac))
+        )
+        return F.struct(
+            n.cast("long").alias("token_cnt"),
+            mean_len.alias("mean_word_len"),
+            (alpha.cast("double") / nd).alias("alpha_frac"),
+            stop.cast("long").alias("stopword_cnt"),
+            (sym.cast("double") / nd).alias("symbol_ratio"),
+            dup_frac.alias("dup_bigram_frac"),
+            passes.cast("int").alias("passes"),
+        )
+
+    s = bind_once(tokens_col(F.col(text_col)), _signals)
+    return docs.select(
+        F.col(id_col), s.alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.token_cnt").alias("token_cnt"),
+        F.col("_s.mean_word_len").alias("mean_word_len"),
+        F.col("_s.alpha_frac").alias("alpha_frac"),
+        F.col("_s.stopword_cnt").alias("stopword_cnt"),
+        F.col("_s.symbol_ratio").alias("symbol_ratio"),
+        F.col("_s.dup_bigram_frac").alias("dup_bigram_frac"),
+        F.col("_s.passes").alias("passes"),
+    )
+
+
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 5,
                group_col: str = "lang",
                text_col: str = "text") -> DataFrame:
@@ -260,18 +356,8 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 5,
     the ranked window runs over distinct n-grams only.  Ties break by
     n-gram string ascending — deterministic, mirrored in SQL.
     """
-    def _grams(t):
-        g = F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(t) >= n, g).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    grams = bind_once(tokens_col(F.col(text_col)), _grams)
+    grams = bind_once(tokens_col(F.col(text_col)),
+                      lambda t: ngrams_col(t, n))
     counts = (
         docs.select(F.col(group_col).alias("grp"),
                     F.explode(grams).alias("ngram"))

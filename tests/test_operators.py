@@ -462,3 +462,33 @@ def test_top_ngrams(spark):
         ("en", "a b", 3, 1),
         ("en", "b a", 1, 2),      # tie with "b c" → ngram asc wins
     ]
+
+
+def test_gopher_quality_signals_and_verdict(spark):
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    repetitive = "spam ham " * 40                # dup-bigram frac ~1
+    short = "the tiny one"                       # < min_tokens
+    symbols = ("the a " * 25) + "# " * 30        # symbol ratio > 0.1
+    rows = [(0, good), (1, repetitive), (2, short), (3, symbols)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.gopher_quality(df).collect()}
+    assert got[0].passes == 1
+    assert got[1].passes == 0 and got[1].dup_bigram_frac > 0.9
+    assert got[2].passes == 0 and got[2].token_cnt == 3
+    assert got[3].passes == 0 and got[3].symbol_ratio > 0.1
+    # signal sanity on the good doc
+    assert got[0].alpha_frac == 1.0
+    assert got[0].stopword_cnt >= 2
+    assert 2.0 <= got[0].mean_word_len <= 12.0
+
+
+def test_gopher_quality_pure_codegen(spark):
+    # one scan pass, no Python eval of any flavor in the plan
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = textops.gopher_quality(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
