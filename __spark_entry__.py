@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_sample_stratified": _q_sample_stratified,
         "t08_top_ngrams": _q_top_ngrams,
         "t09_text_gopher": _q_text_gopher,
+        "p01_clean_corpus": _q_clean_corpus,
     }
 
 
@@ -549,6 +550,36 @@ _TOKS = (
 _CENTS = "floor({x} * 100 + 0.5)::BIGINT"
 
 _STOPWORDS_SQL = "['" + "','".join(textops.EN_STOPWORDS) + "']"
+
+# Gopher signal columns over a CTE ``s(doc_id, text, toks)`` — shared
+# by t09 (standalone signals) and p01 (clean-corpus pipeline) so the
+# two mirrors cannot drift.
+_GOPHER_M_COLS = f"""
+                     len(toks)::BIGINT AS token_cnt,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(toks, t -> length(t)::BIGINT)),
+                       (a, b) -> a + b)::DOUBLE AS chars,
+                     len(list_filter(toks,
+                       t -> regexp_matches(t, '[a-z]')))::DOUBLE AS alpha,
+                     len(list_filter(toks,
+                       t -> list_contains({_STOPWORDS_SQL}, t))
+                     )::BIGINT AS stop_cnt,
+                     len(list_filter(toks,
+                       t -> contains(t, '#') OR ends_with(t, '...')
+                     ))::DOUBLE AS sym,
+                     list_transform(range(len(toks) - 1),
+                       i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams"""
+_GOPHER_DUP_SQL = """CASE WHEN len(bigrams) > 0 THEN
+                       1.0 - len(list_distinct(bigrams))::DOUBLE
+                             / len(bigrams)::DOUBLE
+                     ELSE 0.0 END"""
+_GOPHER_PASS_SQL = """token_cnt >= 40 AND token_cnt <= 100000
+                         AND chars / token_cnt >= 2.0
+                         AND chars / token_cnt <= 12.0
+                         AND alpha / token_cnt >= 0.8
+                         AND stop_cnt >= 2
+                         AND sym / token_cnt <= 0.1
+                         AND dup_frac <= 0.2"""
 
 _LANG_LISTS_SQL = {
     lang: "['" + "','".join(words) + "']"
@@ -778,6 +809,16 @@ def _q_text_gopher(spark, sf_dir):
         F.round("symbol_ratio", 9).alias("symbol_ratio"),
         F.round("dup_bigram_frac", 9).alias("dup_bigram_frac"),
         "passes",
+    )
+
+
+def _q_clean_corpus(spark, sf_dir):
+    # end-to-end cleaning pipeline: one scan pass, gate before the
+    # single (content-hash) shuffle
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
 
 
@@ -1138,28 +1179,11 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents
             ), m AS (
-              SELECT doc_id,
-                     len(toks)::BIGINT AS token_cnt,
-                     list_reduce(list_prepend(0::BIGINT,
-                       list_transform(toks, t -> length(t)::BIGINT)),
-                       (a, b) -> a + b)::DOUBLE AS chars,
-                     len(list_filter(toks,
-                       t -> regexp_matches(t, '[a-z]')))::DOUBLE AS alpha,
-                     len(list_filter(toks,
-                       t -> list_contains({_STOPWORDS_SQL}, t))
-                     )::BIGINT AS stop_cnt,
-                     len(list_filter(toks,
-                       t -> contains(t, '#') OR ends_with(t, '...')
-                     ))::DOUBLE AS sym,
-                     list_transform(range(len(toks) - 1),
-                       i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams
+              SELECT doc_id,{_GOPHER_M_COLS}
               FROM s
             ), g AS (
               SELECT doc_id, token_cnt, chars, alpha, stop_cnt, sym,
-                     CASE WHEN len(bigrams) > 0 THEN
-                       1.0 - len(list_distinct(bigrams))::DOUBLE
-                             / len(bigrams)::DOUBLE
-                     ELSE 0.0 END AS dup_frac
+                     {_GOPHER_DUP_SQL} AS dup_frac
               FROM m
             )
             SELECT doc_id, token_cnt,
@@ -1168,14 +1192,38 @@ def oracle_sql() -> dict[str, str]:
                    stop_cnt AS stopword_cnt,
                    round(sym / token_cnt, 9) AS symbol_ratio,
                    round(dup_frac, 9) AS dup_bigram_frac,
-                   (CASE WHEN token_cnt >= 40 AND token_cnt <= 100000
-                         AND chars / token_cnt >= 2.0
-                         AND chars / token_cnt <= 12.0
-                         AND alpha / token_cnt >= 0.8
-                         AND stop_cnt >= 2
-                         AND sym / token_cnt <= 0.1
-                         AND dup_frac <= 0.2
+                   (CASE WHEN {_GOPHER_PASS_SQL}
                     THEN 1 ELSE 0 END)::INTEGER AS passes
             FROM g
+        """,
+        # p01: the end-to-end clean-corpus pipeline — Gopher gate,
+        # exact dedup keeping the smallest doc_id per content hash,
+        # stopword-ratio language guess, rolling-hash fingerprint
+        "p01_clean_corpus": f"""
+            WITH s AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, text,{_GOPHER_M_COLS},
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(toks,
+                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 2147483647
+                     ) AS fingerprint
+              FROM s
+            ), g AS (
+              SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
+            ), p AS (
+              SELECT * FROM g WHERE {_GOPHER_PASS_SQL}
+            ), k AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+              ) AS rn FROM p
+            )
+            SELECT doc_id,
+                   CASE WHEN stop_cnt::DOUBLE / token_cnt::DOUBLE >= 0.04
+                        THEN 'en' ELSE 'und' END AS guessed_lang,
+                   token_cnt,
+                   fingerprint
+            FROM k WHERE rn = 1
         """,
     }

@@ -268,14 +268,58 @@ def ngrams_col(t: Column, n: int) -> Column:
     )
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id",
+def gopher_signals(t: Column,
                    min_tokens: int = 40, max_tokens: int = 100_000,
                    min_mean_len: float = 2.0, max_mean_len: float = 12.0,
                    min_alpha_frac: float = 0.8,
                    min_stopwords: int = 2,
                    max_symbol_ratio: float = 0.1,
-                   max_dup_bigram_frac: float = 0.2) -> DataFrame:
+                   max_dup_bigram_frac: float = 0.2) -> Column:
+    """Struct of Gopher filter signals + verdict from a token-array
+    column (use inside ``bind_once`` so the tokenizer runs once).
+    Shared by the standalone ``gopher_quality`` operator and the
+    ``clean_corpus`` pipeline."""
+    n = F.size(t)
+    nd = n.cast("double")
+    chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    sym = F.size(F.filter(
+        t, lambda x: x.contains("#") | x.endswith("...")
+    ))
+    grams = ngrams_col(t, 2)
+    ng = F.size(grams)
+    dup_frac = F.when(
+        ng > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+        / ng.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_len = chars / nd
+    passes = (
+        (n >= F.lit(min_tokens)) & (n <= F.lit(max_tokens))
+        & (mean_len >= F.lit(min_mean_len))
+        & (mean_len <= F.lit(max_mean_len))
+        & (alpha.cast("double") / nd >= F.lit(min_alpha_frac))
+        & (stop >= F.lit(min_stopwords))
+        & (sym.cast("double") / nd <= F.lit(max_symbol_ratio))
+        & (dup_frac <= F.lit(max_dup_bigram_frac))
+    )
+    return F.struct(
+        n.cast("long").alias("token_cnt"),
+        mean_len.alias("mean_word_len"),
+        (alpha.cast("double") / nd).alias("alpha_frac"),
+        stop.cast("long").alias("stopword_cnt"),
+        (sym.cast("double") / nd).alias("symbol_ratio"),
+        dup_frac.alias("dup_bigram_frac"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   **thresholds) -> DataFrame:
     """Gopher-style document filter signals (Rae et al. 2021, public
     rules): token-count bounds, mean word length bounds, fraction of
     words containing an alphabetic character, stopword presence,
@@ -290,45 +334,8 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     engines; thresholds are compared in the same order in the SQL
     mirror.
     """
-    def _signals(t):
-        n = F.size(t)
-        nd = n.cast("double")
-        chars = F.aggregate(
-            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
-        stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
-        sym = F.size(F.filter(
-            t, lambda x: x.contains("#") | x.endswith("...")
-        ))
-        grams = ngrams_col(t, 2)
-        ng = F.size(grams)
-        dup_frac = F.when(
-            ng > 0,
-            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
-            / ng.cast("double"),
-        ).otherwise(F.lit(0.0))
-        mean_len = chars / nd
-        passes = (
-            (n >= F.lit(min_tokens)) & (n <= F.lit(max_tokens))
-            & (mean_len >= F.lit(min_mean_len))
-            & (mean_len <= F.lit(max_mean_len))
-            & (alpha.cast("double") / nd >= F.lit(min_alpha_frac))
-            & (stop >= F.lit(min_stopwords))
-            & (sym.cast("double") / nd <= F.lit(max_symbol_ratio))
-            & (dup_frac <= F.lit(max_dup_bigram_frac))
-        )
-        return F.struct(
-            n.cast("long").alias("token_cnt"),
-            mean_len.alias("mean_word_len"),
-            (alpha.cast("double") / nd).alias("alpha_frac"),
-            stop.cast("long").alias("stopword_cnt"),
-            (sym.cast("double") / nd).alias("symbol_ratio"),
-            dup_frac.alias("dup_bigram_frac"),
-            passes.cast("int").alias("passes"),
-        )
-
-    s = bind_once(tokens_col(F.col(text_col)), _signals)
+    s = bind_once(tokens_col(F.col(text_col)),
+                  lambda t: gopher_signals(t, **thresholds))
     return docs.select(
         F.col(id_col), s.alias("_s")
     ).select(
@@ -384,6 +391,16 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
+def fingerprint_col(t: Column) -> Column:
+    """Rolling-hash fold over a token-array column (see
+    ``fingerprint``)."""
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + token_hash(x)) % F.lit(FP_MOD),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint (token-level Karp-Rabin fold):
@@ -394,10 +411,5 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     scale (one fold per document, no shuffle).  SQL mirror uses
     ``list_reduce`` with the same fold.
     """
-    t = tokens_col(F.col(text_col))
-    fp = F.aggregate(
-        t,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * F.lit(31) + token_hash(x)) % F.lit(FP_MOD),
-    )
+    fp = fingerprint_col(tokens_col(F.col(text_col)))
     return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -492,3 +492,27 @@ def test_gopher_quality_pure_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_clean_corpus_pipeline(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    rows = [
+        (0, good),                 # survives
+        (1, good),                 # exact dup of 0 -> dropped (min id wins)
+        (2, "the tiny one"),       # fails gopher (short) -> dropped
+        (3, good + " extra"),      # survives (distinct content)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_corpus(df).collect()}
+    assert sorted(got) == [0, 3]
+    assert got[0].guessed_lang == "en"      # 6/50 stopwords >= 0.04
+    assert got[0].token_cnt == 50
+    # fingerprint matches the standalone operator on the same doc
+    fp = {r.doc_id: r.fingerprint
+          for r in textops.fingerprint(df).collect()}
+    assert got[0].fingerprint == fp[0]
+    assert got[3].fingerprint == fp[3]

@@ -184,3 +184,18 @@ def test_top_ngrams_tokenizes_once_per_row(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(top_ngrams(docs, n=2, k=5, group_col="lang"))
     assert plan.count("regexp_replace") == 1
+
+
+def test_p01_clean_corpus_single_scan_single_shuffle(spark):
+    # the pipeline's whole pre-shuffle body is one codegen scan pass:
+    # no Python eval, exactly one Exchange (the content-hash dedup),
+    # partitioned window only, and the gopher gate sits BELOW it
+    plan = _plan(em.queries()["p01_clean_corpus"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg
