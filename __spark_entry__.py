@@ -530,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_top_ngrams": _q_top_ngrams,
         "t09_text_gopher": _q_text_gopher,
         "p01_clean_corpus": _q_clean_corpus,
+        "d07_span_dupfrac": _q_span_dupfrac,
+        "p02_pack_sequences": _q_pack_sequences,
     }
 
 
@@ -820,6 +822,27 @@ def _q_clean_corpus(spark, sf_dir):
     return clean_corpus(_t(spark, sf_dir, "documents")).select(
         "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
+
+
+def _q_span_dupfrac(spark, sf_dir):
+    # corpus-duplicated 3-token-span fraction (position-level exact
+    # substring-dedup signal) per document
+    from hepcrawl_spark.operators.dedup import span_dupfrac
+
+    return span_dupfrac(
+        _t(spark, sf_dir, "documents"), w=3, min_count=2
+    ).select("doc_id", "span_cnt", "dup_spans", "dup_frac")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # context-window packing layout via the exact two-phase global
+    # cumsum (no unpartitioned window)
+    from hepcrawl_spark.operators.corpus import pack_sequences
+
+    out = pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=512
+    ).select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    return out
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1225,5 +1248,52 @@ def oracle_sql() -> dict[str, str]:
                    token_cnt,
                    fingerprint
             FROM k WHERE rn = 1
+        """,
+        # d07: position-level corpus-duplicated span fraction — every
+        # 3-token span (non-distinct, one per token position) counted
+        # corpus-wide; span duplicated when total occurrences >= 2
+        "d07_span_dupfrac": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sp AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), freq AS (
+              SELECT s, count(*) AS f FROM sp GROUP BY s
+            ), per AS (
+              SELECT sp.doc_id, count(*)::BIGINT AS span_cnt,
+                     sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS dup_spans
+              FROM sp JOIN freq USING (s) GROUP BY sp.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.span_cnt, 0)::BIGINT AS span_cnt,
+                   COALESCE(per.dup_spans, 0)::BIGINT AS dup_spans,
+                   CASE WHEN COALESCE(per.span_cnt, 0) > 0
+                        THEN round(per.dup_spans::DOUBLE
+                                   / per.span_cnt::DOUBLE, 9)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # p02: packed-sequence layout — exclusive global running token
+        # count in doc_id order cut into capacity-512 sequences (the
+        # Spark side computes the same prefix two-phase, no global
+        # window)
+        "p02_pack_sequences": f"""
+            WITH s AS (
+              SELECT doc_id, len({_TOKS})::BIGINT AS token_cnt
+              FROM documents
+            ), c AS (
+              SELECT doc_id, token_cnt,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM s
+            )
+            SELECT doc_id, token_cnt,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
         """,
     }

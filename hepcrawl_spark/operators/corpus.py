@@ -18,7 +18,7 @@ row_number window partitioned by that hash (never a global window).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import (
@@ -27,6 +27,94 @@ from .textops import (
     gopher_signals,
     tokens_col,
 )
+
+
+def two_phase_cumsum(df: DataFrame, value_col: str,
+                     order_cols: list[Column],
+                     out_col: str = "prev",
+                     n_buckets: int | None = None) -> DataFrame:
+    """Exact EXCLUSIVE global running sum of ``value_col`` in
+    ``order_cols`` order, without an unpartitioned window — the
+    skew-safe recipe shared with the frontier
+    (``frontier/rounds.py _expand_children``,
+    ``politeness.per_host_rank``): range-partition on the sort key,
+    cumulate within each range bucket, re-base with the prefix of
+    per-bucket totals via a triangular join over the ≤ n_buckets
+    totals.  The bucketed frame is persisted because three branches
+    consume it (cumsum, totals, totals for the prefix) — without one
+    physical plan each branch would sample its own range boundaries
+    and the bucket ids would silently diverge.  Caller unpersists via
+    the ``_cumsum_cache`` attribute on the result after
+    materializing.
+    """
+    if n_buckets is None:
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    bucketed = (
+        df.repartitionByRange(n_buckets, *order_cols)
+        .withColumn("_bkt", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("_bkt").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_lcum", F.coalesce(F.sum(value_col).over(w_local),
+                            F.lit(0).cast("long"))
+    )
+    totals = bucketed.groupBy("_bkt").agg(
+        F.sum(value_col).alias("_btot")
+    )
+    bases = (
+        totals.alias("ta")
+        .join(totals.alias("tb"), F.col("tb._bkt") < F.col("ta._bkt"),
+              "left")
+        .groupBy(F.col("ta._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("tb._btot"), F.lit(0)).alias("_bbase"))
+    )
+    out = (
+        local.join(F.broadcast(bases), on="_bkt")
+        .withColumn(out_col, F.col("_bbase") + F.col("_lcum"))
+        .drop("_bkt", "_lcum", "_bbase")
+    )
+    out._cumsum_cache = bucketed
+    return out
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 512,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Context-window packing: lay the corpus out as one deterministic
+    token stream (doc order = ``id_col`` ascending) cut into
+    fixed-``capacity`` training sequences; each document gets the
+    sequence id and intra-sequence offset where its first token lands
+    (documents longer than the remaining room straddle into the next
+    sequence — the standard "packed" LM-pretraining layout, no
+    padding waste).
+
+    The only global state is the exclusive running token count, which
+    is computed with ``two_phase_cumsum`` — range buckets + prefix
+    re-base, never a single-task window — so the layout is exact AND
+    every stage spreads across the cluster.  One scan pass computes
+    token counts (codegen fold over a once-bound token array).
+    """
+    counts = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long")
+        .alias("token_cnt"),
+    )
+    c = two_phase_cumsum(
+        counts, "token_cnt", [F.col(id_col).asc()], out_col="_prev"
+    )
+    out = c.select(
+        id_col,
+        "token_cnt",
+        F.expr(f"_prev div {capacity}").alias("seq_id"),
+        F.pmod(F.col("_prev"), F.lit(capacity)).cast("long")
+        .alias("seq_offset"),
+    )
+    out._cumsum_cache = c._cumsum_cache
+    return out
 
 
 def clean_corpus(docs: DataFrame, text_col: str = "text",

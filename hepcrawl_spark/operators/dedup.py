@@ -120,6 +120,71 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document corpus-duplicated span fraction: for every token
+    position, the ``w``-token span starting there is "duplicated" when
+    the same span occurs ≥ ``min_count`` times across the WHOLE corpus
+    (within-doc repeats included — position-level counting, the
+    public exact-substring-dedup signal of Lee et al. 2022, here at
+    fixed span width so it stays a linear scan instead of a suffix
+    array).  Returns (id, span_cnt, dup_spans, dup_frac).
+
+    Plan shape at 100 TB: spans explode once from a once-bound token
+    array; corpus frequencies come from a hash groupBy (map-side
+    partial agg — a stop-span appearing everywhere partial-aggregates
+    per task, so no hot-key task exists at the count).  The flag join
+    back on the span IS hot-key-skewed by construction; it is left to
+    AQE skew-join splitting rather than a window
+    (``count() over (partition by span)`` would funnel every
+    occurrence of a stop-span through one task — the exact hazard the
+    groupBy avoids).  Docs shorter than ``w`` tokens report zero
+    spans and dup_frac 0.0.
+    """
+    def _spans(t):
+        return F.when(
+            F.size(t) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - w),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(w)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sp = docs.select(
+        F.col(id_col),
+        F.explode_outer(bind_once(tokens_col(F.col(text_col)), _spans))
+        .alias("_span"),
+    )
+    freq = (
+        sp.filter(F.col("_span").isNotNull())
+        .groupBy("_span").agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    return (
+        sp.join(freq, on="_span", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_span").alias("span_cnt"),
+            F.coalesce(
+                F.sum((F.col("_freq") >= min_count).cast("long")),
+                F.lit(0),
+            ).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("span_cnt") > 0,
+                F.round(
+                    F.col("dup_spans").cast("double")
+                    / F.col("span_cnt").cast("double"), 9
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text",
                         id_col: str = "doc_id",

@@ -516,3 +516,82 @@ def test_clean_corpus_pipeline(spark):
           for r in textops.fingerprint(df).collect()}
     assert got[0].fingerprint == fp[0]
     assert got[3].fingerprint == fp[3]
+
+
+def test_span_dupfrac(docs):
+    # fixture spans (w=3): docs 0 and 3 are identical (9 tokens -> 7
+    # spans, all duplicated); doc 1 shares its first 6 spans with
+    # 0/3 ("the quick brown" ... "over the lazy") but not the last
+    # ("the lazy cat"); docs 2 and 4 share nothing
+    got = {r.doc_id: r for r in dedup.span_dupfrac(docs, w=3).collect()}
+    assert got[0].span_cnt == 7 and got[0].dup_spans == 7
+    assert got[0].dup_frac == 1.0
+    assert got[3].dup_spans == 7
+    assert got[1].span_cnt == 7 and got[1].dup_spans == 6
+    assert got[1].dup_frac == round(6 / 7, 9)
+    assert got[2].dup_spans == 0 and got[4].dup_spans == 0
+    # within-doc repeats count toward corpus frequency
+    rep = docs.sparkSession.createDataFrame(
+        [(0, "a b c a b c"), (1, "x y z w v u")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in dedup.span_dupfrac(rep, w=3).collect()}
+    assert r[0].span_cnt == 4 and r[0].dup_spans == 2  # "a b c" twice
+    assert r[1].dup_spans == 0
+    # shorter than w -> zero spans, zero frac
+    tiny = docs.sparkSession.createDataFrame(
+        [(0, "a b")], "doc_id long, text string")
+    t = dedup.span_dupfrac(tiny, w=3).collect()[0]
+    assert t.span_cnt == 0 and t.dup_frac == 0.0
+
+
+def test_pack_sequences_exact_layout(spark):
+    from hepcrawl_spark.operators.corpus import pack_sequences
+
+    # token counts: 3, 4, 5, 2, 6 -> exclusive prefix 0, 3, 7, 12, 14
+    rows = [
+        (10, "a b c"),
+        (20, "a b c d"),
+        (30, "a b c d e"),
+        (40, "a b"),
+        (50, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=8)
+    got = {r.doc_id: r for r in out.collect()}
+    out._cumsum_cache.unpersist()
+    assert (got[10].seq_id, got[10].seq_offset) == (0, 0)
+    assert (got[20].seq_id, got[20].seq_offset) == (0, 3)
+    assert (got[30].seq_id, got[30].seq_offset) == (0, 7)  # straddles
+    assert (got[40].seq_id, got[40].seq_offset) == (1, 4)
+    assert (got[50].seq_id, got[50].seq_offset) == (1, 6)
+
+
+def test_pack_sequences_matches_single_window(spark):
+    # the two-phase prefix must equal the plain global-window cumsum
+    # on a corpus large enough to span many range buckets
+    from pyspark.sql import Window
+
+    from hepcrawl_spark.operators.corpus import pack_sequences
+    from hepcrawl_spark.operators.textops import tokens_col
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, capacity=512)
+    got = {r.doc_id: (r.seq_id, r.seq_offset) for r in out.collect()}
+    out._cumsum_cache.unpersist()
+    ref = (
+        docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long")
+            .alias("token_cnt"))
+        .withColumn("prev", F.coalesce(F.sum("token_cnt").over(
+            Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+        .select("doc_id",
+                F.expr("prev div 512").alias("seq_id"),
+                F.pmod("prev", F.lit(512)).cast("long")
+                .alias("seq_offset"))
+    )
+    want = {r.doc_id: (r.seq_id, r.seq_offset) for r in ref.collect()}
+    assert got == want

@@ -199,3 +199,29 @@ def test_p01_clean_corpus_single_scan_single_shuffle(spark):
     for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
         first_arg = m.group(1)
         assert " ASC" not in first_arg and " DESC" not in first_arg
+
+
+def test_p02_pack_no_unpartitioned_window(spark):
+    # the packing layout's only window is the within-range-bucket
+    # cumsum (partitioned by _bkt); the global prefix is the
+    # triangular join over bucket totals, and token counting is pure
+    # codegen (no Python eval anywhere)
+    import re
+
+    plan = _plan(em.queries()["p02_pack_sequences"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg
+
+
+def test_d07_span_dupfrac_partial_agg_no_python(spark):
+    # span frequencies come from a hash groupBy with map-side partial
+    # aggregation (never a per-span window that would funnel a hot
+    # stop-span through one task); spans explode from one codegen pass
+    plan = _plan(em.queries()["d07_span_dupfrac"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
