@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p01_clean_corpus": _q_clean_corpus,
         "d07_span_dupfrac": _q_span_dupfrac,
         "p02_pack_sequences": _q_pack_sequences,
+        "t10_unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -843,6 +844,14 @@ def _q_pack_sequences(spark, sf_dir):
         _t(spark, sf_dir, "documents"), capacity=512
     ).select("doc_id", "token_cnt", "seq_id", "seq_offset")
     return out
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    # corpus-LM (unigram) mean log-likelihood per document — the
+    # perplexity-filter signal at unigram order
+    return textops.unigram_logprob(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "token_cnt", "mean_logprob")
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1295,5 +1304,23 @@ def oracle_sql() -> dict[str, str]:
                    (prev // 512)::BIGINT AS seq_id,
                    (prev % 512)::BIGINT AS seq_offset
             FROM c
+        """,
+        # t10: mean unigram log-likelihood under the corpus's own
+        # token distribution (rounded to 6: ln is libm-dependent in
+        # the last double digits, unlike the exact-arithmetic
+        # signals)
+        "t10_unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS total FROM freq
+            )
+            SELECT doc_id, count(*)::BIGINT AS token_cnt,
+                   round(avg(ln(cnt::DOUBLE / total)), 6)
+                     AS mean_logprob
+            FROM toks JOIN freq USING (tok), tot
+            GROUP BY doc_id
         """,
     }

@@ -413,3 +413,43 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     """
     fp = fingerprint_col(tokens_col(F.col(text_col)))
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    empirical token distribution — the unigram-order version of the
+    public perplexity-filtering signal (CCNet / Wenzek et al. 2020):
+    documents whose tokens are improbable under the corpus LM score
+    low (gibberish, boilerplate soup); probable prose scores high.
+
+        score(d) = mean over tokens t of ln(count(t) / total_tokens)
+
+    Plan shape at 100 TB: token frequencies are one hash groupBy with
+    map-side partial aggregation; the total is a broadcast one-row
+    aggregate (never a driver collect); the score join back on the
+    token is AQE-skew-split (a stop-token's rows spread across
+    splits — no per-token window).  Rounded to 6 decimals: the fold
+    crosses ``ln`` so the last few double digits are libm-dependent,
+    unlike the exact-arithmetic signals that round to 9.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    )
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    return (
+        toks.join(freq, on="_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("token_cnt"),
+            F.round(
+                F.avg(
+                    F.log(F.col("_cnt").cast("double")
+                          / F.col("_total").cast("double"))
+                ), 6
+            ).alias("mean_logprob"),
+        )
+    )

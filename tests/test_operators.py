@@ -595,3 +595,20 @@ def test_pack_sequences_matches_single_window(spark):
     )
     want = {r.doc_id: (r.seq_id, r.seq_offset) for r in ref.collect()}
     assert got == want
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    rows = [(0, "a a b"), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus counts: a=3, b=2, c=1, total=6
+    got = {r.doc_id: r for r in
+           textops.unigram_logprob(df).collect()}
+    want0 = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    want1 = (math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert got[0].token_cnt == 3
+    assert got[0].mean_logprob == round(want0, 6)
+    assert got[1].mean_logprob == round(want1, 6)
+    # common-token doc scores higher than rare-token doc
+    assert got[0].mean_logprob > got[1].mean_logprob

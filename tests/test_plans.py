@@ -225,3 +225,14 @@ def test_d07_span_dupfrac_partial_agg_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "windowspecdefinition" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_t10_unigram_logprob_partial_agg_no_window(spark):
+    # frequencies and the total are aggregates (map-side partial),
+    # the total rides a broadcast cross join, and nothing drops to
+    # Python or a per-token window
+    plan = _plan(em.queries()["t10_unigram_logprob"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
