@@ -193,6 +193,61 @@ def lsh_growth(cpus: int = 32) -> dict:
             ),
             "sec": round(time.time() - t0, 3),
         }
+
+    # Production-regime recall: the synthetic corpus has NO pairs at
+    # real near-dup thresholds (max natural cosine < 0.9), so plant a
+    # deterministic truth set — every 10th vector gets a perturbed
+    # twin at cosine ≈ 0.95 (orthogonalized fixed-seed direction,
+    # ε = sqrt(1/0.95² − 1)) — and measure the banding's recall on
+    # the planted pairs at each plane count.  This is the regime the
+    # neardup_pairs docstring prescribes r = 8-16 for: p = 1−θ/π ≈
+    # 0.9, so recall 1−(1−p^r)^b stays near 1 while random-pair
+    # candidates collapse as ~b·2^−r.
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = emb.orderBy("vec_id").limit(2000).collect()
+    ids = np.array([r.vec_id for r in base], dtype=np.int64)
+    V = np.array([r.embedding for r in base], dtype=np.float64)
+    pick = np.arange(0, len(V), 10)
+    eps = float(np.sqrt(1.0 / 0.95 ** 2 - 1.0))
+    W = rng.standard_normal((len(pick), V.shape[1]))
+    Vp = V[pick]
+    # orthogonalize the perturbation against each base vector so the
+    # planted cosine is exactly 1/sqrt(1+ε²) = 0.95
+    W -= (np.einsum("ij,ij->i", W, Vp)
+          / np.einsum("ij,ij->i", Vp, Vp))[:, None] * Vp
+    W *= (np.linalg.norm(Vp, axis=1)
+          / np.linalg.norm(W, axis=1))[:, None] * eps
+    twin_ids = ids.max() + 1 + np.arange(len(pick))
+    planted = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in
+         zip(ids, V)] +
+        [(int(i), [float(x) for x in v]) for i, v in
+         zip(twin_ids, Vp + W)],
+        "vec_id long, embedding array<double>",
+    ).repartition(par).persist()
+    prod_true = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs(planted, threshold=0.9,
+                               bucketed=False).collect()
+    }
+    planted_sweep = {}
+    for r_planes in (4, 8, 12):
+        cands = srp_candidate_pairs(planted, band_planes=r_planes,
+                                    n_bands=12)
+        got = {(x.id_a, x.id_b) for x in cands.collect()}
+        n_all = planted.count()
+        planted_sweep[r_planes] = {
+            "candidates": len(got),
+            "fraction_of_all_pairs": round(
+                len(got) / (n_all * (n_all - 1) // 2), 4),
+            "recall_at_tau0.9": (
+                round(len(got & prod_true) / len(prod_true), 4)
+                if prod_true else None
+            ),
+        }
+    planted.unpersist()
     emb.unpersist()
     spark.stop()
 
@@ -229,6 +284,18 @@ def lsh_growth(cpus: int = 32) -> dict:
         "srp_prunes_with_band_planes": bool(
             sweep[12]["candidates"] < sweep[8]["candidates"]
             < sweep[4]["candidates"]
+        ),
+        "srp_planted_tau0.9_sweep": planted_sweep,
+        "n_planted_true_pairs": len(prod_true),
+        # the production story: at a realistic near-dup threshold
+        # (planted cos≈0.95 twins) the pruned banding keeps
+        # (near-)full recall while the candidate set collapses to a
+        # few percent of all pairs
+        "srp_production_recall_holds": bool(
+            prod_true
+            and planted_sweep[8]["recall_at_tau0.9"] is not None
+            and planted_sweep[8]["recall_at_tau0.9"] >= 0.95
+            and planted_sweep[8]["fraction_of_all_pairs"] <= 0.1
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
