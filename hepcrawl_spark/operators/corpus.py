@@ -117,6 +117,44 @@ def pack_sequences(docs: DataFrame, capacity: int = 512,
     return out
 
 
+def gated_docs(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               lang_threshold: float = 0.04,
+               **gopher_thresholds) -> DataFrame:
+    """The stateless body shared by ``clean_corpus`` (batch) and
+    ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
+    computes every per-doc signal from a once-bound token array, and
+    the Gopher verdict filters immediately — before any shuffle or
+    stateful stage downstream.  Returns (id, _md5, guessed_lang,
+    token_cnt, fingerprint) for gate survivors only.
+    """
+    sig = bind_once(
+        tokens_col(F.col(text_col)),
+        lambda t: F.struct(
+            gopher_signals(t, **gopher_thresholds).alias("g"),
+            fingerprint_col(t).alias("fp"),
+        ),
+    )
+    ratio = (F.col("_s.g.stopword_cnt").cast("double")
+             / F.col("_s.g.token_cnt").cast("double"))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("_md5"),
+            sig.alias("_s"),
+        )
+        .filter(F.col("_s.g.passes") == 1)
+        .select(
+            id_col,
+            "_md5",
+            F.when(ratio >= F.lit(lang_threshold), F.lit("en"))
+             .otherwise(F.lit("und")).alias("guessed_lang"),
+            F.col("_s.g.token_cnt").alias("token_cnt"),
+            F.col("_s.fp").alias("fingerprint"),
+        )
+    )
+
+
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  lang_threshold: float = 0.04,
@@ -130,32 +168,12 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     (stopword_cnt / token_cnt) so the token array is folded exactly
     once per document.
     """
-    sig = bind_once(
-        tokens_col(F.col(text_col)),
-        lambda t: F.struct(
-            gopher_signals(t, **gopher_thresholds).alias("g"),
-            fingerprint_col(t).alias("fp"),
-        ),
-    )
-    base = (
-        docs.select(
-            F.col(id_col),
-            F.md5(F.col(text_col)).alias("_md5"),
-            sig.alias("_s"),
-        )
-        .filter(F.col("_s.g.passes") == 1)
-    )
+    base = gated_docs(docs, text_col=text_col, id_col=id_col,
+                      lang_threshold=lang_threshold,
+                      **gopher_thresholds)
     w = Window.partitionBy("_md5").orderBy(F.col(id_col).asc())
-    ratio = (F.col("_s.g.stopword_cnt").cast("double")
-             / F.col("_s.g.token_cnt").cast("double"))
     return (
         base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            F.when(ratio >= F.lit(lang_threshold), F.lit("en"))
-             .otherwise(F.lit("und")).alias("guessed_lang"),
-            F.col("_s.g.token_cnt").alias("token_cnt"),
-            F.col("_s.fp").alias("fingerprint"),
-        )
+        .select(id_col, "guessed_lang", "token_cnt", "fingerprint")
     )

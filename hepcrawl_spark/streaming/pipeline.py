@@ -215,6 +215,78 @@ def stream_schedule(cand_stream: DataFrame, checkpoint: str,
     return writer.start()
 
 
+CLEAN_CORPUS_OUTPUT_SCHEMA = ("doc_id long, guessed_lang string, "
+                              "token_cnt long, fingerprint long")
+CLEAN_CORPUS_STATE_SCHEMA = "fps array<long>"
+
+
+def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
+                        lang_threshold: float = 0.04,
+                        **gopher_thresholds) -> DataFrame:
+    """Continuous corpus cleaning — the streaming peer of
+    ``operators.corpus.clean_corpus`` for an always-ingesting crawl:
+    the stateless body (Gopher gate + language guess + fingerprint,
+    one codegen pass via the SHARED ``gated_docs``) runs per
+    micro-batch, and the exact content dedup becomes
+    ``applyInPandasWithState`` keyed on a content-hash shard — a
+    document admitted in batch 3 suppresses its duplicate in batch
+    300, surviving restarts through the state store (same shape as
+    ``stream_unseen``'s exact mode).
+
+    Within a chunk the smallest ``doc_id`` wins, matching the batch
+    operator's survivor rule.  State per shard is the 8-byte content
+    fingerprint set (corpus/num_shards keys); for 10^10-document
+    state swap in the cuckoo-blob variant exactly as the seen gate
+    does.  Because the Gopher gate sits BEFORE the stateful exchange,
+    only surviving documents shuffle — identical to the batch plan's
+    gate-below-the-Exchange shape.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.corpus import gated_docs
+
+    base = gated_docs(docs_stream, lang_threshold=lang_threshold,
+                      **gopher_thresholds)
+    # 64-bit content fingerprint from the md5 the gate already
+    # computed (same 60-bit-prefix construction as token_hash)
+    keyed = base.select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint",
+        F.conv(F.substring("_md5", 1, 15), 16, 10).cast("long")
+        .alias("_cfp"),
+    )
+
+    def _dedup(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")  # min doc_id wins
+            keep = []
+            for cfp in pdf["_cfp"]:
+                cfp = int(cfp)
+                if cfp in seen:
+                    keep.append(False)
+                else:
+                    seen.add(cfp)
+                    keep.append(True)
+            out = pdf[keep][["doc_id", "guessed_lang", "token_cnt",
+                             "fingerprint"]]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return (
+        keyed
+        .withColumn("_shard", F.pmod(F.col("_cfp"), F.lit(num_shards)))
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _dedup,
+            outputStructType=CLEAN_CORPUS_OUTPUT_SCHEMA,
+            stateStructType=CLEAN_CORPUS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_host_stats(pages_stream: DataFrame,
                       window: str = "1 minute",
                       watermark: str = "10 minutes") -> DataFrame:

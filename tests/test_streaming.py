@@ -187,3 +187,61 @@ def test_stream_schedule_politeness_across_microbatches(spark, tmp_path):
     # batch-2 url waits for the carried offset (4.0), never early
     h1 = sorted(by_host["h1.x"])
     assert h1 == [0.0, 0.0, 2.0, 4.0]
+
+
+def test_stream_clean_corpus_dedup_across_microbatches(spark, tmp_path):
+    """Continuous corpus cleaning: the Gopher gate drops junk inside
+    each micro-batch, and a duplicate of a batch-1 document arriving
+    in batch 2 is suppressed by the content-hash GroupState; the
+    admitted rows equal the batch clean_corpus over the union."""
+    from hepcrawl_spark.operators.corpus import clean_corpus
+    from hepcrawl_spark.streaming.pipeline import stream_clean_corpus
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    other = " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(60)
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = []
+
+    schema = "doc_id long, text string"
+    # batch 1: good doc + junk; batch 2: dup of the good doc + new doc
+    spark.createDataFrame(
+        [(0, good), (1, "the tiny one")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, good), (3, other)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_clean_corpus(stream, num_shards=4)
+        .writeStream
+        .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in sink}
+    assert sorted(got) == [0, 3]  # 1 fails gate, 2 is a cross-batch dup
+    # parity with the batch operator over the union (doc 2 shares
+    # content with 0, so min-id 0 survives in both)
+    union = spark.createDataFrame(
+        [(0, good), (1, "the tiny one"), (2, good), (3, other)], schema
+    )
+    want = {r.doc_id: r for r in clean_corpus(union).collect()}
+    assert sorted(want) == [0, 3]
+    for d in (0, 3):
+        assert got[d].guessed_lang == want[d].guessed_lang
+        assert got[d].token_cnt == want[d].token_cnt
+        assert got[d].fingerprint == want[d].fingerprint
