@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d07_span_dupfrac": _q_span_dupfrac,
         "p02_pack_sequences": _q_pack_sequences,
         "t10_unigram_logprob": _q_unigram_logprob,
+        "p03_pack_clean_corpus": _q_pack_clean_corpus,
     }
 
 
@@ -588,6 +589,36 @@ _LANG_LISTS_SQL = {
     lang: "['" + "','".join(words) + "']"
     for lang, words in sorted(textops.LANG_PROFILES.items())
 }
+
+# p01 body — also embedded as the `cleaned` CTE of the p03
+# composition so the two mirrors cannot drift
+_P01_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text,{_GOPHER_M_COLS},
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(toks,
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647
+             ) AS fingerprint
+      FROM s
+    ), g AS (
+      SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
+    ), p AS (
+      SELECT * FROM g WHERE {_GOPHER_PASS_SQL}
+    ), k AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id
+      ) AS rn FROM p
+    )
+    SELECT doc_id,
+           CASE WHEN stop_cnt::DOUBLE / token_cnt::DOUBLE >= 0.04
+                THEN 'en' ELSE 'und' END AS guessed_lang,
+           token_cnt,
+           fingerprint
+    FROM k WHERE rn = 1
+"""
 _LANG_RATIO_SQL = {
     lang: (f"len(list_filter({{toks}}, t -> list_contains({lst}, t)))"
            f"::DOUBLE / len({{toks}})::DOUBLE")
@@ -844,6 +875,22 @@ def _q_pack_sequences(spark, sf_dir):
         _t(spark, sf_dir, "documents"), capacity=512
     ).select("doc_id", "token_cnt", "seq_id", "seq_offset")
     return out
+
+
+def _q_pack_clean_corpus(spark, sf_dir):
+    # the full pipeline composition: gate + dedup (p01), then packed
+    # training-sequence layout over the survivors (p02's two-phase
+    # cumsum on the already-materialized token counts)
+    from hepcrawl_spark.operators.corpus import (
+        clean_corpus,
+        pack_sequences,
+    )
+
+    cleaned = clean_corpus(_t(spark, sf_dir, "documents"))
+    return pack_sequences(
+        cleaned, capacity=512, count_col="token_cnt"
+    ).select("doc_id", "guessed_lang", "token_cnt", "fingerprint",
+             "seq_id", "seq_offset")
 
 
 def _q_unigram_logprob(spark, sf_dir):
@@ -1231,33 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         # p01: the end-to-end clean-corpus pipeline — Gopher gate,
         # exact dedup keeping the smallest doc_id per content hash,
         # stopword-ratio language guess, rolling-hash fingerprint
-        "p01_clean_corpus": f"""
-            WITH s AS (
-              SELECT doc_id, text, {_TOKS} AS toks FROM documents
-            ), m AS (
-              SELECT doc_id, text,{_GOPHER_M_COLS},
-                     list_reduce(list_prepend(0::BIGINT,
-                       list_transform(toks,
-                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
-                       (a, b) -> (a * 31 + b) % 2147483647
-                     ) AS fingerprint
-              FROM s
-            ), g AS (
-              SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
-            ), p AS (
-              SELECT * FROM g WHERE {_GOPHER_PASS_SQL}
-            ), k AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY md5(text) ORDER BY doc_id
-              ) AS rn FROM p
-            )
-            SELECT doc_id,
-                   CASE WHEN stop_cnt::DOUBLE / token_cnt::DOUBLE >= 0.04
-                        THEN 'en' ELSE 'und' END AS guessed_lang,
-                   token_cnt,
-                   fingerprint
-            FROM k WHERE rn = 1
-        """,
+        "p01_clean_corpus": _P01_SQL,
         # d07: position-level corpus-duplicated span fraction — every
         # 3-token span (non-distinct, one per token position) counted
         # corpus-wide; span duplicated when total occurrences >= 2
@@ -1322,5 +1343,22 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_logprob
             FROM toks JOIN freq USING (tok), tot
             GROUP BY doc_id
+        """,
+        # p03: the full composition — clean the corpus (p01 body)
+        # then lay the survivors out as packed training sequences
+        # (p02's exclusive running token count over the CLEANED set)
+        "p03_pack_clean_corpus": f"""
+            WITH cleaned AS ({_P01_SQL}),
+            c AS (
+              SELECT *,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM cleaned
+            )
+            SELECT doc_id, guessed_lang, token_cnt, fingerprint,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
         """,
     }

@@ -83,7 +83,8 @@ def two_phase_cumsum(df: DataFrame, value_col: str,
 
 def pack_sequences(docs: DataFrame, capacity: int = 512,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   count_col: str | None = None) -> DataFrame:
     """Context-window packing: lay the corpus out as one deterministic
     token stream (doc order = ``id_col`` ascending) cut into
     fixed-``capacity`` training sequences; each document gets the
@@ -96,19 +97,27 @@ def pack_sequences(docs: DataFrame, capacity: int = 512,
     is computed with ``two_phase_cumsum`` — range buckets + prefix
     re-base, never a single-task window — so the layout is exact AND
     every stage spreads across the cluster.  One scan pass computes
-    token counts (codegen fold over a once-bound token array).
+    token counts (codegen fold over a once-bound token array);
+    alternatively pass ``count_col`` to pack by an
+    already-materialized count (e.g. ``clean_corpus`` output), in
+    which case every input column is preserved alongside the layout.
     """
-    counts = docs.select(
-        F.col(id_col),
-        F.size(tokens_col(F.col(text_col))).cast("long")
-        .alias("token_cnt"),
-    )
+    if count_col is None:
+        counts = docs.select(
+            F.col(id_col),
+            F.size(tokens_col(F.col(text_col))).cast("long")
+            .alias("token_cnt"),
+        )
+        count_col = "token_cnt"
+        carried = [id_col, "token_cnt"]
+    else:
+        counts = docs
+        carried = docs.columns
     c = two_phase_cumsum(
-        counts, "token_cnt", [F.col(id_col).asc()], out_col="_prev"
+        counts, count_col, [F.col(id_col).asc()], out_col="_prev"
     )
     out = c.select(
-        id_col,
-        "token_cnt",
+        *carried,
         F.expr(f"_prev div {capacity}").alias("seq_id"),
         F.pmod(F.col("_prev"), F.lit(capacity)).cast("long")
         .alias("seq_offset"),

@@ -612,3 +612,25 @@ def test_unigram_logprob(spark):
     assert got[1].mean_logprob == round(want1, 6)
     # common-token doc scores higher than rare-token doc
     assert got[0].mean_logprob > got[1].mean_logprob
+
+
+def test_pack_sequences_count_col_preserves_columns(spark):
+    from hepcrawl_spark.operators.corpus import (
+        clean_corpus,
+        pack_sequences,
+    )
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    rows = [(0, good), (1, good), (2, good + " extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = clean_corpus(df)  # 0 survives (1 is a dup), 2 survives
+    out = pack_sequences(cleaned, capacity=64, count_col="token_cnt")
+    got = {r.doc_id: r for r in out.collect()}
+    out._cumsum_cache.unpersist()
+    assert sorted(got) == [0, 2]
+    # carried columns intact + layout over the CLEANED counts
+    assert got[0].guessed_lang == "en"
+    assert (got[0].seq_id, got[0].seq_offset) == (0, 0)
+    assert (got[2].seq_id, got[2].seq_offset) == (0, 50)
