@@ -236,3 +236,13 @@ def test_t10_unigram_logprob_partial_agg_no_window(spark):
     assert "BatchEvalPython" not in plan
     assert "windowspecdefinition" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_no_query_uses_row_at_a_time_python(spark):
+    # global guard over the WHOLE driver contract: no query's plan may
+    # contain a row-at-a-time Python eval (BatchEvalPython) — every
+    # Python boundary in the engine is Arrow-vectorized
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    for name, fn in em.queries().items():
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
