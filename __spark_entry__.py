@@ -871,9 +871,9 @@ def _q_pack_sequences(spark, sf_dir):
     # cumsum (no unpartitioned window)
     from hepcrawl_spark.operators.corpus import pack_sequences
 
-    out = pack_sequences(
-        _t(spark, sf_dir, "documents"), capacity=512
-    ).select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    inner = pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
+    out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
     return out
 
 
@@ -887,10 +887,11 @@ def _q_pack_clean_corpus(spark, sf_dir):
     )
 
     cleaned = clean_corpus(_t(spark, sf_dir, "documents"))
-    return pack_sequences(
-        cleaned, capacity=512, count_col="token_cnt"
-    ).select("doc_id", "guessed_lang", "token_cnt", "fingerprint",
-             "seq_id", "seq_offset")
+    inner = pack_sequences(cleaned, capacity=512, count_col="token_cnt")
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "fingerprint", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
 
 
 def _q_unigram_logprob(spark, sf_dir):
