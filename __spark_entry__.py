@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p02_pack_sequences": _q_pack_sequences,
         "t10_unigram_logprob": _q_unigram_logprob,
         "p03_pack_clean_corpus": _q_pack_clean_corpus,
+        "p04_clean_full": _q_clean_full,
     }
 
 
@@ -888,6 +889,21 @@ def _q_pack_clean_corpus(spark, sf_dir):
 
     cleaned = clean_corpus(_t(spark, sf_dir, "documents"))
     inner = pack_sequences(cleaned, capacity=512, count_col="token_cnt")
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "fingerprint", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
+
+
+def _q_clean_full(spark, sf_dir):
+    # the flagship composition: Gopher gate → exact dedup →
+    # MinHash-LSH near-dup cluster removal → packed sequence layout.
+    # LSH recall at the d03 settings is 1-4.6e-8, so the exact-pair
+    # recursive-CTE oracle is the correct check (as for d03/d06).
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    inner = clean_corpus_full(_t(spark, sf_dir, "documents"),
+                              capacity=512)
     out = inner.select("doc_id", "guessed_lang", "token_cnt",
                        "fingerprint", "seq_id", "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
@@ -1344,6 +1360,59 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_logprob
             FROM toks JOIN freq USING (tok), tot
             GROUP BY doc_id
+        """,
+        # p04: the flagship composition — p01's gate+exact-dedup
+        # survivors, minus near-dup cluster non-minima (exact-Jaccard
+        # pairs over the SURVIVOR subset + recursive-CTE connected
+        # components, mirroring d02/d06), laid out as packed
+        # sequences (p02's running count over the kept set)
+        "p04_clean_full": f"""
+            WITH RECURSIVE cleaned AS ({_P01_SQL}),
+            toks2 AS (
+              SELECT d.doc_id, {_TOKS} AS t
+              FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks2, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     count(*)::BIGINT AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), prs AS (
+              SELECT da, db FROM inter
+              JOIN sizes sa ON sa.doc_id = da
+              JOIN sizes sb ON sb.doc_id = db
+              WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+            ), edges AS (
+              SELECT da AS u, db AS v FROM prs
+              UNION SELECT db, da FROM prs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u
+            ), kept AS (
+              SELECT c.* FROM cleaned c
+              LEFT JOIN comp ON comp.doc_id = c.doc_id
+              WHERE coalesce(comp.cluster_id, c.doc_id) = c.doc_id
+            ), laid AS (
+              SELECT *,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM kept
+            )
+            SELECT doc_id, guessed_lang, token_cnt, fingerprint,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM laid
         """,
         # p03: the full composition — clean the corpus (p01 body)
         # then lay the survivors out as packed training sequences

@@ -186,3 +186,44 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_rn") == 1)
         .select(id_col, "guessed_lang", "token_cnt", "fingerprint")
     )
+
+
+def clean_corpus_full(docs: DataFrame, capacity: int = 512,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      lang_threshold: float = 0.04,
+                      jaccard_threshold: float = 0.8,
+                      **gopher_thresholds) -> DataFrame:
+    """The full production cleaning pipeline over a raw crawled
+    corpus — every stage the public web-scale recipes chain, in one
+    declarative composition:
+
+        Gopher gate → exact content dedup → MinHash-LSH near-dup
+        clustering (keep each cluster's smallest id) → packed
+        training-sequence layout
+
+    Scale shape: the gate + exact dedup are ``clean_corpus`` (one
+    scan pass, one shuffle); the near-dup stage shingles ONLY the
+    survivors (a pruned-column semi join back to the text, never a
+    re-gate), pairs via the banded MinHash index, components via
+    hash-to-min label propagation on the (small) pair graph; the
+    final layout is the exact two-phase cumsum.  No stage holds
+    corpus-sized state on one task.
+    """
+    from .dedup import dedup_clusters, minhash_lsh_pairs
+
+    cleaned = clean_corpus(docs, text_col=text_col, id_col=id_col,
+                           lang_threshold=lang_threshold,
+                           **gopher_thresholds)
+    surv_docs = docs.select(id_col, text_col).join(
+        cleaned.select(id_col), on=id_col, how="leftsemi"
+    )
+    pairs = minhash_lsh_pairs(surv_docs, n=3,
+                              threshold=jaccard_threshold,
+                              text_col=text_col, id_col=id_col)
+    clusters = dedup_clusters(surv_docs, pairs, id_col=id_col)
+    keep = clusters.filter(
+        F.col("cluster_id") == F.col(id_col)
+    ).select(id_col)
+    kept = cleaned.join(keep, on=id_col, how="leftsemi")
+    return pack_sequences(kept, capacity=capacity, id_col=id_col,
+                          count_col="token_cnt")

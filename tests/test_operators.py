@@ -634,3 +634,31 @@ def test_pack_sequences_count_col_preserves_columns(spark):
     assert got[0].guessed_lang == "en"
     assert (got[0].seq_id, got[0].seq_offset) == (0, 0)
     assert (got[2].seq_id, got[2].seq_offset) == (0, 50)
+
+
+def test_clean_corpus_full_pipeline(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    near = good.rsplit(" ", 1)[0] + " changed"   # near-dup of good
+    other = " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(60)
+    )
+    rows = [
+        (0, good),          # survives everything (cluster min)
+        (1, good),          # exact dup -> dropped at p01
+        (2, near),          # near-dup of 0 -> dropped at clustering
+        (3, other),         # distinct -> survives
+        (4, "the tiny"),    # fails gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus_full(df, capacity=64)
+    got = {r.doc_id: r for r in out.collect()}
+    out._cumsum_cache.unpersist()
+    assert sorted(got) == [0, 3]
+    # packed layout over the kept set only: 0 at (0,0), 3 at (0,50)
+    assert (got[0].seq_id, got[0].seq_offset) == (0, 0)
+    assert (got[3].seq_id, got[3].seq_offset) == (0, 50)
+    assert got[3].token_cnt == 60
