@@ -907,6 +907,7 @@ def _q_clean_full(spark, sf_dir):
     out = inner.select("doc_id", "guessed_lang", "token_cnt",
                        "fingerprint", "seq_id", "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
+    out._caches = inner._caches
     return out
 
 

@@ -87,11 +87,13 @@ def main():
         df = fn(spark, sf_dir)
         _materialize(df)
         per_query[name] = round(time.time() - t0, 3)
-        # the two-phase-cumsum queries persist their bucketed frame;
-        # release it so later queries' timings don't share its memory
-        cache = getattr(df, "_cumsum_cache", None)
-        if cache is not None:
-            cache.unpersist()
+        # the pipeline queries persist intermediate frames (two-phase
+        # cumsum buckets, the cleaned-corpus frame); release them so
+        # later queries' timings don't share their memory
+        for cache in (getattr(df, "_caches", None)
+                      or [getattr(df, "_cumsum_cache", None)]):
+            if cache is not None:
+                cache.unpersist()
     suite_sec = round(time.time() - suite_t0, 3)
 
     # headline = best-of-2 (the sandbox host's wall-clock varies 2-4×

@@ -211,9 +211,13 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     """
     from .dedup import dedup_clusters, minhash_lsh_pairs
 
+    # persist: the cleaned frame (tiny next to the corpus — ids +
+    # scalars) feeds THREE consumers (near-dup semi join, cluster
+    # singletons, final kept join); without the cache each reference
+    # re-runs the whole gate scan.  Released via ``_caches``.
     cleaned = clean_corpus(docs, text_col=text_col, id_col=id_col,
                            lang_threshold=lang_threshold,
-                           **gopher_thresholds)
+                           **gopher_thresholds).persist()
     surv_docs = docs.select(id_col, text_col).join(
         cleaned.select(id_col), on=id_col, how="leftsemi"
     )
@@ -225,5 +229,7 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
         F.col("cluster_id") == F.col(id_col)
     ).select(id_col)
     kept = cleaned.join(keep, on=id_col, how="leftsemi")
-    return pack_sequences(kept, capacity=capacity, id_col=id_col,
-                          count_col="token_cnt")
+    out = pack_sequences(kept, capacity=capacity, id_col=id_col,
+                         count_col="token_cnt")
+    out._caches = [cleaned, out._cumsum_cache]
+    return out

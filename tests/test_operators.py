@@ -656,7 +656,8 @@ def test_clean_corpus_full_pipeline(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = clean_corpus_full(df, capacity=64)
     got = {r.doc_id: r for r in out.collect()}
-    out._cumsum_cache.unpersist()
+    for c in out._caches:
+        c.unpersist()
     assert sorted(got) == [0, 3]
     # packed layout over the kept set only: 0 at (0,0), 3 at (0,50)
     assert (got[0].seq_id, got[0].seq_offset) == (0, 0)
