@@ -245,3 +245,51 @@ def test_stream_clean_corpus_dedup_across_microbatches(spark, tmp_path):
         assert got[d].guessed_lang == want[d].guessed_lang
         assert got[d].token_cnt == want[d].token_cnt
         assert got[d].fingerprint == want[d].fingerprint
+
+
+def test_stream_clean_corpus_state_survives_restart(spark, tmp_path):
+    """A second availableNow run over the SAME checkpoint (a full
+    stop/start cycle — the daily-restart reality of a continuous
+    ingest) must still suppress duplicates of documents admitted
+    before the restart: the content-fingerprint GroupState comes back
+    from the state store, not from memory."""
+    from hepcrawl_spark.streaming.pipeline import stream_clean_corpus
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    other = " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(60)
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run(sink):
+        q = (
+            stream_clean_corpus(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src / "*")),
+                num_shards=4)
+            .writeStream
+            .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink1 = []
+    spark.createDataFrame([(0, good)], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    run(sink1)
+    assert [r.doc_id for r in sink1] == [0]
+
+    # restart: new file with a dup of doc 0 and a new doc
+    sink2 = []
+    spark.createDataFrame([(5, good), (6, other)], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    run(sink2)
+    assert sorted(r.doc_id for r in sink2) == [6]
