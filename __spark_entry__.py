@@ -465,9 +465,13 @@ def _q_emb_neardup(spark, sf_dir):
 def _q_emb_neardup_lsh(spark, sf_dir):
     # scale path: banded-SRP candidates + exact cosine verify; pairs
     # are a subset of s03's exact pairs (recall ~0.91 at τ=0.45),
-    # asserted in tests/test_operators.py
+    # asserted in tests/test_operators.py.  r=4/b=12 pinned explicitly
+    # for cross-round byte-stability of this driver row; the API
+    # default now derives the banding from the threshold
+    # (similarity.srp_params_for_threshold).
     pairs = similarity.neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, bucketed=True
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, bucketed=True,
+        band_planes=4, n_bands=12,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 

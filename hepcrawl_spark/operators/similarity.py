@@ -38,6 +38,8 @@ Scale ladder:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -411,6 +413,60 @@ def ann_ivf_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
+def srp_params_for_threshold(threshold: float,
+                             target_recall: float = 0.99,
+                             n_bands: int | None = None,
+                             max_total_planes: int = 192,
+                             ) -> tuple[int, int]:
+    """Derive ``(band_planes, n_bands)`` for a cosine threshold.
+
+    SRP theory: a pair at cosine θ agrees on one random hyperplane
+    with probability p = 1 − arccos(θ)/π, so a (r planes × b bands)
+    scheme recalls it with probability 1 − (1 − p^r)^b, while a
+    *random* pair (p ≈ 0.5 for a centered corpus) collides in an
+    expected b·2^-r fraction of bands — the candidate-join density.
+
+    Selection rule: among all (r, b) with theoretical recall ≥
+    ``target_recall`` at exactly ``threshold`` and a per-vector plane
+    budget r·b ≤ ``max_total_planes`` (one Arrow matmul pass), pick
+    the sparsest — the largest r, with b the smallest band count that
+    still meets the recall target at that r.  At production near-dup
+    thresholds this lands in the measured-good sparse regime
+    (τ=0.9 → r=9, b=17: ~3.3 % expected density, vs the measured
+    54 % at the old fixed r=4 — BENCH/lsh_growth.json); at low
+    thresholds (τ≈0.45, where p_true/p_rand ≈ 0.65/0.5 is too small
+    a gap for sparse LSH) it honestly degrades to the dense regime
+    the contract pins.
+
+    If ``n_bands`` is given, b is held fixed and only r is derived
+    (largest r whose recall still clears the target at that b).
+    """
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p = 1.0 - theta / math.pi
+    miss = math.log(max(1.0 - target_recall, 1e-12))
+    best: tuple[int, int] | None = None
+    for r in range(1, 33):
+        q = p ** r
+        if q >= 1.0:
+            b = 1
+        elif q <= 0.0:
+            continue
+        else:
+            b = max(1, math.ceil(miss / math.log(1.0 - q)))
+        if n_bands is not None:
+            if b > n_bands:
+                break  # recall unreachable at this b for larger r too
+            best = (r, n_bands)
+            continue
+        if r * b > max_total_planes:
+            break  # b grows with r: larger r cannot fit either
+        best = (r, b)
+    if best is None:
+        # recall target unreachable within budget — densest feasible
+        return (1, n_bands if n_bands is not None else max_total_planes)
+    return best
+
+
 def srp_candidate_pairs(embeddings: DataFrame,
                         band_planes: int = 4, n_bands: int = 12,
                         dim: int = 64,
@@ -446,7 +502,8 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   bucketed: bool = True,
-                  band_planes: int = 4, n_bands: int = 12,
+                  band_planes: int | None = None,
+                  n_bands: int | None = None,
                   dim: int = 64,
                   pair_fold: str = "jvm") -> DataFrame:
     """Cosine near-duplicate pairs (id_a, id_b, cosine ≥ threshold).
@@ -457,21 +514,34 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     candidate is *exactly* cosine-verified, so precision is 1.0 and
     recall 1-(1-p^r)^b with p = 1-θ/π.
 
-    Honest scale accounting (parameterize by threshold): expected
-    candidate volume is ~b·p_rand^r·N²/2 where p_rand is the
-    per-plane agreement of a *random* pair (0.5 for centered
-    corpora).  At r=4 that constant is ~0.5·b/16 — the join is dense,
-    chosen here because the s03/s04 contract pins τ=0.45, where the
-    p_true/p_rand gap (0.65 vs 0.5) is information-theoretically too
-    small for sparse LSH at high recall.  For production near-dup
-    thresholds (τ ≥ 0.8, p_true ≥ 0.9) raise ``band_planes`` to
-    8-16: the same plan prunes to ~b·2^-r of all pairs with recall
-    ≥ 1-(1-0.9^r)^b.  The verify itself is the Arrow bit-parity fold,
-    so even dense candidate sets stream at numpy speed.
+    **The banding adapts to the threshold.**  When ``band_planes`` /
+    ``n_bands`` are not explicitly passed, they are derived by
+    ``srp_params_for_threshold`` so a caller asking for
+    ``threshold=0.9`` automatically gets the sparse regime
+    (r=9, b=17: ~3.3 % expected candidate density, measured recall
+    1.0 on planted twins) instead of the dense r=4 regime the old
+    fixed default ran everywhere (measured: 54 % of ALL pairs —
+    a quadratic candidate join, BENCH/lsh_growth.json).  Expected
+    candidate volume is ~b·p_rand^r·N²/2 with p_rand the per-plane
+    agreement of a *random* pair (0.5 for centered corpora).
+
+    At low thresholds (the s03/s04 contract pins τ=0.45, where the
+    p_true/p_rand gap of 0.65 vs 0.5 is information-theoretically too
+    small for sparse LSH at high recall) the derivation honestly
+    degrades to a dense scheme — that density is forced by the ask,
+    not by the API default.  Passing ``band_planes=`` explicitly pins
+    the regime (the driver's s04 row pins r=4, b=12 for cross-round
+    byte-stability).  The verify itself is an exact cosine fold, so
+    precision is 1.0 in every regime.
 
     ``bucketed=False`` is the exact all-pairs O(N²) variant — the
     recall oracle for the bucketed path; never run it on a corpus.
     """
+    if band_planes is None:
+        band_planes, n_bands = srp_params_for_threshold(
+            threshold, n_bands=n_bands)
+    elif n_bands is None:
+        n_bands = 12
     embeddings = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism
     )
