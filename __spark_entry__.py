@@ -539,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_unigram_logprob": _q_unigram_logprob,
         "p03_pack_clean_corpus": _q_pack_clean_corpus,
         "p04_clean_full": _q_clean_full,
+        "t11_benchmark_contamination": _q_benchmark_contamination,
+        "p05_clean_decontaminated": _q_clean_decontaminated,
     }
 
 
@@ -624,6 +626,66 @@ _P01_SQL = f"""
            fingerprint
     FROM k WHERE rn = 1
 """
+
+# p04/p05 shared tail: near-dup cluster removal (exact-Jaccard pairs
+# + recursive-CTE connected components, mirroring d02/d06) over a
+# `cleaned` CTE the caller supplies, laid out as packed sequences
+# (p02's running count over the kept set)
+_CLEAN_FULL_TAIL_SQL = """
+            toks2 AS (
+              SELECT d.doc_id, {toks} AS t
+              FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks2, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     count(*)::BIGINT AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), prs AS (
+              SELECT da, db FROM inter
+              JOIN sizes sa ON sa.doc_id = da
+              JOIN sizes sb ON sb.doc_id = db
+              WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+            ), edges AS (
+              SELECT da AS u, db AS v FROM prs
+              UNION SELECT db, da FROM prs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u
+            ), kept AS (
+              SELECT c.* FROM cleaned c
+              LEFT JOIN comp ON comp.doc_id = c.doc_id
+              WHERE coalesce(comp.cluster_id, c.doc_id) = c.doc_id
+            ), laid AS (
+              SELECT *,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM kept
+            )
+            SELECT doc_id, guessed_lang, token_cnt, fingerprint,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM laid
+"""
+
+# t11/p05 shared 13-gram construction: one space-joined gram per
+# start position over the _TOKS token array (mirrors
+# dedup.shingles_col at n=13; list_slice/array_to_string ≡
+# concat_ws over 13 elements)
+_G13 = "array_to_string(list_slice(t, i, i+12), ' ')"
+_G13_RANGE = "unnest(range(1, len(t) - 11)) AS r(i)"
+_BENCH_RULE = "doc_id % 7 = 2"
 _LANG_RATIO_SQL = {
     lang: (f"len(list_filter({{toks}}, t -> list_contains({lst}, t)))"
            f"::DOUBLE / len({{toks}})::DOUBLE")
@@ -908,6 +970,36 @@ def _q_clean_full(spark, sf_dir):
 
     inner = clean_corpus_full(_t(spark, sf_dir, "documents"),
                               capacity=512)
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "fingerprint", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    out._caches = inner._caches
+    return out
+
+
+def _q_benchmark_contamination(spark, sf_dir):
+    # t11: benchmark-decontamination signal — per-doc distinct
+    # 13-gram containment vs a held-out eval set (here a
+    # deterministic 1/7 slice of the corpus standing in for the
+    # benchmark table, same rule on both engines)
+    from hepcrawl_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    return benchmark_contamination(docs, bench, n=13).select(
+        "doc_id", "gram_cnt", "hit_cnt", "containment", "contaminated"
+    )
+
+
+def _q_clean_decontaminated(spark, sf_dir):
+    # p05: the p04 pipeline with the benchmark-decontamination stage
+    # enabled — gate → exact dedup → drop docs sharing a 13-gram with
+    # the held-out slice → near-dup cluster removal → packed layout
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    inner = clean_corpus_full(docs, capacity=512, benchmark=bench)
     out = inner.select("doc_id", "guessed_lang", "token_cnt",
                        "fingerprint", "seq_id", "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
@@ -1371,54 +1463,70 @@ def oracle_sql() -> dict[str, str]:
         # pairs over the SURVIVOR subset + recursive-CTE connected
         # components, mirroring d02/d06), laid out as packed
         # sequences (p02's running count over the kept set)
-        "p04_clean_full": f"""
-            WITH RECURSIVE cleaned AS ({_P01_SQL}),
-            toks2 AS (
-              SELECT d.doc_id, {_TOKS} AS t
-              FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-              FROM toks2, unnest(range(1, len(t) - 1)) AS r(i)
-              WHERE len(t) >= 3
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                     count(*)::BIGINT AS ni
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), prs AS (
-              SELECT da, db FROM inter
-              JOIN sizes sa ON sa.doc_id = da
-              JOIN sizes sb ON sb.doc_id = db
-              WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
-            ), edges AS (
-              SELECT da AS u, db AS v FROM prs
-              UNION SELECT db, da FROM prs
-            ), reach(u, v) AS (
-              SELECT u, v FROM edges
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-            ), comp AS (
-              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-              FROM reach GROUP BY u
-            ), kept AS (
-              SELECT c.* FROM cleaned c
-              LEFT JOIN comp ON comp.doc_id = c.doc_id
-              WHERE coalesce(comp.cluster_id, c.doc_id) = c.doc_id
-            ), laid AS (
-              SELECT *,
-                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND 1 PRECEDING), 0) AS prev
-              FROM kept
+        "p04_clean_full": (
+            f"WITH RECURSIVE cleaned AS ({_P01_SQL}),"
+            + _CLEAN_FULL_TAIL_SQL.format(toks=_TOKS)
+        ),
+        # t11: benchmark-decontamination signal — distinct 13-gram
+        # containment of every document against the held-out slice
+        # (doc_id % 7 = 2 stands in for the eval table; the Spark
+        # side applies the same rule)
+        "t11_benchmark_contamination": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bench AS (
+              SELECT DISTINCT {_G13} AS g
+              FROM toks, {_G13_RANGE}
+              WHERE len(t) >= 13 AND {_BENCH_RULE}
+            ), dg AS (
+              SELECT DISTINCT doc_id, {_G13} AS g
+              FROM toks, {_G13_RANGE}
+              WHERE len(t) >= 13
+            ), per AS (
+              SELECT dg.doc_id, count(*)::BIGINT AS gram_cnt,
+                     sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0
+                         END)::BIGINT AS hit_cnt
+              FROM dg LEFT JOIN bench b ON b.g = dg.g
+              GROUP BY dg.doc_id
             )
-            SELECT doc_id, guessed_lang, token_cnt, fingerprint,
-                   (prev // 512)::BIGINT AS seq_id,
-                   (prev % 512)::BIGINT AS seq_offset
-            FROM laid
+            SELECT d.doc_id,
+                   COALESCE(per.gram_cnt, 0)::BIGINT AS gram_cnt,
+                   COALESCE(per.hit_cnt, 0)::BIGINT AS hit_cnt,
+                   CASE WHEN COALESCE(per.gram_cnt, 0) > 0
+                        THEN round(per.hit_cnt::DOUBLE
+                                   / per.gram_cnt::DOUBLE, 9)
+                        ELSE 0.0 END AS containment,
+                   COALESCE(per.hit_cnt, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
+        # p05: p04 with the decontamination stage enabled — gate +
+        # exact-dedup survivors sharing any 13-gram with the
+        # held-out slice are dropped BEFORE near-dup clustering,
+        # then the same cluster-removal + packed-layout tail
+        "p05_clean_decontaminated": (
+            f"""
+            WITH RECURSIVE cleaned0 AS ({_P01_SQL}),
+            toksall AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bench AS (
+              SELECT DISTINCT {_G13} AS g
+              FROM toksall, {_G13_RANGE}
+              WHERE len(t) >= 13 AND {_BENCH_RULE}
+            ), dirty AS (
+              SELECT DISTINCT dgr.doc_id FROM (
+                SELECT tk.doc_id, {_G13} AS g
+                FROM (SELECT c0.doc_id, ta.t
+                      FROM toksall ta
+                      JOIN cleaned0 c0 ON c0.doc_id = ta.doc_id
+                     ) tk, {_G13_RANGE}
+                WHERE len(t) >= 13
+              ) dgr JOIN bench b ON b.g = dgr.g
+            ), cleaned AS (
+              SELECT * FROM cleaned0
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+            ),"""
+            + _CLEAN_FULL_TAIL_SQL.format(toks=_TOKS)
+        ),
         # p03: the full composition — clean the corpus (p01 body)
         # then lay the survivors out as packed training sequences
         # (p02's exclusive running token count over the CLEANED set)

@@ -192,14 +192,17 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
                       text_col: str = "text", id_col: str = "doc_id",
                       lang_threshold: float = 0.04,
                       jaccard_threshold: float = 0.8,
+                      benchmark: DataFrame | None = None,
+                      contamination_ngram: int = 13,
+                      contamination_min_hits: int = 1,
                       **gopher_thresholds) -> DataFrame:
     """The full production cleaning pipeline over a raw crawled
     corpus — every stage the public web-scale recipes chain, in one
     declarative composition:
 
-        Gopher gate → exact content dedup → MinHash-LSH near-dup
-        clustering (keep each cluster's smallest id) → packed
-        training-sequence layout
+        Gopher gate → exact content dedup → [benchmark
+        decontamination] → MinHash-LSH near-dup clustering (keep
+        each cluster's smallest id) → packed training-sequence layout
 
     Scale shape: the gate + exact dedup are ``clean_corpus`` (one
     scan pass, one shuffle); the near-dup stage shingles ONLY the
@@ -208,8 +211,16 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     hash-to-min label propagation on the (small) pair graph; the
     final layout is the exact two-phase cumsum.  No stage holds
     corpus-sized state on one task.
+
+    Pass ``benchmark`` (a frame with ``text_col``) to drop documents
+    sharing any ``contamination_ngram``-gram with the held-out eval
+    set, BETWEEN exact dedup and near-dup clustering: the broadcast
+    inner join of ``dedup.contaminated_ids`` touches only gate+dedup
+    survivors, and removing contaminated docs before clustering means
+    a cluster minimum that is itself contaminated cannot suppress its
+    clean near-duplicates.
     """
-    from .dedup import dedup_clusters, minhash_lsh_pairs
+    from .dedup import contaminated_ids, dedup_clusters, minhash_lsh_pairs
 
     # persist: the cleaned frame (tiny next to the corpus — ids +
     # scalars) feeds THREE consumers (near-dup semi join, cluster
@@ -218,6 +229,17 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     cleaned = clean_corpus(docs, text_col=text_col, id_col=id_col,
                            lang_threshold=lang_threshold,
                            **gopher_thresholds).persist()
+    caches = [cleaned]
+    if benchmark is not None:
+        surv_text = docs.select(id_col, text_col).join(
+            cleaned.select(id_col), on=id_col, how="leftsemi"
+        )
+        dirty = contaminated_ids(
+            surv_text, benchmark, n=contamination_ngram,
+            min_hits=contamination_min_hits,
+            text_col=text_col, id_col=id_col,
+        )
+        cleaned = cleaned.join(dirty, on=id_col, how="left_anti")
     surv_docs = docs.select(id_col, text_col).join(
         cleaned.select(id_col), on=id_col, how="leftsemi"
     )
@@ -231,5 +253,5 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     kept = cleaned.join(keep, on=id_col, how="leftsemi")
     out = pack_sequences(kept, capacity=capacity, id_col=id_col,
                          count_col="token_cnt")
-    out._caches = [cleaned, out._cumsum_cache]
+    out._caches = caches + [out._cumsum_cache]
     return out

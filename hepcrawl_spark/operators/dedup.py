@@ -185,6 +185,99 @@ def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
     )
 
 
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            n: int = 13, min_hits: int = 1,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            bench_text_col: str | None = None,
+                            ) -> DataFrame:
+    """Benchmark-decontamination signal: per-document overlap with a
+    held-out evaluation set, by distinct word ``n``-gram containment
+    (the standard eval-contamination control — 13-gram overlap in the
+    GPT-3/PaLM appendices; Lee et al. 2022 §6).
+
+    Returns ``(id, gram_cnt, hit_cnt, containment, contaminated)``:
+    ``gram_cnt`` distinct n-grams in the doc, ``hit_cnt`` of them that
+    appear anywhere in ``benchmark``, ``containment`` their ratio, and
+    ``contaminated`` = hit_cnt ≥ ``min_hits``.  Docs shorter than
+    ``n`` tokens have zero grams, containment 0.0, never flagged.
+
+    Plan shape at 100 TB: the benchmark side is deduplicated to
+    DISTINCT grams before the join, so each doc-gram row matches at
+    most once — the equi-join output is LINEAR in corpus grams, never
+    quadratic (no posting-list blow-up to cap, unlike the d02 shingle
+    self-join).  Eval suites are tiny next to a training corpus, so
+    the gram side is broadcast explicitly (a skewed shuffle join on a
+    hot gram never happens); per-doc counts are one hash groupBy with
+    map-side partial aggregation.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), n)).alias("_gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(_bench_grams(benchmark, n,
+                                                bench_text_col or text_col)),
+                       on="_gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_gram").alias("gram_cnt"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+            .alias("hit_cnt"),
+        )
+        .withColumn(
+            "containment",
+            F.when(
+                F.col("gram_cnt") > 0,
+                F.round(
+                    F.col("hit_cnt").cast("double")
+                    / F.col("gram_cnt").cast("double"), 9
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("contaminated", F.col("hit_cnt") >= min_hits)
+    )
+
+
+def _bench_grams(benchmark: DataFrame, n: int, text_col: str) -> DataFrame:
+    """DISTINCT word n-grams of the benchmark side, as ``_gram``/``_hit``."""
+    return (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), n)).alias("_gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                     n: int = 13, min_hits: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     bench_text_col: str | None = None) -> DataFrame:
+    """Ids of documents whose benchmark n-gram overlap reaches
+    ``min_hits`` — the decontamination FILTER half of
+    :func:`benchmark_contamination`, cheaper because the broadcast
+    join is INNER: clean documents (the overwhelming majority at
+    corpus scale) produce zero join output and never reach the
+    aggregation, so the shuffle carries only actual hits.
+    """
+    hits = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("_gram"),
+    ).join(
+        F.broadcast(_bench_grams(benchmark, n,
+                                 bench_text_col or text_col)),
+        on="_gram", how="inner",
+    )
+    if min_hits <= 1:
+        return hits.select(id_col).distinct()
+    return (
+        hits.groupBy(id_col).agg(F.count("_gram").alias("_h"))
+        .filter(F.col("_h") >= min_hits).select(id_col)
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text",
                         id_col: str = "doc_id",

@@ -665,6 +665,69 @@ def test_clean_corpus_full_pipeline(spark):
     assert got[3].token_cnt == 60
 
 
+def test_benchmark_contamination(spark):
+    # 15-token docs; doc 0 shares its full text with the benchmark,
+    # doc 1 shares a 13-token prefix span, doc 2 shares nothing,
+    # doc 3 is too short to have any 13-gram
+    base = " ".join(f"w{i}" for i in range(15))           # 3 grams
+    prefix13 = " ".join(f"w{i}" for i in range(13))       # gram 1 only
+    rows = [
+        (0, base),
+        (1, prefix13 + " zz yy"),     # grams: [w0..w12], [w1..zz], [w2..yy]
+        (2, " ".join(f"v{i}" for i in range(20))),
+        (3, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(base,)], "text string")
+    got = {r.doc_id: r for r in
+           dedup.benchmark_contamination(docs, bench, n=13).collect()}
+    assert got[0].gram_cnt == 3 and got[0].hit_cnt == 3
+    assert got[0].containment == 1.0 and got[0].contaminated
+    assert got[1].gram_cnt == 3 and got[1].hit_cnt == 1
+    assert got[1].containment == round(1 / 3, 9) and got[1].contaminated
+    assert got[2].hit_cnt == 0 and not got[2].contaminated
+    assert got[3].gram_cnt == 0 and got[3].containment == 0.0
+    assert not got[3].contaminated
+    # the filter half agrees, and min_hits raises the bar
+    ids = {r.doc_id for r in
+           dedup.contaminated_ids(docs, bench, n=13).collect()}
+    assert ids == {0, 1}
+    ids2 = {r.doc_id for r in
+            dedup.contaminated_ids(docs, bench, n=13,
+                                   min_hits=2).collect()}
+    assert ids2 == {0}
+
+
+def test_clean_corpus_full_decontaminates(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    other = " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(60)
+    )
+    rows = [(0, good), (1, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(" ".join(good.split()[10:25]),)], "text string"
+    )  # a 15-token span of doc 0 sits in the eval set
+    out = clean_corpus_full(df, capacity=64, benchmark=bench)
+    got = {r.doc_id: r for r in out.collect()}
+    for c in out._caches:
+        c.unpersist()
+    # doc 0 is gate-clean but contaminated -> dropped; layout
+    # re-packs over the survivor only
+    assert sorted(got) == [1]
+    assert (got[1].seq_id, got[1].seq_offset) == (0, 0)
+    # without the benchmark both survive
+    out2 = clean_corpus_full(df, capacity=64)
+    got2 = sorted(r.doc_id for r in out2.collect())
+    for c in out2._caches:
+        c.unpersist()
+    assert got2 == [0, 1]
+
+
 def test_srp_params_for_threshold_regimes():
     import math
 
