@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p04_clean_full": _q_clean_full,
         "t11_benchmark_contamination": _q_benchmark_contamination,
         "p05_clean_decontaminated": _q_clean_decontaminated,
+        "t12_classifier_score": _q_classifier_score,
     }
 
 
@@ -686,6 +687,14 @@ _CLEAN_FULL_TAIL_SQL = """
 _G13 = "array_to_string(list_slice(t, i, i+12), ' ')"
 _G13_RANGE = "unnest(range(1, len(t) - 11)) AS r(i)"
 _BENCH_RULE = "doc_id % 7 = 2"
+
+# t12: the classifier's weight vector as a SQL literal — generated
+# from the SAME Python list the Spark plan bakes in, so the two
+# mirrors cannot drift
+_CLS_W_SQL = ("[" + ",".join(
+    repr(w) for w in textops.default_quality_weights()
+) + "]")
+_CLS_N = len(textops.default_quality_weights())
 _LANG_RATIO_SQL = {
     lang: (f"len(list_filter({{toks}}, t -> list_contains({lst}, t)))"
            f"::DOUBLE / len({{toks}})::DOUBLE")
@@ -1013,6 +1022,15 @@ def _q_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(
         _t(spark, sf_dir, "documents")
     ).select("doc_id", "token_cnt", "mean_logprob")
+
+
+def _q_classifier_score(spark, sf_dir):
+    # t12: model-based quality classifier — logistic score of a
+    # linear model over hashed token features (the fasttext-style
+    # supervised filter), weights baked into the plan as a literal
+    return textops.classifier_score(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "token_cnt", "cls_score", "cls_pass")
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1467,6 +1485,30 @@ def oracle_sql() -> dict[str, str]:
             f"WITH RECURSIVE cleaned AS ({_P01_SQL}),"
             + _CLEAN_FULL_TAIL_SQL.format(toks=_TOKS)
         ),
+        # t12: model-based quality classifier — logistic score of a
+        # hashed-token-feature linear model, same left fold + weight
+        # literal + portable md5 bucket hash on both engines; rounded
+        # to 6 (exp is libm-dependent), verdict compares the ROUNDED
+        # score so it is bit-identical
+        "t12_classifier_score": f"""
+            WITH s AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, len(toks)::BIGINT AS token_cnt,
+                     round(1.0 / (1.0 + exp(-(
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(toks,
+                           t -> ({_CLS_W_SQL})[
+                             (('0x' || substr(md5(t), 1, 15))::BIGINT
+                              % {_CLS_N}) + 1])),
+                         (a, b) -> a + b)
+                       / len(toks)::DOUBLE + 0.0))), 6) AS cls_score
+              FROM s
+            )
+            SELECT doc_id, token_cnt, cls_score,
+                   cls_score >= 0.5 AS cls_pass
+            FROM m
+        """,
         # t11: benchmark-decontamination signal — distinct 13-gram
         # containment of every document against the held-out slice
         # (doc_id % 7 = 2 stands in for the eval table; the Spark

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .textops import (
     bind_once,
+    classifier_score_col,
     fingerprint_col,
     gopher_signals,
     tokens_col,
@@ -129,6 +130,9 @@ def pack_sequences(docs: DataFrame, capacity: int = 512,
 def gated_docs(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                lang_threshold: float = 0.04,
+               classifier_weights: list[float] | None = None,
+               classifier_bias: float = 0.0,
+               classifier_threshold: float = 0.5,
                **gopher_thresholds) -> DataFrame:
     """The stateless body shared by ``clean_corpus`` (batch) and
     ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
@@ -136,14 +140,32 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
     the Gopher verdict filters immediately — before any shuffle or
     stateful stage downstream.  Returns (id, _md5, guessed_lang,
     token_cnt, fingerprint) for gate survivors only.
+
+    Pass ``classifier_weights`` to AND the model-based quality
+    verdict (``textops.classifier_score``; logistic score ≥
+    ``classifier_threshold``) into the gate — the score folds inside
+    the SAME bound token array, so the extra gate column costs zero
+    additional scans or tokenizations.
     """
-    sig = bind_once(
-        tokens_col(F.col(text_col)),
-        lambda t: F.struct(
+    cls = classifier_weights is not None
+
+    def _sig(t):
+        cols = [
             gopher_signals(t, **gopher_thresholds).alias("g"),
             fingerprint_col(t).alias("fp"),
-        ),
-    )
+        ]
+        if cls:
+            cols.append(
+                classifier_score_col(
+                    t, classifier_weights, classifier_bias
+                ).alias("cls"),
+            )
+        return F.struct(*cols)
+
+    sig = bind_once(tokens_col(F.col(text_col)), _sig)
+    gate = F.col("_s.g.passes") == 1
+    if cls:
+        gate = gate & (F.col("_s.cls") >= F.lit(classifier_threshold))
     ratio = (F.col("_s.g.stopword_cnt").cast("double")
              / F.col("_s.g.token_cnt").cast("double"))
     return (
@@ -152,7 +174,7 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
             F.md5(F.col(text_col)).alias("_md5"),
             sig.alias("_s"),
         )
-        .filter(F.col("_s.g.passes") == 1)
+        .filter(gate)
         .select(
             id_col,
             "_md5",

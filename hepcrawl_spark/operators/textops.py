@@ -415,6 +415,95 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+CLS_BUCKETS = 1024
+
+
+def default_quality_weights(n_buckets: int = CLS_BUCKETS,
+                            stop_bonus: float = 4.0,
+                            base: float = -0.5) -> list[float]:
+    """Deterministic linear-model weights over hashed token features:
+    buckets hit by the English function words carry ``stop_bonus``,
+    everything else ``base``.  The exact shape a fasttext-style
+    quality filter has after training on prose-vs-gibberish — here
+    derived from the stopword list so the weights are reproducible
+    public knowledge, not a shipped binary.  With 1024 buckets a
+    random token collides with a stopword bucket ~2% of the time, so
+    gibberish means ≈ ``base`` while English prose (≈ 40% function
+    words) means well above zero.
+    """
+    w = [float(base)] * n_buckets
+    import hashlib
+
+    for s in EN_STOPWORDS:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        w[h % n_buckets] = float(stop_bonus)
+    return w
+
+
+def classifier_score_col(t: Column, weights: list[float] | None = None,
+                         bias: float = 0.0) -> Column:
+    """Column form of :func:`classifier_score` over a token-array
+    column ``t`` (use inside ``bind_once`` so the tokenizer runs
+    once): 6-digit-rounded logistic score of the hashed-feature
+    linear model."""
+    if weights is None:
+        weights = default_quality_weights()
+    n = len(weights)
+    arr = F.array(*[F.lit(float(x)) for x in weights])
+    return F.round(
+        F.lit(1.0) / (
+            F.lit(1.0) + F.exp(
+                -(F.aggregate(
+                    t, F.lit(0.0),
+                    lambda acc, x: acc + F.element_at(
+                        arr, (token_hash(x) % n + 1).cast("int")
+                    ),
+                ) / F.size(t).cast("double") + F.lit(bias))
+            )
+        ), 6
+    )
+
+
+def classifier_score(docs: DataFrame, weights: list[float] | None = None,
+                     bias: float = 0.0, threshold: float = 0.5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality classifier: logistic score of a linear
+    model over hashed token features (the hashing-trick / fasttext
+    supervised-filter shape every public pipeline pairs with the
+    perplexity signal — CCNet, RedPajama, FineWeb all gate on one).
+
+        x_b(d)  = fraction of d's tokens hashing to bucket b
+        score   = sigmoid( Σ_b w_b · x_b + bias )
+                = sigmoid( mean over tokens of w[h(tok)] + bias )
+
+    Weights ship as a plain literal array baked into the plan — the
+    closure Spark broadcasts with every task, never a shuffle or a
+    join — so the whole operator is ONE codegen scan pass: tokenize
+    once (``bind_once``), fold w[h(tok)] with ``aggregate``, divide,
+    sigmoid.  ``cls_pass`` compares the ROUNDED score so the verdict
+    is bit-identical across engines (sigmoid crosses ``exp``, which
+    is libm-dependent past ~15 digits; same 6-digit contract as
+    ``unigram_logprob``).
+
+    SQL mirror: ``list_reduce`` over ``w[(md5_60(t) % n) + 1]`` with
+    the same literal array.
+    """
+    score = bind_once(
+        tokens_col(F.col(text_col)),
+        lambda t: F.struct(
+            F.size(t).cast("long").alias("cnt"),
+            classifier_score_col(t, weights, bias).alias("score"),
+        ),
+    )
+    return docs.select(F.col(id_col), score.alias("_c")).select(
+        id_col,
+        F.col("_c.cnt").alias("token_cnt"),
+        F.col("_c.score").alias("cls_score"),
+        (F.col("_c.score") >= F.lit(threshold)).alias("cls_pass"),
+    )
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document mean unigram log-likelihood under the corpus's own

@@ -728,6 +728,64 @@ def test_clean_corpus_full_decontaminates(spark):
     assert got2 == [0, 1]
 
 
+def test_classifier_score(spark):
+    import math
+
+    prose = "the cat sat on the mat and it was a good day for all of us"
+    gibberish = " ".join(f"zxq{i}v" for i in range(16))
+    df = spark.createDataFrame(
+        [(0, prose), (1, gibberish)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textops.classifier_score(df).collect()}
+    assert got[0].cls_pass and not got[1].cls_pass
+    assert got[0].cls_score > 0.5 > got[1].cls_score
+    # the score IS the logistic of the mean hashed-bucket weight
+    w = textops.default_quality_weights()
+    import hashlib
+
+    toks = prose.lower().split()
+    mean = sum(
+        w[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % len(w)]
+        for t in toks
+    ) / len(toks)
+    assert got[0].cls_score == round(1 / (1 + math.exp(-mean)), 6)
+    assert got[0].token_cnt == len(toks)
+    # explicit weights/bias/threshold are honored
+    flat = textops.classifier_score(
+        df, weights=[0.0] * 8, bias=2.0, threshold=0.9
+    ).collect()
+    for r in flat:
+        assert r.cls_score == round(1 / (1 + math.exp(-2.0)), 6)
+        assert not r.cls_pass  # 0.880797 < 0.9
+
+
+def test_clean_corpus_classifier_gate(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    # both docs pass the Gopher rules; only doc 0 is stopword-dense
+    # enough to clear the classifier
+    prose = " ".join(
+        ("the" if i % 3 == 0 else f"word{i}") for i in range(60)
+    )
+    sparse = " ".join(
+        ("the" if i % 25 == 0 else f"word{i}") for i in range(60)
+    )
+    df = spark.createDataFrame(
+        [(0, prose), (1, sparse)], "doc_id long, text string"
+    )
+    base = sorted(r.doc_id for r in clean_corpus(df).collect())
+    assert base == [0, 1]
+    from hepcrawl_spark.operators.textops import default_quality_weights
+
+    gated = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            df, classifier_weights=default_quality_weights()
+        ).collect()
+    )
+    assert gated == [0]
+
+
 def test_srp_params_for_threshold_regimes():
     import math
 
