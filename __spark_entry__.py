@@ -407,7 +407,10 @@ def _q_dedup_minhash(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
-    return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+    out = pairs.select("doc_a", "doc_b",
+                       F.round("jaccard", 9).alias("jaccard"))
+    out._lsh_cache = pairs._lsh_cache
+    return out
 
 
 def _q_dedup_jaccard_capped(spark, sf_dir):
@@ -542,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_benchmark_contamination": _q_benchmark_contamination,
         "p05_clean_decontaminated": _q_clean_decontaminated,
         "t12_classifier_score": _q_classifier_score,
+        "d08_span_dupfrac_capped": _q_span_dupfrac_capped,
     }
 
 
@@ -939,6 +943,17 @@ def _q_span_dupfrac(spark, sf_dir):
 
     return span_dupfrac(
         _t(spark, sf_dir, "documents"), w=3, min_count=2
+    ).select("doc_id", "span_cnt", "dup_spans", "dup_frac")
+
+
+def _q_span_dupfrac_capped(spark, sf_dir):
+    # d08: the d07 signal under the stop-span guardrail — spans
+    # occurring more than max_span_df times corpus-wide are dropped
+    # from the universe, bounding the hottest flag-join key
+    from hepcrawl_spark.operators.dedup import span_dupfrac
+
+    return span_dupfrac(
+        _t(spark, sf_dir, "documents"), w=3, min_count=2, max_span_df=4
     ).select("doc_id", "span_cnt", "dup_spans", "dup_frac")
 
 
@@ -1428,6 +1443,35 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END)::BIGINT
                        AS dup_spans
               FROM sp JOIN freq USING (s) GROUP BY sp.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.span_cnt, 0)::BIGINT AS span_cnt,
+                   COALESCE(per.dup_spans, 0)::BIGINT AS dup_spans,
+                   CASE WHEN COALESCE(per.span_cnt, 0) > 0
+                        THEN round(per.dup_spans::DOUBLE
+                                   / per.span_cnt::DOUBLE, 9)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # d08: d07 under the stop-span cap — spans with corpus
+        # occurrence count > 4 leave the universe (both counts)
+        "d08_span_dupfrac_capped": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sp AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), freq AS (
+              SELECT s, count(*) AS f FROM sp GROUP BY s
+            ), kept AS (
+              SELECT s, f FROM freq WHERE f <= 4
+            ), per AS (
+              SELECT sp.doc_id, count(k.f)::BIGINT AS span_cnt,
+                     sum(CASE WHEN k.f >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS dup_spans
+              FROM sp LEFT JOIN kept k ON k.s = sp.s
+              GROUP BY sp.doc_id
             )
             SELECT d.doc_id,
                    COALESCE(per.span_cnt, 0)::BIGINT AS span_cnt,

@@ -304,6 +304,106 @@ def lsh_growth(cpus: int = 32) -> dict:
     return summary
 
 
+def span_growth(cpus: int = 32) -> dict:
+    """Scale envelope of the d07/d08 span-dup signal (VERDICT r3 #7):
+    the span table is O(total tokens) rows through one shuffle — the
+    question is whether everything downstream of it stays LINEAR in
+    corpus size and how much the stop-span cap bounds the flag join.
+
+    Measured across sf0.001/0.01/0.1: span rows (shuffle volume),
+    distinct spans (groupBy output), flag-join build rows for the
+    exact path (spans with freq ≥ min_count — the only rows the
+    optimized join back carries) and for the capped path (freq ≤
+    cap), the hottest span key, and wall time for both variants.
+    The growth exponent is the log-log slope sf0.001 → sf0.1.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hepcrawl_spark.operators.dedup import span_dupfrac
+    from hepcrawl_spark.operators.textops import tokens_col
+    from hepcrawl_spark.session import get_spark
+
+    spark = get_spark("span-growth", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    points = {}
+    for sf in ("0.001", "0.01", "0.1"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        n_docs = docs.count()
+        toks = docs.select(tokens_col(F.col("text")).alias("t"))
+        sp = toks.filter(F.size("t") >= 3).select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 2),"
+                       " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")
+            ).alias("s")
+        )
+        freq = sp.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        stats = freq.agg(
+            F.sum("f").alias("span_rows"),
+            F.count(F.lit(1)).alias("distinct_spans"),
+            F.sum(F.when(F.col("f") >= 2, 1).otherwise(0)).alias("dup_keys"),
+            F.sum(F.when(F.col("f") <= 4, 1).otherwise(0)).alias("kept_keys"),
+            F.max("f").alias("hottest_key"),
+        ).collect()[0]
+
+        t0 = time.time()
+        span_dupfrac(docs, w=3, min_count=2).count()
+        exact_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        span_dupfrac(docs, w=3, min_count=2, max_span_df=4).count()
+        capped_sec = round(time.time() - t0, 3)
+        points[sf] = {
+            "n_docs": n_docs,
+            "span_rows": stats.span_rows,
+            "distinct_spans": stats.distinct_spans,
+            "flagjoin_build_rows_exact": stats.dup_keys,
+            "flagjoin_build_rows_capped": stats.kept_keys,
+            "hottest_span_key": stats.hottest_key,
+            "exact_sec": exact_sec,
+            "capped_sec": capped_sec,
+        }
+    spark.stop()
+
+    lo, hi = points["0.001"], points["0.1"]
+
+    def expo(metric):
+        if not lo[metric] or not hi[metric]:
+            return None
+        return round(math.log(hi[metric] / lo[metric])
+                     / math.log(hi["n_docs"] / lo["n_docs"]), 3)
+
+    summary = {
+        "metric": "span_dupfrac_growth",
+        "points": points,
+        "exponents": {
+            k: expo(k)
+            for k in ("span_rows", "distinct_spans",
+                      "flagjoin_build_rows_exact",
+                      "flagjoin_build_rows_capped",
+                      "exact_sec", "capped_sec")
+        },
+        # the envelope claim: every table in the plan grows ~linearly
+        # with the corpus (exponent ≈ 1, never ≈ 2 — nothing here is
+        # a pair join), and the cap bounds the hottest flag-join key
+        # at a constant
+        "all_linear": all(
+            e is not None and e <= 1.3
+            for k, e in [
+                ("span_rows", expo("span_rows")),
+                ("distinct_spans", expo("distinct_spans")),
+                ("flagjoin_build_rows_exact",
+                 expo("flagjoin_build_rows_exact")),
+            ]
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/span_growth.json", "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary
+
+
 def host_capacity(n_list=(2, 8, 32)) -> dict:
     """Aggregate CPU throughput of n independent python processes
     (no coordination) — the host's scaling ceiling."""
@@ -317,6 +417,76 @@ def host_capacity(n_list=(2, 8, 32)) -> dict:
         times = [float(p.communicate()[0]) for p in ps]
         out[n] = round(sum(1.0 / t for t in times), 2)
     return out
+
+
+PROBE_MIN = 8.0
+
+
+def multi_executor_pair(gate: bool = True, probe_wait_sec: int = 1800,
+                        probe_poll_sec: int = 120) -> dict:
+    """One executor-mode scaling pair (local-cluster[1,2] →
+    [4,2], best-of-2 legs), probe-gated by default: poll the
+    8-process host-capacity probe until it reads ≥ ``PROBE_MIN``
+    (calm window) or ``probe_wait_sec`` elapses; the pair is marked
+    ``gated`` only when it started inside a calm window.  Every pair
+    (gated or not) is appended to BENCH/scaling_executors_r4.json so
+    the raw spread stays on record alongside the gated series.
+    """
+    probe = None
+    waited = 0
+    if gate:
+        while True:
+            probe = host_capacity([8])[8]
+            if probe >= PROBE_MIN or waited >= probe_wait_sec:
+                break
+            time.sleep(probe_poll_sec)
+            waited += probe_poll_sec
+    results = {}
+    env = dict(os.environ, SPARK_DRIVER_MEM="16g")
+    for n in (1, 4):
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--executors", str(n)],
+                capture_output=True, text=True, check=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            run = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or run["throughput"] > best["throughput"]:
+                best = run
+        results[n] = best
+    eff = round(
+        (results[4]["throughput"] / results[1]["throughput"]) / 4.0, 3
+    )
+    pair = {
+        "metric": "scaling_efficiency_executors_N_to_4N",
+        "value": eff,
+        "pair": "local-cluster[1,2] -> local-cluster[4,2]",
+        "probe8_at_start": probe,
+        "gated": bool(gate and probe is not None and probe >= PROBE_MIN),
+        "probe_waited_sec": waited,
+        "runs": results,
+        "meets_north_rule": eff >= 0.8,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    path = "BENCH/scaling_executors_r4.json"
+    try:
+        with open(path) as fh:
+            log = json.load(fh)
+    except (OSError, ValueError):
+        log = {"metric": "scaling_efficiency_executors_r4", "pairs": []}
+    log["pairs"].append(pair)
+    gated_vals = sorted(p["value"] for p in log["pairs"] if p["gated"])
+    all_vals = sorted(p["value"] for p in log["pairs"])
+    log["gated_values"] = gated_vals
+    log["gated_median"] = (
+        gated_vals[len(gated_vals) // 2] if gated_vals else None
+    )
+    log["raw_values"] = all_vals
+    with open(path, "w") as fh:
+        json.dump(log, fh, indent=2)
+    return pair
 
 
 def main():
@@ -338,37 +508,19 @@ def main():
     if "--lsh-growth" in sys.argv:
         print(json.dumps(lsh_growth()))
         return
+    if "--span-growth" in sys.argv:
+        print(json.dumps(span_growth()))
+        return
     if "--multi-executor" in sys.argv:
-        # 1 executor vs 4 executors (N → 4N executor JVMs)
-        results = {}
-        env = dict(os.environ, SPARK_DRIVER_MEM="16g")
-        for n in (1, 4):
-            best = None
-            for _ in range(2):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--executors", str(n)],
-                    capture_output=True, text=True, check=True, env=env,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                run = json.loads(out.stdout.strip().splitlines()[-1])
-                if best is None or run["throughput"] > best["throughput"]:
-                    best = run
-            results[n] = best
-        eff = round(
-            (results[4]["throughput"] / results[1]["throughput"]) / 4.0, 3
-        )
-        summary = {
-            "metric": "scaling_efficiency_executors_N_to_4N",
-            "value": eff,
-            "pair": "local-cluster[1,2] -> local-cluster[4,2]",
-            "runs": results,
-            "meets_north_rule": eff >= 0.8,
-        }
-        print(json.dumps(summary))
-        os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/scaling_executors.json", "w") as fh:
-            json.dump(summary, fh, indent=2)
+        # 1 executor vs 4 executors (N → 4N executor JVMs).  The
+        # probe gate is the built-in default (VERDICT r3 #4): the
+        # round-3 spread (0.66–0.88 over one afternoon) demonstrably
+        # tracked the host-capacity probe, not the build, so a pair
+        # is only banked when the 8-process probe reads ≥ PROBE_MIN
+        # work-units/s at the start of the window.  --no-gate runs
+        # ungated (the raw-spread record).
+        print(json.dumps(multi_executor_pair(
+            gate="--no-gate" not in sys.argv)))
         return
 
     cap = host_capacity()

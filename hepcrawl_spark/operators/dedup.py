@@ -122,7 +122,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
                  text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 max_span_df: int | None = None) -> DataFrame:
     """Per-document corpus-duplicated span fraction: for every token
     position, the ``w``-token span starting there is "duplicated" when
     the same span occurs ≥ ``min_count`` times across the WHOLE corpus
@@ -135,12 +136,22 @@ def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
     array; corpus frequencies come from a hash groupBy (map-side
     partial agg — a stop-span appearing everywhere partial-aggregates
     per task, so no hot-key task exists at the count).  The flag join
-    back on the span IS hot-key-skewed by construction; it is left to
-    AQE skew-join splitting rather than a window
+    back carries ONLY spans that can flip the verdict (freq ≥
+    ``min_count``, a small fraction of distinct spans in a real
+    corpus), and remains hot-key-skewed by construction; it is left
+    to AQE skew-join splitting rather than a window
     (``count() over (partition by span)`` would funnel every
     occurrence of a stop-span through one task — the exact hazard the
     groupBy avoids).  Docs shorter than ``w`` tokens report zero
     spans and dup_frac 0.0.
+
+    ``max_span_df`` is the d05-style stop-span guardrail: spans whose
+    corpus occurrence count exceeds the cap ("the of the"-grade
+    boilerplate, the skewed keys of the flag join) are dropped from
+    the span UNIVERSE — both ``span_cnt`` and ``dup_spans`` count
+    surviving spans only — bounding the hottest join key at exactly
+    ``max_span_df`` rows.  ``None`` (default) is the exact d07
+    measure.
     """
     def _spans(t):
         return F.when(
@@ -162,11 +173,25 @@ def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
         sp.filter(F.col("_span").isNotNull())
         .groupBy("_span").agg(F.count(F.lit(1)).alias("_freq"))
     )
+    if max_span_df is None:
+        # only duplicated spans need to travel through the flag join
+        joined = sp.join(
+            freq.filter(F.col("_freq") >= min_count), on="_span",
+            how="left",
+        )
+        span_cnt = F.count("_span")
+    else:
+        # capped universe: a pruned span leaves _freq null, dropping
+        # it from both counts
+        joined = sp.join(
+            freq.filter(F.col("_freq") <= max_span_df), on="_span",
+            how="left",
+        )
+        span_cnt = F.count("_freq")
     return (
-        sp.join(freq, on="_span", how="left")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
-            F.count("_span").alias("span_cnt"),
+            span_cnt.alias("span_cnt"),
             F.coalesce(
                 F.sum((F.col("_freq") >= min_count).cast("long")),
                 F.lit(0),
@@ -517,7 +542,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 
     Output (doc_a, doc_b, jaccard) — identical to exact
     ``ngram_jaccard_pairs`` up to LSH recall (1-(1-s^r)^b; ~5e-8 miss
-    at s=0.8, r=4, b=32).
+    at s=0.8, r=4, b=32).  The persisted (id, shingles, bands) frame
+    is exposed as ``result._lsh_cache`` — unpersist it after
+    materializing (``clean_corpus_full`` and the bench harness do).
     """
     n_bands = perms // band_rows  # noqa: F841 (documented parameterization)
     # one Arrow pass computes shingles + band keys; everything after
@@ -546,7 +573,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    out = verified.select("doc_a", "doc_b", "jaccard")
+    out._lsh_cache = base
+    return out
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,

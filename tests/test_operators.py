@@ -542,6 +542,21 @@ def test_span_dupfrac(docs):
         [(0, "a b")], "doc_id long, text string")
     t = dedup.span_dupfrac(tiny, w=3).collect()[0]
     assert t.span_cnt == 0 and t.dup_frac == 0.0
+    # max_span_df drops stop-spans from the UNIVERSE (both counts):
+    # "a b c" occurs 3x -> pruned at cap 2; "b c a"/"c a b" occur
+    # 2x -> kept and duplicated; "c a x" unique -> kept, clean
+    rep3 = docs.sparkSession.createDataFrame(
+        [(0, "a b c a b c a b c"), (1, "x a b c y")],
+        "doc_id long, text string")
+    un = {r.doc_id: r for r in dedup.span_dupfrac(rep3, w=3).collect()}
+    assert un[0].span_cnt == 7 and un[0].dup_spans == 7
+    cap = {r.doc_id: r for r in
+           dedup.span_dupfrac(rep3, w=3, max_span_df=2).collect()}
+    # doc 0 spans: abc x3 (pruned), bca x2, cab x2 -> 4 kept, 4 dup
+    assert cap[0].span_cnt == 4 and cap[0].dup_spans == 4
+    # doc 1 spans: xab, abc (pruned), bcy -> 2 kept, 0 dup
+    assert cap[1].span_cnt == 2 and cap[1].dup_spans == 0
+    assert cap[1].dup_frac == 0.0
 
 
 def test_pack_sequences_exact_layout(spark):
