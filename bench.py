@@ -58,9 +58,80 @@ def run_crawl_bench(spark, sf_dir):
     return n_scheduled + n_extracted, dt
 
 
+def p04_stage_breakdown(spark, sf_dir):
+    """Per-stage wall split of the p04 pipeline (VERDICT r3 #10) —
+    gate+exact-dedup / LSH pairing / cluster labeling / packed layout
+    each timed to its own materialization, so a future p04 regression
+    localizes to a stage instead of a 10-second blob."""
+    from pyspark.sql import functions as F
+
+    from hepcrawl_spark.operators.corpus import (
+        clean_corpus,
+        pack_sequences,
+    )
+    from hepcrawl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stages, counts = {}, {}
+
+    t0 = time.time()
+    cleaned = clean_corpus(docs).persist()
+    counts["gate_survivors"] = cleaned.count()
+    stages["gate_exact_dedup"] = round(time.time() - t0, 3)
+
+    surv = docs.select("doc_id", "text").join(
+        cleaned.select("doc_id"), on="doc_id", how="leftsemi"
+    )
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(surv, n=3, threshold=0.8).persist()
+    counts["neardup_pairs"] = pairs.count()
+    stages["lsh_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clusters = dedup_clusters(surv, pairs)
+    keep = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id").persist()
+    counts["kept_docs"] = keep.count()
+    stages["clustering"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    out = pack_sequences(cleaned.join(keep, on="doc_id", how="leftsemi"),
+                         capacity=512, count_col="token_cnt")
+    _materialize(out)
+    stages["pack_layout"] = round(time.time() - t0, 3)
+
+    for c in (cleaned, pairs, keep, pairs._lsh_cache, out._cumsum_cache):
+        c.unpersist()
+    return {"metric": "p04_stage_seconds", "stages": stages,
+            "counts": counts, "sf_dir": sf_dir,
+            "total_sec": round(sum(stages.values()), 3)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--p04-stages" in sys.argv:
+        from hepcrawl_spark.session import get_spark
+
+        spark = get_spark("bench-p04", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        # same untimed warm-up as the suite: JVM classloading +
+        # codegen + Arrow worker startup must not land on stage 1
+        from pyspark.sql import functions as F
+
+        _materialize(spark.range(1024).select(F.sum("id").alias("s")))
+        import __spark_entry__ as entrymod
+
+        _materialize(entrymod.queries()["t01_text_tokens"](spark, sf_dir))
+        _materialize(entrymod.queries()["m01_multimodal_meta"](spark, sf_dir))
+        print(json.dumps(p04_stage_breakdown(spark, sf_dir)))
+        spark.stop()
+        return
 
     from hepcrawl_spark.session import get_spark
 
@@ -91,7 +162,8 @@ def main():
         # cumsum buckets, the cleaned-corpus frame); release them so
         # later queries' timings don't share their memory
         for cache in (getattr(df, "_caches", None)
-                      or [getattr(df, "_cumsum_cache", None)]):
+                      or [getattr(df, "_cumsum_cache", None),
+                          getattr(df, "_lsh_cache", None)]):
             if cache is not None:
                 cache.unpersist()
     suite_sec = round(time.time() - suite_t0, 3)

@@ -91,6 +91,38 @@ def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFr
     return with_url_identity(df.drop("canon_url", "url_host", "fingerprint"))
 
 
+def _local_ckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` + ownership marker, so the round loop can
+    later free the blocks with :func:`_release_local_checkpoint`
+    (caller-supplied frames never carry the marker and are never
+    touched)."""
+    out = df.localCheckpoint()
+    out._owned_ckpt = True
+    return out
+
+
+def _release_local_checkpoint(df: Optional[DataFrame]) -> None:
+    """Free the executor blocks behind a frame the loop itself
+    ``localCheckpoint()``ed.  ``DataFrame.unpersist()`` cannot reach
+    them — checkpoint blocks belong to the internal RDD, not the
+    cache manager — so without this a long store-less crawl
+    accumulates one per-host-tiny block set per round until the
+    driver's periodic ContextCleaner GC notices the JVM-side RDD is
+    unreachable (spark.cleaner.periodicGC.interval, default 30 min).
+    Called only AFTER the round's actions have materialized every
+    frame that could otherwise recompute through the released blocks.
+    Best-effort: a reflection failure falls back to that GC path.
+    """
+    if df is None or not getattr(df, "_owned_ckpt", False):
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _merge_offsets(old: Optional[DataFrame], new: DataFrame) -> DataFrame:
     if old is None:
         return new
@@ -331,6 +363,7 @@ def run_crawl(
             break
 
         allowed, blocked = robots_filter(queue, robots)
+        prev_seen = seen_state
         admitted, seen_state = filter_unseen(
             allowed, seen_state, mode=config.seen_mode,
             num_shards=config.num_shards,
@@ -339,12 +372,19 @@ def run_crawl(
                 and config.seen_mode != "off":
             # same round-boundary plan truncation as next_queue below;
             # the filter state is tiny (shard blobs / fingerprints)
-            seen_state = seen_state.localCheckpoint()
+            seen_state = _local_ckpt(seen_state)
         scheduled, deferred, new_offsets = schedule(
             admitted, politeness, offsets, round_start=0.0,
             horizon=config.horizon,
             seq_bounds=(int(qstats.lo), int(qstats.hi)),
         )
+        if config.collect_fetch_plans:
+            # pre-persist: the full scheduling lineage (rank windows,
+            # offset joins) is still inline here — the window plan
+            # guard reads these (tests/test_plans.py)
+            totals.setdefault("schedule_plans", []).append(
+                scheduled._jdf.queryExecution().executedPlan().toString()
+            )
         if config.pages_table:
             from ..sources.bucketed import write_bucketed
 
@@ -371,9 +411,7 @@ def run_crawl(
             # comment below) and materializes the per-host-tiny table
             # in one job; the store path gets the same truncation for
             # free from the commit/re-read cycle below
-            offsets = offsets.localCheckpoint()
-            if prev_offsets is not None:
-                prev_offsets.unpersist()
+            offsets = _local_ckpt(offsets)
         else:
             offsets = offsets.persist()
 
@@ -425,6 +463,10 @@ def run_crawl(
         next_queue = deferred.select(_CAND_COLS).unionByName(
             children.select(_CAND_COLS)
         )
+        if config.collect_fetch_plans:
+            totals.setdefault("queue_plans", []).append(
+                next_queue._jdf.queryExecution().executedPlan().toString()
+            )
         if store is None:
             # TRUNCATE the logical plan at the round boundary.  persist()
             # caches data but analysis still walks the full nested tree,
@@ -435,7 +477,7 @@ def run_crawl(
             # swaps the plan for a LogicalRDD (one eager job — the queue
             # is materialized by the next round's qstats anyway); the
             # store path gets the same truncation from commit/re-read.
-            next_queue = next_queue.localCheckpoint()
+            next_queue = _local_ckpt(next_queue)
             if expand_cache is not None:
                 # children are durably in the checkpoint blocks now
                 expand_cache.unpersist()
@@ -510,6 +552,16 @@ def run_crawl(
         scheduled.unpersist()
         fetched.unpersist()
         extracted.unpersist()
+        if store is None:
+            # free the SUPERSEDED rounds' localCheckpoint blocks —
+            # every frame that could recompute through them has been
+            # materialized by this round's actions (next_queue/new
+            # seen/new offsets checkpoints were eager; stats ran the
+            # scheduled/fetched/extracted caches)
+            _release_local_checkpoint(prev_offsets)
+            if prev_seen is not seen_state:
+                _release_local_checkpoint(prev_seen)
+            _release_local_checkpoint(queue)
         pending_expand_cache = expand_cache
         queue = next_queue
         round_no += 1

@@ -169,6 +169,18 @@ def filter_unseen(
         # admitted ⊆ exact-admitted; a ~6e-4 false-positive rate drops
         # that fraction of genuinely-new URLs, the standard Bloom trade
         # (shards stay mergeable by bitwise OR, which cuckoo can't do).
+        # fail fast on the driver: BloomShard requires power-of-two
+        # m_bits (= shard_buckets * 16), but shard_buckets is shared
+        # with cuckoo mode where ANY count works — without this check
+        # a bad value only surfaces as an opaque executor task failure
+        # inside the cogroup UDF
+        m_bits = shard_buckets * 16
+        if m_bits & (m_bits - 1):
+            raise ValueError(
+                f"bloom mode needs power-of-two shard_buckets*16 bits; "
+                f"got shard_buckets={shard_buckets} (m_bits={m_bits}). "
+                f"Use a power of two (the cuckoo-mode default works)."
+            )
         if state is None:
             state = empty_cuckoo_state(spark)  # same (shard, blob) schema
         with_shard = candidates.withColumn(

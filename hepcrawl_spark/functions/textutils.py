@@ -13,6 +13,7 @@ stdlib Python 3.
 
 from __future__ import annotations
 
+import html
 import re
 from itertools import groupby
 from urllib.parse import (
@@ -151,9 +152,15 @@ def strip_unsafe_attributes(text: str) -> str:
 
 
 def _xml_escape_text(segment: str) -> str:
-    """lxml text-node serialization escapes exactly ``& < >``."""
+    """lxml text-node serialization escapes exactly ``& < >`` —
+    after PARSING, which resolves any entities already present.
+    Decode-then-escape reproduces that round-trip and makes the
+    escaping idempotent: ``&amp;`` stays ``&amp;`` instead of
+    double-escaping to ``&amp;amp;``, exactly as the reference's
+    ``Cleaner(...).clean_html`` serialization behaves."""
     return (
-        segment.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        html.unescape(segment)
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
 
 

@@ -268,6 +268,7 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     pairs = minhash_lsh_pairs(surv_docs, n=3,
                               threshold=jaccard_threshold,
                               text_col=text_col, id_col=id_col)
+    caches.append(pairs._lsh_cache)
     clusters = dedup_clusters(surv_docs, pairs, id_col=id_col)
     keep = clusters.filter(
         F.col("cluster_id") == F.col(id_col)

@@ -233,8 +233,14 @@ def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
     300, surviving restarts through the state store (same shape as
     ``stream_unseen``'s exact mode).
 
-    Within a chunk the smallest ``doc_id`` wins, matching the batch
-    operator's survivor rule.  State per shard is the 8-byte content
+    Within a micro-batch the smallest ``doc_id`` wins — the Arrow
+    chunks of the shard's slice are concatenated before the scan, so
+    the rule holds batch-wide (a duplicate split across chunks cannot
+    keep the larger id), matching the batch operator's survivor rule;
+    across batches, arrival order wins (an id admitted in an earlier
+    batch suppresses any later duplicate regardless of id — the only
+    possible rule under streaming ingestion).  State per shard is the
+    8-byte content
     fingerprint set (corpus/num_shards keys); for 10^10-document
     state swap in the cuckoo-blob variant exactly as the seen gate
     does.  Because the Gopher gate sits BEFORE the stateful exchange,
@@ -257,7 +263,13 @@ def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
 
     def _dedup(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
         seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
+        # concatenate the shard's Arrow chunks so min-doc_id wins
+        # across the WHOLE micro-batch, not per chunk (one shard's
+        # batch slice is ~batch/num_shards rows — bounded)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("doc_id")  # min doc_id wins
             keep = []
             for cfp in pdf["_cfp"]:

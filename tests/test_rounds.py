@@ -76,6 +76,26 @@ def test_seen_dedup_prevents_refetch(spark, arxiv_pages):
     assert summary_off["scheduled"] == 2
 
 
+def test_storeless_crawl_releases_checkpoint_blocks(spark, arxiv_pages):
+    # store-less rounds localCheckpoint the queue/seen/offsets ledgers;
+    # DataFrame.unpersist() cannot free those blocks (they belong to
+    # the internal RDD, not the cache manager), so without the explicit
+    # release a long crawl pins one block set per round until driver GC
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    summary = run_crawl(
+        spark, seeds, arxiv_pages,
+        config=CrawlConfig(seen_mode="exact", max_rounds=4),
+    )
+    assert summary["records"] == 22
+    after = len(jsc.getRDDStorageInfo())
+    # only the FINAL round's superseded state may remain pinned
+    # (queue + seen + offsets of the last boundary), never one set
+    # per completed round
+    assert after - before <= 4, (before, after)
+
+
 def test_kill_resume_produces_identical_output(spark, arxiv_pages):
     seeds = _arxiv_seeds(spark, arxiv_pages)
 

@@ -128,6 +128,26 @@ def test_misc_helpers():
         "http://www.example.com/"
 
 
+def test_strip_unsafe_attributes_escaping_idempotent():
+    # plain > gets escaped, like lxml's text-node serialization
+    assert T.strip_unsafe_attributes("E(QG2) > 4x10^10") == \
+        "E(QG2) &gt; 4x10^10"
+    # already-escaped entities round-trip unchanged (lxml parses them
+    # before re-serializing) — never double-escape to &amp;amp;
+    assert T.strip_unsafe_attributes("a &amp; b &gt; c") == \
+        "a &amp; b &gt; c"
+    assert T.strip_unsafe_attributes(
+        T.strip_unsafe_attributes("x < y & z")
+    ) == "x &lt; y &amp; z"
+    # entity decode happens per text segment, never creating tags
+    assert T.strip_unsafe_attributes("&lt;b&gt;keep&lt;/b&gt;") == \
+        "&lt;b&gt;keep&lt;/b&gt;"
+    # attribute stripping still applies inside real tags
+    assert T.strip_unsafe_attributes(
+        '<a href="x" onclick="evil()">t &amp; u</a>'
+    ) == '<a href="x">t &amp; u</a>'
+
+
 def test_fix_title_capitalization():
     assert T.fix_title_capitalization("THE QCD VACUUM AND ITS PROPERTIES") == \
         "The QCD Vacuum and its Properties"
