@@ -238,6 +238,58 @@ def test_t10_unigram_logprob_partial_agg_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_run_crawl_plans_have_no_unpartitioned_window(spark):
+    # VERDICT r3 #8: with_global_order (the one unpartitioned window,
+    # parity-test-only) must be unreachable from production rounds —
+    # assert structurally over EVERY plan a real multi-round crawl
+    # executes (scheduling lineage, next-queue expansion, fetch join):
+    # each windowspecdefinition's first argument is a partition
+    # column, never a sort order
+    import re
+
+    from hepcrawl_spark.frontier.rounds import (
+        CrawlConfig,
+        make_seeds,
+        run_crawl,
+    )
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url,
+                f"<html><head><title>T {url}</title></head>"
+                f"<body>doc body {url} {body}</body></html>".encode(),
+                "html-generic")
+
+    rows, seed_urls = [], []
+    for i in range(12):
+        host = f"h{i % 4}.x"
+        seed = f"http://{host}/s{i}"
+        kids = [f"http://{host}/s{i}/c{j}" for j in range(3)]
+        rows.append(page(seed, kids))
+        rows.extend(page(k, []) for k in kids)
+        seed_urls.append(seed)
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, format string"
+    )
+    seeds = make_seeds(spark, [(u, "html-generic", 0) for u in seed_urls])
+    summary = run_crawl(
+        spark, seeds, pages,
+        config=CrawlConfig(seen_mode="exact", max_rounds=4,
+                           collect_fetch_plans=True),
+    )
+    assert summary["rounds"] >= 2          # multi-round evidence
+    all_plans = (summary["schedule_plans"] + summary["queue_plans"]
+                 + summary["fetch_plans"])
+    assert len(all_plans) >= 6
+    for plan in all_plans:
+        for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+            first_arg = m.group(1)
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                "unpartitioned window in a production round plan: "
+                + m.group(0)
+            )
+
+
 def test_no_query_uses_row_at_a_time_python(spark):
     # global guard over the WHOLE driver contract: no query's plan may
     # contain a row-at-a-time Python eval (BatchEvalPython) — every
