@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..extract import extract_records
 from ..schema import PAGES_WITH_FORMAT_SCHEMA
@@ -68,7 +69,8 @@ UNSEEN_CUCKOO_STATE_SCHEMA = "blob binary"
 
 def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
                   mode: str = "exact",
-                  shard_buckets: int = 1 << 16) -> DataFrame:
+                  shard_buckets: int = 1 << 16,
+                  carry_cols: Optional[list] = None) -> DataFrame:
     """Streaming URL-seen gate — the continuous analog of
     ``frontier.seen.filter_unseen`` (F1), built on
     ``applyInPandasWithState``.
@@ -88,10 +90,22 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
     blob size): the 10^10 path, at the filter's false-positive cost.
     State volume per task is |frontier| / num_shards either way, and
     the only shuffle is the one groupBy.
+
+    ``carry_cols`` widens the output beyond the default (url,
+    fingerprint, seq) with further input columns passed through
+    unchanged — the full-candidate form ``stream_crawl_round`` feeds
+    its round body with.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..frontier.cuckoo import CuckooShard
+
+    out_cols = ["url", "fingerprint", "seq"] + [
+        c for c in (carry_cols or [])
+        if c not in ("url", "fingerprint", "seq")
+    ]
+    in_fields = {f.name: f for f in cand_stream.schema.fields}
+    out_struct = StructType([in_fields[c] for c in out_cols])
 
     def _dedup_exact(key: Tuple, pdfs: Iterator[pd.DataFrame], state):
         seen = set(state.get[0]) if state.exists else set()
@@ -105,7 +119,7 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
                 else:
                     seen.add(fp)
                     keep.append(True)
-            out = pdf[keep][["url", "fingerprint", "seq"]]
+            out = pdf[keep][out_cols]
             if len(out):
                 yield out
         state.update((list(seen),))
@@ -125,7 +139,7 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
                 else:
                     shard.insert(h)
                     keep.append(True)
-            out = pdf[keep][["url", "fingerprint", "seq"]]
+            out = pdf[keep][out_cols]
             if len(out):
                 yield out
         state.update((shard.to_bytes(),))
@@ -146,7 +160,7 @@ def stream_unseen(cand_stream: DataFrame, num_shards: int = 64,
         .groupBy("_shard")
         .applyInPandasWithState(
             fn,
-            outputStructType=UNSEEN_OUTPUT_SCHEMA,
+            outputStructType=out_struct,
             stateStructType=schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -209,6 +223,138 @@ def stream_schedule(cand_stream: DataFrame, checkpoint: str,
         cand_stream.writeStream
         .foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_crawl_round(spark: SparkSession, frontier_path: str,
+                       pages: DataFrame, work_dir: str,
+                       politeness: Optional[DataFrame] = None,
+                       robots: Optional[DataFrame] = None,
+                       num_shards: int = 8, seen_mode: str = "exact",
+                       max_depth: int = 4, seq_block: int = 1 << 40,
+                       child_format_routes: Optional[dict] = None,
+                       max_files_per_trigger: int = 64,
+                       available_now: bool = True):
+    """The FULL streaming crawl engine — every stage of the batch
+    round body (``frontier.rounds.run_crawl``) composed into one
+    continuous query, closing the frontier loop through the watched
+    directory:
+
+        frontier files → URL-seen gate (``stream_unseen``,
+        GroupState) → foreachBatch round body [robots gate →
+        politeness ``schedule`` with the carried offset ledger →
+        fetch join against the pages corpus → extraction →
+        ``_expand_children``] → child candidates written BACK into
+        ``frontier_path`` → picked up as the next micro-batch.
+
+    One implementation, two engines: the body calls the SAME
+    ``schedule`` / ``extract_records`` / ``_expand_children`` the
+    batch loop calls, so per-host spacing, LIFO ordering, depth caps
+    and child format routing are definitionally identical.  The
+    URL-seen state lives in the state-store checkpoint and the
+    per-host offsets in an epoch-versioned parquet ledger, so BOTH
+    survive a full stop/start: a crawl resumed tomorrow still refuses
+    yesterday's URLs and still spaces yesterday's hosts.  Robots sits
+    inside the body (after the gate): with a static robots table the
+    admitted-then-blocked order changes no outcome — a blocked URL is
+    blocked in every batch — and it keeps the stream side to the one
+    stateful exchange.
+
+    Epoch-versioned writes make retried micro-batches idempotent:
+    records land in ``work_dir/records/epoch-N`` (overwrite), child
+    files as ``frontier_path/children-N-*.parquet`` (fixed names per
+    epoch — the file source processes each path once, so a retry
+    cannot double-enqueue).  ``availableNow`` processes the files
+    present at start then stops; children written during the run form
+    the NEXT trigger's input — drive the drain loop by re-starting
+    the query until no new frontier files appear (each run is one
+    batch "round"; the state store carries everything across runs).
+    """
+    import glob
+    import os
+
+    from ..frontier.politeness import schedule
+    from ..frontier.robots import effective_politeness, robots_filter
+    from ..frontier.rounds import _expand_children, _merge_offsets
+    from ..frontier.seen import CANDIDATE_SCHEMA
+
+    cand_cols = CANDIDATE_SCHEMA.fieldNames()
+    offsets_path = os.path.join(work_dir, "offsets")
+    records_path = os.path.join(work_dir, "records")
+    pol = effective_politeness(politeness, robots)
+    pages_slim = pages.select("url", "html")
+
+    cand = (
+        spark.readStream
+        .schema(CANDIDATE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(frontier_path)
+    )
+    admitted = stream_unseen(cand, num_shards=num_shards,
+                             mode=seen_mode, carry_cols=cand_cols)
+
+    def round_body(df: DataFrame, epoch: int) -> None:
+        epoch = int(epoch)
+        allowed, _blocked = robots_filter(df, robots)
+        prior = sorted(glob.glob(os.path.join(offsets_path, "epoch-*")))
+        prior = [p for p in prior if int(p.rsplit("-", 1)[1]) < epoch]
+        offsets = spark.read.parquet(prior[-1]) if prior else None
+        scheduled, _deferred, new_offsets = schedule(
+            allowed, pol, offsets, round_start=0.0, horizon=None,
+        )
+        scheduled = scheduled.persist()
+        (
+            scheduled.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .parquet(os.path.join(work_dir, "scheduled",
+                                  f"epoch-{epoch:09d}"))
+        )
+        fetched = scheduled.join(pages_slim, on="url", how="left")
+        extracted = extract_records(
+            fetched.filter(F.col("html").isNotNull())
+            .select("url", "html", "format")
+        ).persist()
+        records = extracted.filter(F.col("error").isNull())
+        (
+            records.drop("new_urls").withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .parquet(os.path.join(records_path, f"epoch-{epoch:09d}"))
+        )
+        _merge_offsets(offsets, new_offsets).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(offsets_path, f"epoch-{epoch:09d}"))
+
+        expanded = _expand_children(
+            records, scheduled,
+            seq_base=(epoch + 1) * seq_block,
+            max_depth=max_depth,
+            format_routes=child_format_routes or {},
+        )
+        children = expanded.select(cand_cols)
+        # land children under a scratch dir, then give each part a
+        # FIXED per-epoch name inside the watched directory: the file
+        # source keys processed files by path, so a retried epoch
+        # re-creates the same paths and nothing double-enqueues
+        scratch = os.path.join(work_dir, f"children-{epoch:09d}")
+        children.write.mode("overwrite").parquet(scratch)
+        parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+        for i, p in enumerate(parts):
+            os.replace(p, os.path.join(
+                frontier_path, f"children-{epoch:09d}-{i:05d}.parquet"
+            ))
+        expand_cache = getattr(expanded, "_expand_cache", None)
+        if expand_cache is not None:
+            expand_cache.unpersist()
+        extracted.unpersist()
+        scheduled.unpersist()
+
+    writer = (
+        admitted.writeStream
+        .foreachBatch(round_body)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

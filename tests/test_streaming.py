@@ -120,6 +120,95 @@ def test_stream_unseen_state_survives_microbatches(spark, tmp_path, mode):
                         ("http://x/c", 4)]
 
 
+def test_stream_crawl_round_full_loop(spark, tmp_path):
+    """VERDICT r3 #5: the FULL streaming crawl — seen gate, politeness
+    scheduler, fetch join, extraction and depth expansion composed in
+    one foreachBatch round body, with the frontier loop closed through
+    the watched directory.  Per-host spacing, URL-seen dedup and depth
+    expansion must hold across micro-batches AND across full query
+    restarts (state store + offset ledger)."""
+    from hepcrawl_spark.frontier.rounds import make_seeds
+    from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+    from hepcrawl_spark.schema import POLITENESS_SCHEMA
+    from hepcrawl_spark.streaming.pipeline import stream_crawl_round
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url,
+                f"<html><head><title>T {url}</title></head>"
+                f"<body>doc body {url} {body}</body></html>".encode(),
+                "html-generic")
+
+    kids = {
+        "http://h0.x/s0": ["http://h0.x/s0/c0", "http://h0.x/shared"],
+        "http://h0.x/s1": ["http://h0.x/s1/c0", "http://h0.x/shared"],
+        "http://h1.x/s2": ["http://h1.x/s2/c0", "http://h1.x/s2/c1"],
+        "http://h1.x/s3": ["http://h1.x/s3/c0", "http://h1.x/s3/c1"],
+    }
+    uniq_children = sorted({u for v in kids.values() for u in v})
+    rows = [page(u, links) for u, links in kids.items()]
+    rows += [page(u, []) for u in uniq_children]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, format string"
+    )
+    politeness = spark.createDataFrame(
+        [("h0.x", 10.0, 1), ("h1.x", 10.0, 1)], POLITENESS_SCHEMA
+    )
+
+    frontier = tmp_path / "frontier"
+    frontier.mkdir()
+    work = str(tmp_path / "work")
+    cand_cols = CANDIDATE_SCHEMA.fieldNames()
+    seeds = make_seeds(
+        spark, [(u, "html-generic", 0) for u in sorted(kids)]
+    ).select(cand_cols)
+    seeds.coalesce(1).write.mode("append").parquet(str(frontier))
+
+    def run_round():
+        q = stream_crawl_round(
+            spark, str(frontier), pages, work,
+            politeness=politeness, num_shards=4, max_depth=2,
+        )
+        q.awaitTermination(180)
+
+    run_round()                      # epoch 0: the four seeds
+    run_round()                      # RESTART; epoch 1: the children
+
+    recs = spark.read.parquet(work + "/records/epoch-*")
+    fetched = sorted(r.url for r in recs.select("url").collect())
+    # every page exactly once: the shared child link dedups through
+    # the GroupState seen gate, across two query lifetimes
+    assert fetched == sorted(list(kids) + uniq_children)
+
+    sched = spark.read.parquet(work + "/scheduled/epoch-*")
+    by_epoch = {
+        int(r.epoch): r.cnt
+        for r in sched.groupBy("epoch").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert by_epoch[0] == 4 and by_epoch[1] == len(uniq_children)
+    # depth expansion happened through the loop, and stopped there
+    assert {r.depth for r in sched.filter("epoch = 1").collect()} == {1}
+
+    # per-host spacing holds CONTINUOUSLY: consecutive fetch_ts per
+    # host, pooled across micro-batches/restarts, differ >= delay
+    for host in ("h0.x", "h1.x"):
+        ts = sorted(r.fetch_ts for r in
+                    sched.filter(F.col("url_host") == host).collect())
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 10.0 - 1e-9 for g in gaps), (host, ts)
+
+    # a re-injected duplicate seed file admits NOTHING (seen state
+    # survived two restarts)
+    seeds.coalesce(1).write.mode("append").parquet(str(frontier))
+    run_round()                      # epoch 2: all duplicates
+    assert spark.read.parquet(
+        work + "/records/epoch-*"
+    ).count() == len(kids) + len(uniq_children)
+    sched2 = spark.read.parquet(work + "/scheduled/epoch-*")
+    assert sched2.filter("epoch = 2").count() == 0
+
+
 def test_stream_schedule_politeness_across_microbatches(spark, tmp_path):
     """VERDICT r2 #9: foreachBatch politeness — each micro-batch runs
     the batch engine's schedule() with offsets carried through the
