@@ -1,5 +1,7 @@
-"""Best-of-N A/B timing for the queries BENCH_r02 flagged as regressed
-vs BENCH_r01 (s01 +73%, t04 +95%, d04 +35%, d03 +26%, q01 +14%).
+"""Best-of-N A/B timing for the queries the single-shot driver bench
+flagged as regressed round-over-round (r2 set: s01 +73%, t04 +95%,
+d04 +35%, d03 +26%, q01 +14%; r3 set: s03 2.3x, m01-m03 1.9-2.8x,
+t02/t03 ~1.7x, q08 1.7x — pass --r3 for that target list).
 
 Times each current query best-of-N in a warmed session (the bench.py
 suite is single-shot and this host's wall clock is 2-4x noisy), plus
@@ -87,8 +89,17 @@ def t04_xxhash(spark, sf_dir):
     return docs.select(F.col("doc_id"), fp.alias("fingerprint"))
 
 
+R2_TARGETS = ["q01_pricing_summary", "t04_text_fingerprint",
+              "d04_dedup_simhash", "d03_dedup_minhash", "s01_ann_topk"]
+R3_TARGETS = ["s03_emb_neardup", "m01_multimodal_meta",
+              "m02_media_resize", "m03_media_frames",
+              "t02_text_langid", "t03_text_quality",
+              "q08_hourly_window"]
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -100,18 +111,22 @@ def main():
     import __spark_entry__ as em
 
     qs = em.queries()
-    targets = ["q01_pricing_summary", "t04_text_fingerprint",
-               "d04_dedup_simhash", "d03_dedup_minhash", "s01_ann_topk"]
+    r3 = "--r3" in sys.argv
+    targets = R3_TARGETS if r3 else R2_TARGETS
 
     # warm the session (JVM/codegen/Arrow paths) before timing
     _materialize(qs["t01_text_tokens"](spark, sf_dir))
     _materialize(qs["s01_ann_topk"](spark, sf_dir))
+    _materialize(qs["m01_multimodal_meta"](spark, sf_dir))
 
     out = {}
     for name in targets:
         out[name] = _time_best(lambda: qs[name](spark, sf_dir), n)
-    out["s01_jvm_fold"] = _time_best(lambda: s01_jvm_fold(spark, sf_dir), n)
-    out["t04_xxhash"] = _time_best(lambda: t04_xxhash(spark, sf_dir), n)
+    if not r3:
+        out["s01_jvm_fold"] = _time_best(
+            lambda: s01_jvm_fold(spark, sf_dir), n)
+        out["t04_xxhash"] = _time_best(
+            lambda: t04_xxhash(spark, sf_dir), n)
 
     print(json.dumps(out))
     spark.stop()
