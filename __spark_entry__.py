@@ -546,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p05_clean_decontaminated": _q_clean_decontaminated,
         "t12_classifier_score": _q_classifier_score,
         "d08_span_dupfrac_capped": _q_span_dupfrac_capped,
+        "t13_pii_scrub": _q_pii_scrub,
+        "t14_dedup_lines": _q_dedup_lines,
     }
 
 
@@ -1046,6 +1048,40 @@ def _q_classifier_score(spark, sf_dir):
     return textops.classifier_score(
         _t(spark, sf_dir, "documents")
     ).select("doc_id", "token_cnt", "cls_score", "cls_pass")
+
+
+def _q_pii_scrub(spark, sf_dir):
+    # t13: PII scrubbing — the synthetic corpus carries no PII, so
+    # each doc gets a deterministic contact line appended (same
+    # expression in the oracle) and the operator must count & mask it
+    # along with anything already present
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org from "),
+            (F.col("doc_id") % 223 + 1).cast("string"),
+            F.lit(".0.0."), (F.col("doc_id") % 251 + 1).cast("string"),
+            F.lit(" tel +1 (555) 010-"),
+            F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+        ),
+    )
+    return textops.pii_scrub(docs).select(
+        "doc_id", "email_cnt", "ipv4_cnt", "phone_cnt", "masked_text"
+    )
+
+
+def _q_dedup_lines(spark, sf_dir):
+    # t14: within-doc repetition removal — the corpus is single-line,
+    # so tokens become lines (one deterministic translate, mirrored
+    # in the oracle): first occurrence of each token-line survives
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate(F.col("text"), " ", "\n")
+    )
+    return textops.dedup_lines(docs).select(
+        "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
+    )
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1552,6 +1588,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token_cnt, cls_score,
                    cls_score >= 0.5 AS cls_pass
             FROM m
+        """,
+        # t13: PII scrubbing — same deterministic contact-line
+        # augmentation as the Spark wrapper, then identical
+        # RE2∩Java-subset patterns count and mask (email → IP →
+        # phone chain; masked text hash-matches)
+        "t13_pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id::VARCHAR ||
+                     '@example.org from ' ||
+                     (doc_id % 223 + 1)::VARCHAR || '.0.0.' ||
+                     (doc_id % 251 + 1)::VARCHAR ||
+                     ' tel +1 (555) 010-' ||
+                     (doc_id % 10000)::VARCHAR AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '{textops.PII_EMAIL_RE}'))::BIGINT AS email_cnt,
+                   len(regexp_extract_all(text,
+                     '{textops.PII_IPV4_RE}'))::BIGINT AS ipv4_cnt,
+                   len(regexp_extract_all(text,
+                     '{textops.PII_PHONE_RE}'))::BIGINT AS phone_cnt,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{textops.PII_IPV4_RE}', '<IP>', 'g'),
+                     '{textops.PII_PHONE_RE}', '<PHONE>', 'g'
+                   ) AS masked_text
+            FROM aug
+        """,
+        # t14: within-doc duplicate-line removal — tokens become
+        # lines via the same translate; first occurrence survives
+        # (list_position = own 1-based index, order-preserving)
+        "t14_dedup_lines": """
+            WITH s AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' ', chr(10)), chr(10))
+                       AS ls
+              FROM documents
+            ), k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls,
+                       (x, i) -> list_position(ls, x) = i) AS kept
+              FROM s
+            )
+            SELECT doc_id,
+                   len(ls)::BIGINT AS line_cnt,
+                   (len(ls) - len(kept))::BIGINT AS removed_cnt,
+                   array_to_string(kept, chr(10)) AS cleaned_text
+            FROM k
         """,
         # t11: benchmark-decontamination signal — distinct 13-gram
         # containment of every document against the held-out slice

@@ -415,6 +415,92 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+# PII patterns shared verbatim by the Spark plan and the DuckDB
+# mirror — written to the RE2 ∩ Java-regex common subset (no
+# lookaround, no \d/\s shorthand, explicit classes), so both engines
+# read them identically (same discipline as WS_CLASS).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4_RE = ("[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.]"
+               "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?")
+PII_PHONE_RE = "[+][0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing — the redaction pass every public training-data
+    pipeline runs before release (emails / IPv4s / international
+    phone numbers, the three deterministic classes; cf. the published
+    BigCode/StarCoder and FineWeb PII stages): per-document match
+    counts plus the masked text with each span replaced by a typed
+    placeholder.
+
+    One codegen scan pass (``regexp_extract_all`` + chained
+    ``regexp_replace``), no shuffle, no Python.  Masking order is
+    email → IPv4 → phone and is part of the contract (the SQL mirror
+    applies the same chain, so the masked text hash-matches).
+    Detection is pattern-level, deliberately: no checksum validation,
+    no NER — those are model concerns; this is the exact-arithmetic
+    substrate they'd plug into.
+    """
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("email_cnt"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long").alias("ipv4_cnt"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long").alias("phone_cnt"),
+        masked.alias("masked_text"),
+    )
+
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                min_line_len: int = 0) -> DataFrame:
+    """Within-document repetition removal: keep the FIRST occurrence
+    of every line, drop later exact repeats — the C4-style
+    boilerplate control (nav bars, cookie banners, repeated headers)
+    that complements the Gopher duplicate-bigram SIGNAL with an
+    actual rewrite.  Returns (id, line_cnt, removed_cnt,
+    cleaned_text).
+
+    First-occurrence semantics via ``array_position`` (1-based index
+    of the first match) compared to each element's own position — an
+    order-preserving dedup both engines express identically
+    (``list_position`` in DuckDB).  Per-line scan is quadratic in the
+    DOCUMENT's line count only — bounded per row, embarrassingly
+    parallel across the corpus, no shuffle.  ``min_line_len`` exempts
+    short lines (blank separators) from dedup when > 0.
+    """
+    def _clean(lines):
+        keep = F.filter(
+            lines,
+            lambda l, i: (F.array_position(lines, l) == i + 1)
+            | (F.length(l) < min_line_len),
+        )
+        return F.struct(
+            F.size(lines).cast("long").alias("n"),
+            (F.size(lines) - F.size(keep)).cast("long").alias("rm"),
+            F.array_join(keep, "\n").alias("txt"),
+        )
+
+    out = bind_once(F.split(F.col(text_col), "\n"), _clean)
+    return docs.select(F.col(id_col), out.alias("_c")).select(
+        id_col,
+        F.col("_c.n").alias("line_cnt"),
+        F.col("_c.rm").alias("removed_cnt"),
+        F.col("_c.txt").alias("cleaned_text"),
+    )
+
+
 CLS_BUCKETS = 1024
 
 

@@ -801,6 +801,50 @@ def test_clean_corpus_classifier_gate(spark):
     assert gated == [0]
 
 
+def test_pii_scrub(spark):
+    rows = [
+        (0, "mail bob.smith+x@lab.example.org or 192.168.0.1 now"),
+        (1, "call +44 20 7946 0958 twice: +44 20 7946 0958"),
+        (2, "clean text, no identifiers at all"),
+        (3, "a@b.io c@d.co 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.pii_scrub(df).collect()}
+    assert (got[0].email_cnt, got[0].ipv4_cnt, got[0].phone_cnt) == (1, 1, 0)
+    assert got[0].masked_text == "mail <EMAIL> or <IP> now"
+    assert got[1].phone_cnt == 2
+    assert got[1].masked_text == "call <PHONE> twice: <PHONE>"
+    assert (got[2].email_cnt, got[2].ipv4_cnt, got[2].phone_cnt) == (0, 0, 0)
+    assert got[2].masked_text == rows[2][1]
+    assert got[3].email_cnt == 2 and got[3].ipv4_cnt == 1
+    assert got[3].masked_text == "<EMAIL> <EMAIL> <IP>"
+
+
+def test_dedup_lines(spark):
+    rows = [
+        (0, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+        (1, "only\nunique\nlines"),
+        (2, "x\nx\nx\nx"),
+        (3, "single line no breaks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.dedup_lines(df).collect()}
+    assert got[0].line_cnt == 5 and got[0].removed_cnt == 2
+    assert got[0].cleaned_text == \
+        "nav bar\nreal content one\nreal content two"
+    assert got[1].removed_cnt == 0 and got[1].cleaned_text == rows[1][1]
+    assert got[2].line_cnt == 4 and got[2].removed_cnt == 3
+    assert got[2].cleaned_text == "x"
+    assert got[3].line_cnt == 1 and got[3].removed_cnt == 0
+    # min_line_len exempts short separator lines from dedup
+    sep = spark.createDataFrame(
+        [(0, "a\n\nb\n\na")], "doc_id long, text string"
+    )
+    r = textops.dedup_lines(sep, min_line_len=1).collect()[0]
+    assert r.removed_cnt == 1                       # only the repeated "a"
+    assert r.cleaned_text == "a\n\nb\n"
+
+
 def test_srp_params_for_threshold_regimes():
     import math
 
