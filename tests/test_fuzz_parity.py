@@ -30,6 +30,8 @@ FUZZED_QUERIES = [
     "t10_unigram_logprob",
     "t12_classifier_score",
     "p02_pack_sequences",
+    "t13_pii_scrub",
+    "t14_dedup_lines",
 ]
 
 # the tokenizer fuzz's adversarial alphabet: unicode whitespace,
