@@ -238,6 +238,43 @@ def test_t10_unigram_logprob_partial_agg_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_t11_contamination_broadcast_linear_join(spark):
+    # the eval-set gram side broadcasts (never a shuffled/skewed
+    # join on a hot gram) and nothing drops to Python
+    plan = _plan(em.queries()["t11_benchmark_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_t12_classifier_single_scan_no_shuffle(spark):
+    # weights are a plan literal: the whole classifier is one codegen
+    # scan pass — no Exchange, no join, no Python
+    plan = _plan(em.queries()["t12_classifier_score"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_t13_t14_scan_only_rewrites(spark):
+    # PII scrubbing and line dedup are per-row rewrites: zero
+    # shuffles, zero Python, full column pruning to (doc_id, text)
+    for name in ("t13_pii_scrub", "t14_dedup_lines"):
+        plan = _plan(em.queries()[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, name
+
+
+def test_d08_capped_span_same_shape_as_d07(spark):
+    # the cap must not change the plan family: partial-agg freq +
+    # flag join, never a window over spans or a pair join
+    plan = _plan(em.queries()["d08_span_dupfrac_capped"](spark, SF))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2     # partial + final
+
+
 def test_run_crawl_plans_have_no_unpartitioned_window(spark):
     # VERDICT r3 #8: with_global_order (the one unpartitioned window,
     # parity-test-only) must be unreachable from production rounds —
