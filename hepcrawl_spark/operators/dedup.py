@@ -303,6 +303,49 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def bench_gram_list(benchmark: DataFrame, n: int = 13,
+                    text_col: str = "text",
+                    max_grams: int = 50_000) -> list:
+    """The benchmark's DISTINCT n-grams as a plain Python list — the
+    form a STREAMING decontamination gate needs: baked into the plan
+    as a literal array, the per-row overlap check is stateless
+    codegen, legal in any micro-batch position (no stream-side
+    aggregation, no join state).  Eval suites are small by nature;
+    ``max_grams`` guards against feeding a corpus in by mistake (a
+    10^5-gram literal is fine, a 10^9 one is a driver OOM — use the
+    batch ``contaminated_ids`` broadcast join for anything big).
+    This is one of the package's few ``collect()`` calls, bounded by
+    the same guard.
+    """
+    grams = [
+        r._gram
+        for r in _bench_grams(benchmark, n, text_col)
+        .select("_gram").limit(max_grams + 1).collect()
+    ]
+    if len(grams) > max_grams:
+        raise ValueError(
+            f"benchmark has more than {max_grams} distinct {n}-grams; "
+            "use contaminated_ids (broadcast join) instead of the "
+            "literal-array gate"
+        )
+    return sorted(grams)
+
+
+def contaminated_flag_col(text: Column, grams: list,
+                          n: int = 13) -> Column:
+    """Boolean column: does ``text`` share any word n-gram with the
+    (driver-collected) benchmark gram list?  Pure codegen
+    (``arrays_overlap`` against a literal array) — usable in batch
+    filters AND inside a streaming micro-batch before any stateful
+    stage."""
+    if not grams:
+        return F.lit(False)
+    return F.arrays_overlap(
+        shingles_col(text, n),
+        F.lit([str(g) for g in grams]),
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text",
                         id_col: str = "doc_id",

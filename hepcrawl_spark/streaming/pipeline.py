@@ -368,6 +368,8 @@ CLEAN_CORPUS_STATE_SCHEMA = "fps array<long>"
 
 def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
                         lang_threshold: float = 0.04,
+                        benchmark_grams: Optional[list] = None,
+                        contamination_ngram: int = 13,
                         **gopher_thresholds) -> DataFrame:
     """Continuous corpus cleaning — the streaming peer of
     ``operators.corpus.clean_corpus`` for an always-ingesting crawl:
@@ -392,11 +394,25 @@ def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
     does.  Because the Gopher gate sits BEFORE the stateful exchange,
     only surviving documents shuffle — identical to the batch plan's
     gate-below-the-Exchange shape.
+
+    ``benchmark_grams`` (a ``dedup.bench_gram_list`` result) enables
+    the streaming peer of the batch pipeline's decontamination stage:
+    the per-row ``arrays_overlap`` check against the literal gram
+    array is stateless codegen, so it gates BEFORE the stateful
+    exchange with no join state and no extra shuffle — the exact
+    property that makes decontamination stream-composable at all.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.corpus import gated_docs
 
+    if benchmark_grams is not None:
+        from ..operators.dedup import contaminated_flag_col
+
+        docs_stream = docs_stream.filter(
+            ~contaminated_flag_col(F.col("text"), benchmark_grams,
+                                   n=contamination_ngram)
+        )
     base = gated_docs(docs_stream, lang_threshold=lang_threshold,
                       **gopher_thresholds)
     # 64-bit content fingerprint from the md5 the gate already

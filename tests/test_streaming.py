@@ -336,6 +336,58 @@ def test_stream_clean_corpus_dedup_across_microbatches(spark, tmp_path):
         assert got[d].fingerprint == want[d].fingerprint
 
 
+def test_stream_clean_corpus_decontaminates(spark, tmp_path):
+    """The streaming peer of the batch decontamination stage: docs
+    sharing a 13-gram with the (driver-collected) eval-set grams are
+    dropped by a stateless codegen filter BEFORE the stateful dedup
+    exchange — same outcome as the batch pipeline's benchmark= stage."""
+    from hepcrawl_spark.operators.dedup import bench_gram_list
+    from hepcrawl_spark.streaming.pipeline import stream_clean_corpus
+
+    good = " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(50)
+    )
+    other = " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(60)
+    )
+    bench = spark.createDataFrame(
+        [(" ".join(good.split()[10:25]),)], "text string"
+    )  # a 15-token span of `good` sits in the eval set
+    grams = bench_gram_list(bench, n=13)
+    assert len(grams) == 3          # 15 tokens → 3 distinct 13-grams
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(0, good), (1, other)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    sink = []
+    q = (
+        stream_clean_corpus(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            num_shards=4, benchmark_grams=grams,
+        )
+        .writeStream
+        .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # doc 0 is gate-clean but contaminated -> dropped; doc 1 survives
+    assert sorted(r.doc_id for r in sink) == [1]
+    # guard: a corpus-sized "benchmark" is refused
+    import pytest as _pytest
+
+    big = spark.range(30).selectExpr(
+        "concat_ws(' ', transform(sequence(1, 20), "
+        "i -> concat('w', id * 100 + i))) AS text"
+    )
+    with _pytest.raises(ValueError, match="distinct 13-grams"):
+        bench_gram_list(big, n=13, max_grams=100)
+
+
 def test_stream_clean_corpus_state_survives_restart(spark, tmp_path):
     """A second availableNow run over the SAME checkpoint (a full
     stop/start cycle — the daily-restart reality of a continuous
