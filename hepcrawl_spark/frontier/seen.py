@@ -175,7 +175,9 @@ def filter_unseen(
         # a bad value only surfaces as an opaque executor task failure
         # inside the cogroup UDF
         m_bits = shard_buckets * 16
-        if m_bits & (m_bits - 1):
+        # shard_buckets <= 0 gives m_bits & (m_bits - 1) == 0, so the
+        # power-of-two test alone would wave the degenerate value through
+        if shard_buckets <= 0 or m_bits & (m_bits - 1):
             raise ValueError(
                 f"bloom mode needs power-of-two shard_buckets*16 bits; "
                 f"got shard_buckets={shard_buckets} (m_bits={m_bits}). "

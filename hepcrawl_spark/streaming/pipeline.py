@@ -272,6 +272,15 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
     the NEXT trigger's input — drive the drain loop by re-starting
     the query until no new frontier files appear (each run is one
     batch "round"; the state store carries everything across runs).
+
+    Storage restriction: the child loop-back publishes files with
+    driver-local ``glob()`` + ``os.replace()``, so ``frontier_path``
+    and ``work_dir`` must live on the SAME local POSIX filesystem
+    (local disk / NFS mount) — not HDFS or S3, and not two different
+    mounts (``os.replace`` across devices raises ``EXDEV``).  On a
+    cluster, point both at a shared mount, or swap the rename for the
+    Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``) —
+    the per-epoch fixed-name idempotency contract is unchanged.
     """
     import glob
     import os
@@ -341,6 +350,13 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
         scratch = os.path.join(work_dir, f"children-{epoch:09d}")
         children.write.mode("overwrite").parquet(scratch)
         parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+        # a retried epoch may produce FEWER partitions than the first
+        # attempt; sweep every prior children-{epoch}-* first so the
+        # retry fully replaces its earlier output (stale higher-index
+        # files would be re-enqueued, and only the seen gate saves us)
+        for stale in glob.glob(os.path.join(
+                frontier_path, f"children-{epoch:09d}-*.parquet")):
+            os.remove(stale)
         for i, p in enumerate(parts):
             os.replace(p, os.path.join(
                 frontier_path, f"children-{epoch:09d}-{i:05d}.parquet"

@@ -166,6 +166,16 @@ def test_bloom_admits_subset_of_exact_on_event_candidates(spark):
     assert b == e  # measured: zero false positives on this corpus
 
 
+def test_bloom_rejects_bad_shard_buckets_on_driver(spark):
+    """The fail-fast covers BOTH degenerate classes: non-power-of-two
+    bit counts AND shard_buckets <= 0 (where 0 & -1 == 0 would slip
+    past the power-of-two test alone)."""
+    cand = _candidates(spark, ["http://h0.org/a"])
+    for bad in (3, 0, -16):
+        with pytest.raises(ValueError, match="power-of-two"):
+            filter_unseen(cand, None, mode="bloom", shard_buckets=bad)
+
+
 def test_bloom_state_persists_blobs(spark):
     cand = _candidates(spark, [f"http://h{i}.org/{i}" for i in range(10)])
     _, state = filter_unseen(cand, None, mode="bloom", num_shards=4)
