@@ -548,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d08_span_dupfrac_capped": _q_span_dupfrac_capped,
         "t13_pii_scrub": _q_pii_scrub,
         "t14_dedup_lines": _q_dedup_lines,
+        "d09_span_rewrite": _q_span_rewrite,
+        "p06_clean_span_rewritten": _q_clean_span_rewritten,
     }
 
 
@@ -634,11 +636,13 @@ _P01_SQL = f"""
     FROM k WHERE rn = 1
 """
 
-# p04/p05 shared tail: near-dup cluster removal (exact-Jaccard pairs
-# + recursive-CTE connected components, mirroring d02/d06) over a
-# `cleaned` CTE the caller supplies, laid out as packed sequences
-# (p02's running count over the kept set)
-_CLEAN_FULL_TAIL_SQL = """
+# p04/p05/p06 shared tail pieces: near-dup cluster removal
+# (exact-Jaccard pairs + recursive-CTE connected components,
+# mirroring d02/d06) over a `cleaned` CTE the caller supplies, down
+# to the `kept` set — then packed-sequence layout (p02's running
+# count) over `{src}`.  p04/p05 pack `kept` directly;
+# p06 inserts the span-rewrite CTEs between the two.
+_CLEAN_FULL_KEPT_SQL = """
             toks2 AS (
               SELECT d.doc_id, {toks} AS t
               FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
@@ -673,18 +677,61 @@ _CLEAN_FULL_TAIL_SQL = """
               SELECT c.* FROM cleaned c
               LEFT JOIN comp ON comp.doc_id = c.doc_id
               WHERE coalesce(comp.cluster_id, c.doc_id) = c.doc_id
-            ), laid AS (
+            )"""
+
+_PACK_TAIL_SQL = """, laid AS (
               SELECT *,
                      COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) AS prev
-              FROM kept
+              FROM {src}
             )
-            SELECT doc_id, guessed_lang, token_cnt, fingerprint,
+            SELECT doc_id, guessed_lang, token_cnt,{extra} fingerprint,
                    (prev // 512)::BIGINT AS seq_id,
                    (prev % 512)::BIGINT AS seq_offset
             FROM laid
 """
+
+_CLEAN_FULL_TAIL_SQL = (
+    _CLEAN_FULL_KEPT_SQL + _PACK_TAIL_SQL.format(src="kept", extra="")
+)
+
+# p06 rewrite CTEs: duplicate-span removal over the kept set — span
+# frequencies counted over exactly the texts being rewritten (w=3,
+# min_count=2, the d09 rule); token j survives iff no duplicated
+# span's 3-token window covers it (1-based positions throughout)
+_SPAN_RW_SQL = """, spt AS (
+              SELECT t2.doc_id, t2.t
+              FROM toks2 t2 JOIN kept ON kept.doc_id = t2.doc_id
+            ), spx AS (
+              SELECT doc_id, i AS st,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM spt, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), sfreq AS (
+              SELECT s, count(*) AS f FROM spx GROUP BY s
+            ), covx AS (
+              SELECT DISTINCT spx.doc_id, spx.st + o.o AS i
+              FROM spx JOIN sfreq USING (s), unnest(range(0, 3)) AS o(o)
+              WHERE f >= 2
+            ), tokposx AS (
+              SELECT doc_id, i
+              FROM spt, unnest(range(1, len(t) + 1)) AS r(i)
+            ), rwcnt AS (
+              SELECT tp.doc_id, count(*)::BIGINT AS kept_n
+              FROM tokposx tp
+              LEFT JOIN covx ON covx.doc_id = tp.doc_id
+                            AND covx.i = tp.i
+              WHERE covx.i IS NULL
+              GROUP BY tp.doc_id
+            ), rw AS (
+              SELECT k.doc_id, k.guessed_lang,
+                     COALESCE(r.kept_n, 0)::BIGINT AS token_cnt,
+                     (k.token_cnt - COALESCE(r.kept_n, 0))::BIGINT
+                       AS removed_cnt,
+                     k.fingerprint
+              FROM kept k LEFT JOIN rwcnt r ON r.doc_id = k.doc_id
+            )"""
 
 # t11/p05 shared 13-gram construction: one space-joined gram per
 # start position over the _TOKS token array (mirrors
@@ -957,6 +1004,33 @@ def _q_span_dupfrac_capped(spark, sf_dir):
     return span_dupfrac(
         _t(spark, sf_dir, "documents"), w=3, min_count=2, max_span_df=4
     ).select("doc_id", "span_cnt", "dup_spans", "dup_frac")
+
+
+def _q_span_rewrite(spark, sf_dir):
+    # d09: duplicate-span REMOVAL — the ExactSubstr rewrite (Lee et
+    # al. 2022): every token covered by a corpus-duplicated 3-token
+    # span is cut; cleaned_text is the surviving tokens space-joined
+    from hepcrawl_spark.operators.dedup import span_rewrite
+
+    return span_rewrite(
+        _t(spark, sf_dir, "documents"), w=3, min_count=2
+    ).select("doc_id", "token_cnt", "removed_cnt", "cleaned_text")
+
+
+def _q_clean_span_rewritten(spark, sf_dir):
+    # p06: the p04 pipeline + duplicate-span removal over the final
+    # kept set — token_cnt becomes the post-rewrite count and the
+    # packed layout is computed over the rewritten stream
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    inner = clean_corpus_full(_t(spark, sf_dir, "documents"),
+                              capacity=512, span_rewrite_w=3)
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "removed_cnt", "fingerprint", "seq_id",
+                       "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    out._caches = inner._caches
+    return out
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -1718,4 +1792,50 @@ def oracle_sql() -> dict[str, str]:
                    (prev % 512)::BIGINT AS seq_offset
             FROM c
         """,
+        # d09: duplicate-span removal — every token covered by a
+        # corpus-duplicated 3-token span (position-level, freq >= 2,
+        # the d07 rule) is cut; relational formulation: flagged
+        # starts expand to covered 1-based positions, survivors
+        # rebuild in order via string_agg
+        "d09_span_rewrite": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sp AS (
+              SELECT doc_id, i AS st,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), freq AS (
+              SELECT s, count(*) AS f FROM sp GROUP BY s
+            ), cov AS (
+              SELECT DISTINCT sp.doc_id, sp.st + o.o AS i
+              FROM sp JOIN freq USING (s), unnest(range(0, 3)) AS o(o)
+              WHERE f >= 2
+            ), tokpos AS (
+              SELECT doc_id, i, t[i] AS tok
+              FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+            ), keptt AS (
+              SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+              LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.i
+              WHERE cov.i IS NULL
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS kept_n,
+                     string_agg(tok, ' ' ORDER BY i) AS txt
+              FROM keptt GROUP BY doc_id
+            )
+            SELECT tk.doc_id, len(t)::BIGINT AS token_cnt,
+                   (len(t) - COALESCE(kept_n, 0))::BIGINT AS removed_cnt,
+                   COALESCE(agg.txt, '') AS cleaned_text
+            FROM toks tk LEFT JOIN agg USING (doc_id)
+        """,
+        # p06: p04 + duplicate-span removal over the final kept set —
+        # the span-rewrite CTEs slot between the shared kept-set tail
+        # and the shared packing tail, so the three pipeline mirrors
+        # cannot drift
+        "p06_clean_span_rewritten": (
+            f"WITH RECURSIVE cleaned AS ({_P01_SQL}),"
+            + _CLEAN_FULL_KEPT_SQL.format(toks=_TOKS)
+            + _SPAN_RW_SQL
+            + _PACK_TAIL_SQL.format(src="rw", extra=" removed_cnt,")
+        ),
     }

@@ -217,6 +217,9 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
                       benchmark: DataFrame | None = None,
                       contamination_ngram: int = 13,
                       contamination_min_hits: int = 1,
+                      span_rewrite_w: int | None = None,
+                      span_min_count: int = 2,
+                      span_max_df: int | None = None,
                       **gopher_thresholds) -> DataFrame:
     """The full production cleaning pipeline over a raw crawled
     corpus — every stage the public web-scale recipes chain, in one
@@ -241,8 +244,26 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
     survivors, and removing contaminated docs before clustering means
     a cluster minimum that is itself contaminated cannot suppress its
     clean near-duplicates.
+
+    Pass ``span_rewrite_w`` to run duplicate-span REMOVAL
+    (``dedup.span_rewrite`` — the Lee et al. 2022 ExactSubstr rewrite)
+    over the FINAL kept set, after near-dup cluster removal: span
+    frequencies are counted over exactly the texts being rewritten
+    (removing whole near-duplicate documents first means their spans
+    no longer inflate the counts), ``token_cnt`` becomes the
+    POST-rewrite token count, a ``removed_cnt`` column is added, and
+    the packed layout is computed over the rewritten counts — the
+    sequence stream a trainer would actually consume.  ``fingerprint``
+    stays the pre-rewrite content hash (lineage back to the stored
+    document).  ``span_min_count`` / ``span_max_df`` pass through to
+    the rewrite (the d08-style stop-span cap).
     """
-    from .dedup import contaminated_ids, dedup_clusters, minhash_lsh_pairs
+    from .dedup import (
+        contaminated_ids,
+        dedup_clusters,
+        minhash_lsh_pairs,
+        span_rewrite,
+    )
 
     # persist: the cleaned frame (tiny next to the corpus — ids +
     # scalars) feeds THREE consumers (near-dup semi join, cluster
@@ -274,6 +295,23 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
         F.col("cluster_id") == F.col(id_col)
     ).select(id_col)
     kept = cleaned.join(keep, on=id_col, how="leftsemi")
+    if span_rewrite_w is not None:
+        kept_text = docs.select(id_col, text_col).join(
+            kept.select(id_col), on=id_col, how="leftsemi"
+        )
+        rw = span_rewrite(kept_text, w=span_rewrite_w,
+                          min_count=span_min_count,
+                          max_span_df=span_max_df,
+                          text_col=text_col, id_col=id_col)
+        kept = kept.drop("token_cnt").join(
+            rw.select(
+                id_col,
+                (F.col("token_cnt") - F.col("removed_cnt"))
+                .alias("token_cnt"),
+                "removed_cnt",
+            ),
+            on=id_col,
+        )
     out = pack_sequences(kept, capacity=capacity, id_col=id_col,
                          count_col="token_cnt")
     out._caches = caches + [out._cumsum_cache]

@@ -120,6 +120,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def span_array(t: Column, w: int) -> Column:
+    """All ``w``-token spans of token array ``t`` — one per start
+    position (NON-distinct, unlike :func:`shingles_col`), space-joined;
+    empty array below ``w`` tokens.  SQL mirror: ``t[i] || ' ' || …``
+    over ``range(1, len(t) - w + 2)``."""
+    return F.when(
+        F.size(t) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - w),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(w)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
                  text_col: str = "text",
                  id_col: str = "doc_id",
@@ -153,21 +169,12 @@ def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
     ``max_span_df`` rows.  ``None`` (default) is the exact d07
     measure.
     """
-    def _spans(t):
-        return F.when(
-            F.size(t) >= w,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - w),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + j + 1) for j in range(w)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     sp = docs.select(
         F.col(id_col),
-        F.explode_outer(bind_once(tokens_col(F.col(text_col)), _spans))
-        .alias("_span"),
+        F.explode_outer(
+            bind_once(tokens_col(F.col(text_col)),
+                      lambda t: span_array(t, w))
+        ).alias("_span"),
     )
     freq = (
         sp.filter(F.col("_span").isNotNull())
@@ -206,6 +213,83 @@ def span_dupfrac(docs: DataFrame, w: int = 3, min_count: int = 2,
                     / F.col("span_cnt").cast("double"), 9
                 ),
             ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def span_rewrite(docs: DataFrame, w: int = 3, min_count: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_span_df: int | None = None) -> DataFrame:
+    """Duplicate-span REMOVAL — the rewrite half of the
+    exact-substring-dedup recipe (Lee et al. 2022; the public
+    deduplicate-text-datasets tool cuts the flagged bytes, it doesn't
+    just score them): every token covered by a ``w``-token span that
+    occurs ≥ ``min_count`` times corpus-wide (position-level, within-
+    doc repeats included — :func:`span_dupfrac`'s exact signal) is cut
+    from the document.  Returns (id, token_cnt, removed_cnt,
+    cleaned_text); ``cleaned_text`` is the surviving tokens space-
+    joined in original order, i.e. the rewrite lives in NORMALIZED
+    token space (lowercased, single-space) — the form every
+    downstream operator here tokenizes back to identically.
+
+    Plan shape at 100 TB: span frequencies are the same map-side
+    partial-agg groupBy as ``span_dupfrac``; the flag join back is
+    INNER and carries only duplicated-span occurrences (clean
+    positions — the vast majority — never shuffle), then collapses to
+    ONE row per affected document (a sorted start-position array,
+    bounded by doc length).  The rewrite itself is a per-row nested
+    higher-order filter: token ``j`` survives iff no flagged start
+    ``s`` has ``s ≤ j ≤ s+w-1`` — O(tokens × flagged starts) per doc,
+    shuffle-free, no Python.  ``max_span_df`` bounds the hottest flag-
+    join key exactly as in d08: spans above the cap ("the of the"-
+    grade stop-spans) are left in place — at corpus scale they are
+    boilerplate for the within-doc ops, not near-dup evidence — so
+    one universal span cannot route the whole corpus through the
+    join.
+    """
+    sp = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            bind_once(tokens_col(F.col(text_col)),
+                      lambda t: span_array(t, w))
+        ).alias("_pos", "_span"),
+    )
+    dup = (
+        sp.groupBy("_span").agg(F.count(F.lit(1)).alias("_freq"))
+        .filter(F.col("_freq") >= min_count)
+    )
+    if max_span_df is not None:
+        dup = dup.filter(F.col("_freq") <= max_span_df)
+    flagged = (
+        sp.join(dup.select("_span"), on="_span", how="inner")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+
+    def _rw(t):
+        starts = F.coalesce(F.col("_starts"),
+                            F.array().cast("array<int>"))
+        keep = F.filter(
+            t,
+            lambda tok, j: ~F.exists(
+                starts, lambda s: (s <= j) & (j <= s + F.lit(w - 1))
+            ),
+        )
+        return F.struct(
+            F.size(t).cast("long").alias("n"),
+            (F.size(t) - F.size(keep)).cast("long").alias("rm"),
+            F.array_join(keep, " ").alias("txt"),
+        )
+
+    out = bind_once(tokens_col(F.col(text_col)), _rw)
+    return (
+        docs.join(flagged, on=id_col, how="left")
+        .select(F.col(id_col), out.alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.n").alias("token_cnt"),
+            F.col("_c.rm").alias("removed_cnt"),
+            F.col("_c.txt").alias("cleaned_text"),
         )
     )
 

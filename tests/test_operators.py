@@ -904,3 +904,83 @@ def test_neardup_default_banding_adapts_to_threshold(spark):
     cands = similarity.srp_candidate_pairs(
         df, band_planes=r, n_bands=b).count()
     assert cands / (n_all * (n_all - 1) // 2) <= 0.06
+
+
+def test_span_rewrite(spark):
+    rows = [
+        (1, "a b c d e f"),   # shares "a b c" with doc 2
+        (2, "a b c x y z"),
+        (3, "q r s"),         # unique 3-gram, untouched
+        (4, "m"),             # below span width
+        (5, "p p p p"),       # within-doc repeat covers everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.span_rewrite(df, w=3).collect()}
+    assert (got[1].removed_cnt, got[1].cleaned_text) == (3, "d e f")
+    assert (got[2].removed_cnt, got[2].cleaned_text) == (3, "x y z")
+    assert (got[3].removed_cnt, got[3].cleaned_text) == (0, "q r s")
+    assert (got[4].removed_cnt, got[4].cleaned_text) == (0, "m")
+    # within-doc repeats are position-level duplicates too (d07 rule)
+    assert (got[5].removed_cnt, got[5].cleaned_text) == (4, "")
+    assert got[5].token_cnt == 4
+    # overlapping flagged spans merge: "a b c" (1,2) + "b c d"?? no —
+    # min_count raised past every frequency leaves all text in place
+    untouched = {r.doc_id: r.removed_cnt
+                 for r in dedup.span_rewrite(df, w=3,
+                                             min_count=9).collect()}
+    assert set(untouched.values()) == {0}
+
+
+def test_span_rewrite_stop_span_cap(spark):
+    # one stop-span in every doc, plus a genuine pairwise dup; the
+    # cap exempts the stop-span (boilerplate) but keeps the pair cut
+    stop = "the of the"
+    rows = [(i, f"{stop} u{i} v{i} w{i}") for i in range(6)]
+    rows += [(6, f"{stop} same tail here"), (7, f"{stop} same tail here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {r.doc_id: r for r in
+              dedup.span_rewrite(df, w=3, max_span_df=4).collect()}
+    # the 8-occurrence stop-span is above the cap -> its tokens stay
+    assert capped[0].removed_cnt == 0
+    # docs 6/7 duplicate their whole text pairwise; the spans below
+    # the cap (freq 2) cover tokens 1..5, token 0 is covered ONLY by
+    # the exempted stop-span and survives
+    assert capped[6].cleaned_text == "the" and capped[6].removed_cnt == 5
+    uncapped = {r.doc_id: r for r in
+                dedup.span_rewrite(df, w=3).collect()}
+    # without the cap the stop-span region is cut everywhere
+    assert uncapped[0].removed_cnt >= 3
+
+
+def test_clean_corpus_full_span_rewrite(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    # the token right after the shared prefix differs per doc, so no
+    # boundary-crossing span is duplicated and the cut is exactly the
+    # 10 prefix tokens
+    shared = " ".join(f"s{i}" for i in range(10))
+    good = shared + " " + " ".join(
+        ("the" if i % 9 == 0 else f"word{i}") for i in range(1, 41)
+    )
+    other = shared + " " + " ".join(
+        ("the" if i % 9 == 0 else f"tok{i}") for i in range(1, 51)
+    )
+    rows = [(0, good), (1, other), (2, "the tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus_full(df, capacity=64, span_rewrite_w=3)
+    got = {r.doc_id: r for r in out.collect()}
+    for c in out._caches:
+        c.unpersist()
+    assert sorted(got) == [0, 1]
+    # the shared 10-token prefix is corpus-duplicated -> cut from both
+    assert got[0].removed_cnt == 10 and got[1].removed_cnt == 10
+    assert got[0].token_cnt == 40 and got[1].token_cnt == 50
+    # packed layout runs over the POST-rewrite counts
+    assert (got[0].seq_id, got[0].seq_offset) == (0, 0)
+    assert (got[1].seq_id, got[1].seq_offset) == (0, 40)
+    # fingerprint stays the PRE-rewrite lineage hash (matches p04's)
+    base = clean_corpus_full(df, capacity=64)
+    fps = {r.doc_id: r.fingerprint for r in base.collect()}
+    for c in base._caches:
+        c.unpersist()
+    assert {d: r.fingerprint for d, r in got.items()} == fps

@@ -275,6 +275,30 @@ def test_d08_capped_span_same_shape_as_d07(spark):
     assert plan.count("HashAggregate") >= 2     # partial + final
 
 
+def test_d09_span_rewrite_inner_flag_join_no_python(spark):
+    # flag join is INNER (clean positions never shuffle), frequencies
+    # are partial-agg groupBys, the rewrite is per-row HOF codegen —
+    # no window over spans, no Cartesian, no Python anywhere
+    plan = _plan(em.queries()["d09_span_rewrite"](spark, SF))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 2     # partial + final freq
+
+
+def test_p06_span_rewrite_composition_shape(spark):
+    # the composed pipeline keeps every stage's contract: no
+    # row-at-a-time Python, no Cartesian blowup, and the span-freq
+    # partial aggregation appears alongside the p04 stages
+    q = em.queries()["p06_clean_span_rewritten"](spark, SF)
+    plan = _plan(q)
+    for c in getattr(q, "_caches", []):
+        c.unpersist()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_run_crawl_plans_have_no_unpartitioned_window(spark):
     # VERDICT r3 #8: with_global_order (the one unpartitioned window,
     # parity-test-only) must be unreachable from production rounds —
