@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_dedup_lines": _q_dedup_lines,
         "d09_span_rewrite": _q_span_rewrite,
         "p06_clean_span_rewritten": _q_clean_span_rewritten,
+        "t15_mix_sample": _q_mix_sample,
+        "t17_mix_quota": _q_mix_quota,
+        "p07_mix_pack": _q_mix_pack,
     }
 
 
@@ -1156,6 +1159,64 @@ def _q_dedup_lines(spark, sf_dir):
     return textops.dedup_lines(docs).select(
         "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
     )
+
+
+# t15/t17/p07 shared mixing tables — defined once and rendered into
+# BOTH the Spark plan and the SQL mirror so the two cannot drift
+_MIX_RATES = {("src0", "en"): 1.0, ("src1", "en"): 0.5,
+              ("src0", "de"): 0.25}
+_MIX_DEFAULT = 0.125
+_MIX_SALT = "mix1"
+_MIX_QUOTAS = {"en": 40, "de": 20, "es": 10, "fr": 10, "zh": 5}
+
+_MIX_CASE_SQL = ("CASE " + " ".join(
+    f"WHEN source = '{s}' AND lang = '{l}' THEN {int(r * 0x10000)}"
+    for (s, l), r in sorted(_MIX_RATES.items())
+) + f" ELSE {int(_MIX_DEFAULT * 0x10000)} END")
+_MIX_PRED_SQL = (
+    f"('0x' || substr(md5(doc_id::VARCHAR || ':{_MIX_SALT}'), 1, 4))"
+    f"::BIGINT < {_MIX_CASE_SQL}"
+)
+_MIX_QUOTA_CASE_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_QUOTAS.items())
+) + " ELSE 0 END")
+
+
+def _q_mix_sample(spark, sf_dir):
+    # t15: data mixing by per-(source, lang) rate table — the
+    # Pile/Dolma-style mixture step; RNG-free md5-threshold filter
+    from hepcrawl_spark.operators.corpus import mix_sample
+
+    return mix_sample(
+        _t(spark, sf_dir, "documents"), _MIX_RATES,
+        default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    ).select("doc_id", "source", "lang")
+
+
+def _q_mix_quota(spark, sf_dir):
+    # t17: exact integer-quota mixing — first quota[s] docs of each
+    # lang shard in deterministic md5 order, ranked via the skew-safe
+    # two-phase cumsum (never a per-shard window)
+    from hepcrawl_spark.operators.corpus import mix_quota
+
+    inner = mix_quota(_t(spark, sf_dir, "documents"), _MIX_QUOTAS,
+                      group_cols=("lang",), salt=_MIX_SALT)
+    out = inner.select("doc_id", "lang", "source")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
+
+
+def _q_mix_pack(spark, sf_dir):
+    # p07: mix → pack composition — the mixture filter feeds the
+    # packed training-sequence layout directly
+    from hepcrawl_spark.operators.corpus import mix_sample, pack_sequences
+
+    mixed = mix_sample(_t(spark, sf_dir, "documents"), _MIX_RATES,
+                       default_rate=_MIX_DEFAULT, salt=_MIX_SALT)
+    inner = pack_sequences(mixed, capacity=512)
+    out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1827,6 +1888,47 @@ def oracle_sql() -> dict[str, str]:
                    (len(t) - COALESCE(kept_n, 0))::BIGINT AS removed_cnt,
                    COALESCE(agg.txt, '') AS cleaned_text
             FROM toks tk LEFT JOIN agg USING (doc_id)
+        """,
+        # t15: per-(source, lang) rate-table mixing — same md5
+        # threshold predicate rendered from the same Python table
+        "t15_mix_sample": f"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE {_MIX_PRED_SQL}
+        """,
+        # t17: exact integer-quota mixing — first quota docs of each
+        # lang shard in md5 order (id tie-break); the window mirror of
+        # the Spark side's skew-safe two-phase rank
+        "t17_mix_quota": f"""
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR || ':{_MIX_SALT}'),
+                                doc_id
+                     ) AS rk
+              FROM documents
+            )
+            SELECT doc_id, lang, source FROM r
+            WHERE rk <= {_MIX_QUOTA_CASE_SQL}
+        """,
+        # p07: mix → pack — the t15 predicate feeds p02's packed
+        # layout (running token count over the mixed set)
+        "p07_mix_pack": f"""
+            WITH mixed AS (
+              SELECT doc_id, len({_TOKS})::BIGINT AS token_cnt
+              FROM documents
+              WHERE {_MIX_PRED_SQL}
+            ), c AS (
+              SELECT doc_id, token_cnt,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM mixed
+            )
+            SELECT doc_id, token_cnt,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
         """,
         # p06: p04 + duplicate-span removal over the final kept set —
         # the span-rewrite CTEs slot between the shared kept-set tail

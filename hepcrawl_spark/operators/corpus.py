@@ -127,6 +127,120 @@ def pack_sequences(docs: DataFrame, capacity: int = 512,
     return out
 
 
+def _shard_match(group_cols: tuple[str, ...], key) -> Column:
+    """Equality conjunction for one mixing-table key (a str or tuple
+    aligned with ``group_cols``)."""
+    key_t = (key,) if isinstance(key, str) else tuple(key)
+    if len(key_t) != len(group_cols):
+        raise ValueError(
+            f"mixing key {key!r} does not match group_cols {group_cols}"
+        )
+    cond = F.lit(True)
+    for c, v in zip(group_cols, key_t):
+        cond = cond & (F.col(c) == v)
+    return cond
+
+
+def mix_sample(docs: DataFrame,
+               rates: dict,
+               group_cols: tuple[str, ...] = ("source", "lang"),
+               id_col: str = "doc_id",
+               salt: str = "mix1",
+               default_rate: float = 0.0) -> DataFrame:
+    """Data mixing by per-shard rate table — the mixture step every
+    public pipeline runs after cleaning (the Pile / Dolma mixing
+    tables): each ``(source, lang)`` shard keeps its own deterministic
+    fraction of documents.  ``rates`` maps shard keys (tuples aligned
+    with ``group_cols``, or bare strings for a single group column) to
+    keep-rates; shards not listed keep ``default_rate``.
+
+    Same RNG-free substrate as ``textops.stratified_sample``: a row
+    survives iff its 16-bit md5 bucket falls below ``rate * 0x10000``
+    — one codegen filter, no shuffle, no RNG state, identical
+    predicate in any engine with md5.  At 100 TB this is a pure
+    map-side gate that composes under the scan's filter pushdown.
+    """
+    from .textops import sample_bucket_col
+
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    thresh = F.lit(int(default_rate * 0x10000))
+    for key, rate in sorted(rates.items()):
+        thresh = F.when(
+            _shard_match(group_cols, key), F.lit(int(rate * 0x10000))
+        ).otherwise(thresh)
+    return docs.filter(bucket < thresh)
+
+
+def temperature_rates(counts: dict, tau: float,
+                      target_frac: float = 1.0) -> dict:
+    """Per-shard keep-rates for temperature-``tau`` mixing: the kept
+    corpus's shard mass follows ``p_s ∝ n_s^(1/tau)`` (tau=1 keeps the
+    natural distribution, tau→∞ tends uniform — the multilingual-LM
+    reweighting rule), scaled so the expected kept fraction of the
+    WHOLE corpus is ``target_frac``; rates clip at 1.0 (a shard cannot
+    be upsampled by a filter — pick target_frac small enough that the
+    tail shards stay below 1 if exact proportions matter).
+
+    Driver-side exact float arithmetic over the (low-cardinality)
+    shard count table — pair with ``corpus_stats`` output or any
+    ``{shard_key: n_docs}`` dict, then feed into :func:`mix_sample`
+    so the rates are plan literals on every engine.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    w = {k: float(n) ** (1.0 / tau) for k, n in counts.items()}
+    z = sum(w.values())
+    total = float(sum(counts.values()))
+    return {
+        k: min(1.0, target_frac * total * (w[k] / z) / float(n))
+        for k, n in counts.items()
+    }
+
+
+def mix_quota(docs: DataFrame,
+              quotas: dict,
+              group_cols: tuple[str, ...] = ("source", "lang"),
+              id_col: str = "doc_id",
+              salt: str = "mix1") -> DataFrame:
+    """Exact integer-quota mixing: shard ``s`` keeps exactly
+    ``min(quotas[s], |s|)`` documents — the budgeted variant of
+    :func:`mix_sample` for when the mixture table is specified in
+    absolute document counts (rate sampling only hits quotas in
+    expectation).  Shards absent from ``quotas`` keep nothing.
+
+    Which documents: the first ``quotas[s]`` of the shard in
+    deterministic md5-hash order (id tie-break) — an unbiased,
+    reproducible draw, not "lowest ids win".  Rank-within-shard is
+    computed skew-safely: the global exclusive running count over
+    ``(shard, hash)`` order via ``two_phase_cumsum`` (range buckets
+    spread a hot shard across tasks), re-based per shard by a
+    broadcast of per-shard minima — never a window partitioned by
+    shard, which would funnel a 100 TB shard through one task.
+    Caller unpersists via ``_cumsum_cache`` after materializing.
+    """
+    d = docs.withColumn(
+        "_mk",
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(salt))),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    order = ([F.col(c).asc() for c in group_cols]
+             + [F.col("_mk").asc(), F.col(id_col).asc()])
+    c = two_phase_cumsum(d, "_one", order, out_col="_prev")
+    bases = c.groupBy(*group_cols).agg(F.min("_prev").alias("_base"))
+    quota = F.lit(0).cast("long")
+    for key, n in sorted(quotas.items()):
+        quota = F.when(
+            _shard_match(group_cols, key), F.lit(int(n)).cast("long")
+        ).otherwise(quota)
+    out = (
+        c.join(F.broadcast(bases), on=list(group_cols))
+        .filter((F.col("_prev") - F.col("_base")) < quota)
+        .drop("_mk", "_one", "_prev", "_base")
+    )
+    out._cumsum_cache = c._cumsum_cache
+    return out
+
+
 def gated_docs(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                lang_threshold: float = 0.04,

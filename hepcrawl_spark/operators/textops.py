@@ -220,6 +220,16 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def sample_bucket_col(id_c: Column, salt: str) -> Column:
+    """16-bit deterministic sampling bucket: the first 4 hex chars of
+    ``md5(id || ':' || salt)`` as a long in [0, 0x10000) — the shared
+    RNG-free substrate of ``stratified_sample`` and
+    ``corpus.mix_sample`` (stable across runs, engines and cluster
+    sizes; SQL mirror ``('0x' || substr(md5(...), 1, 4))::BIGINT``)."""
+    key = F.md5(F.concat_ws(":", id_c.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+
+
 def stratified_sample(docs: DataFrame, rates: dict[str, float],
                       strata_col: str = "lang",
                       id_col: str = "doc_id",
@@ -237,8 +247,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     md5 (the cross-engine oracle uses the same hex-prefix compare).
     Rates quantize to 1/65536 granularity.
     """
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
-    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    bucket = sample_bucket_col(F.col(id_col), salt)
     thresh = F.lit(int(default_rate * 0x10000))
     for stratum, rate in sorted(rates.items()):
         thresh = F.when(

@@ -984,3 +984,70 @@ def test_clean_corpus_full_span_rewrite(spark):
     for c in base._caches:
         c.unpersist()
     assert {d: r.fingerprint for d, r in got.items()} == fps
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    from hepcrawl_spark.operators.corpus import mix_sample
+
+    rows = [(i, f"s{i % 3}", "en" if i % 2 == 0 else "de")
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    rates = {("s0", "en"): 1.0, ("s1", "en"): 0.5}
+    out = mix_sample(df, rates, default_rate=0.0)
+    got = {r.doc_id for r in out.collect()}
+    # rate-1.0 shard keeps everything, rate-0 default keeps nothing
+    s0_en = {i for i in range(600) if i % 3 == 0 and i % 2 == 0}
+    s1_en = {i for i in range(600) if i % 3 == 1 and i % 2 == 0}
+    assert got & s0_en == s0_en
+    assert got <= s0_en | s1_en
+    # the 0.5 shard keeps roughly half, and the draw is reproducible
+    frac = len(got & s1_en) / len(s1_en)
+    assert 0.3 < frac < 0.7
+    assert {r.doc_id for r in out.collect()} == got
+
+
+def test_temperature_rates_arithmetic():
+    from hepcrawl_spark.operators.corpus import temperature_rates
+
+    counts = {"big": 900, "small": 100}
+    # tau=1 keeps natural proportions: every shard gets target_frac
+    r1 = temperature_rates(counts, tau=1.0, target_frac=0.5)
+    assert abs(r1["big"] - 0.5) < 1e-12 and abs(r1["small"] - 0.5) < 1e-12
+    # tau>1 tilts mass toward the tail: small shard rate rises
+    # (target_frac low enough that no rate clips at 1.0)
+    r2 = temperature_rates(counts, tau=2.0, target_frac=0.2)
+    assert r2["small"] > r2["big"]
+    # kept mass proportions follow n^(1/tau): sqrt(900)/sqrt(100)=3
+    kept_ratio = (900 * r2["big"]) / (100 * r2["small"])
+    assert abs(kept_ratio - 3.0) < 1e-9
+    # rates clip at 1.0
+    r3 = temperature_rates(counts, tau=100.0, target_frac=1.0)
+    assert r3["small"] == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_rates(counts, tau=0.0)
+
+
+def test_mix_quota_exact_counts(spark):
+    from hepcrawl_spark.operators.corpus import mix_quota
+
+    rows = [(i, f"s{i % 3}", "xx") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    quotas = {("s0", "xx"): 7, ("s1", "xx"): 40}  # s1 quota > |s1|=30
+    out = mix_quota(df, quotas)
+    got = out.collect()
+    out._cumsum_cache.unpersist()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.source, set()).add(r.doc_id)
+    # exact quota; over-quota shard keeps all; unlisted keeps none
+    assert len(by_shard["s0"]) == 7
+    assert len(by_shard["s1"]) == 30
+    assert "s2" not in by_shard
+    # the draw is the md5 order, not "lowest ids win"
+    assert by_shard["s0"] != {0, 3, 6, 9, 12, 15, 18}
+    # deterministic across runs
+    out2 = mix_quota(df, quotas)
+    got2 = {(r.source, r.doc_id) for r in out2.collect()}
+    out2._cumsum_cache.unpersist()
+    assert got2 == {(r.source, r.doc_id) for r in got}

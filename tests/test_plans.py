@@ -299,6 +299,32 @@ def test_p06_span_rewrite_composition_shape(spark):
     assert "HashAggregate" in plan
 
 
+def test_t15_mix_sample_shuffle_free_codegen_filter(spark):
+    # rate-table mixing is a pure map-side gate: no Exchange, no
+    # Python, column pruning down to the three carried columns
+    plan = _plan(em.queries()["t15_mix_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" \
+        in plan
+
+
+def test_t17_mix_quota_no_per_shard_window(spark):
+    # quota rank comes from the skew-safe two-phase cumsum: every
+    # window carries a partition spec (never a whole-shard sort on
+    # one task) and the per-shard bases ride a broadcast join
+    import re
+
+    q = em.queries()["t17_mix_quota"](spark, SF)
+    plan = _plan(q)
+    q._cumsum_cache.unpersist()
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        assert " ASC" not in m.group(1) and " DESC" not in m.group(1)
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_run_crawl_plans_have_no_unpartitioned_window(spark):
     # VERDICT r3 #8: with_global_order (the one unpartitioned window,
     # parity-test-only) must be unreachable from production rounds —
