@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_span_rewrite": _q_span_rewrite,
         "p06_clean_span_rewritten": _q_clean_span_rewritten,
         "t15_mix_sample": _q_mix_sample,
+        "t16_classifier_train": _q_classifier_train,
         "t17_mix_quota": _q_mix_quota,
         "p07_mix_pack": _q_mix_pack,
     }
@@ -1217,6 +1218,18 @@ def _q_mix_pack(spark, sf_dir):
     out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
     return out
+
+
+def _q_classifier_train(spark, sf_dir):
+    # t16: in-Spark classifier training — multinomial Naive-Bayes
+    # log-odds over the t12 hashed buckets, labels = (lang = 'en');
+    # the trained weight table must reproduce cross-engine
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("long")
+    )
+    return textops.train_nb_weights(docs).select(
+        "bucket", "n_pos", "n_neg", "weight"
+    )
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1894,6 +1907,38 @@ def oracle_sql() -> dict[str, str]:
         "t15_mix_sample": f"""
             SELECT doc_id, source, lang FROM documents
             WHERE {_MIX_PRED_SQL}
+        """,
+        # t16: Naive-Bayes training over the t12 hashed buckets —
+        # per-bucket class token counts (Laplace alpha=1, B=1024),
+        # log-odds rounded to 6 (ln is libm-dependent, t10 contract)
+        "t16_classifier_train": f"""
+            WITH toks AS (
+              SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                       AS y,
+                     unnest({_TOKS}) AS tok
+              FROM documents
+            ), b AS (
+              SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       % {_CLS_N} AS bucket, y
+              FROM toks
+            ), pb AS (
+              SELECT bucket, sum(y)::BIGINT AS n_pos,
+                     sum(1 - y)::BIGINT AS n_neg
+              FROM b GROUP BY bucket
+            ), tot AS (
+              SELECT sum(y)::BIGINT AS t1, sum(1 - y)::BIGINT AS t0
+              FROM b
+            ), spine AS (
+              SELECT unnest(range({_CLS_N})) AS bucket
+            )
+            SELECT spine.bucket,
+                   COALESCE(n_pos, 0)::BIGINT AS n_pos,
+                   COALESCE(n_neg, 0)::BIGINT AS n_neg,
+                   round(ln((COALESCE(n_pos, 0) + 1.0)
+                            / (t1 + {_CLS_N}.0))
+                         - ln((COALESCE(n_neg, 0) + 1.0)
+                              / (t0 + {_CLS_N}.0)), 6) AS weight
+            FROM spine LEFT JOIN pb USING (bucket), tot
         """,
         # t17: exact integer-quota mixing — first quota docs of each
         # lang shard in md5 order (id tie-break); the window mirror of

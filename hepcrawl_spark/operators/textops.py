@@ -599,6 +599,81 @@ def classifier_score(docs: DataFrame, weights: list[float] | None = None,
     )
 
 
+def train_nb_weights(docs: DataFrame, label_col: str = "label",
+                     n_buckets: int = CLS_BUCKETS, alpha: float = 1.0,
+                     text_col: str = "text") -> DataFrame:
+    """In-Spark classifier TRAINING: multinomial Naive-Bayes log-odds
+    over the same hashed token buckets :func:`classifier_score`
+    consumes — the train half of the fasttext-style quality-filter
+    loop (train on labeled prose-vs-junk, gate the corpus with the
+    learned weights), as exact arithmetic instead of SGD:
+
+        w_b = ln((n_b⁺ + α) / (N⁺ + α·B)) − ln((n_b⁻ + α) / (N⁻ + α·B))
+
+    with per-bucket class token counts n_b±, class totals N±, Laplace
+    α, B buckets.  Returns one row per bucket 0..B-1:
+    (bucket, n_pos, n_neg, weight), weight rounded to 6 (ln is
+    libm-dependent past ~15 digits, the t10/t12 contract).
+
+    Plan shape at 100 TB: tokens explode once and collapse through a
+    B-key hash groupBy — map-side partial aggregation shrinks every
+    task's output to ≤ B rows, so there is no hot-bucket hazard by
+    construction; class totals ride a broadcast one-row aggregate and
+    the bucket spine (``spark.range(B)``) a broadcast left join.  No
+    Python, no window, no driver collect (use
+    :func:`nb_weights_list` to bake the result into a scoring plan).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(label_col).cast("long").alias("_y"),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    )
+    hits = toks.select(
+        (token_hash(F.col("_tok")) % n_buckets).cast("long")
+        .alias("bucket"),
+        "_y",
+    )
+    per_bucket = hits.groupBy("bucket").agg(
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+    )
+    totals = hits.agg(F.sum("_y").alias("_t1"),
+                      F.sum(F.lit(1) - F.col("_y")).alias("_t0"))
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    a = float(alpha)
+    ab = a * n_buckets
+    return (
+        spine.join(per_bucket, on="bucket", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+            F.round(
+                F.log((F.coalesce("n_pos", F.lit(0)) + F.lit(a))
+                      / (F.col("_t1") + F.lit(ab)))
+                - F.log((F.coalesce("n_neg", F.lit(0)) + F.lit(a))
+                        / (F.col("_t0") + F.lit(ab))),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def nb_weights_list(weights_df: DataFrame) -> list[float]:
+    """Collect a :func:`train_nb_weights` result into the plain
+    ``list[float]`` that :func:`classifier_score` /
+    ``clean_corpus(classifier_weights=…)`` bake into the scoring plan
+    as a literal — the train→gate loop's hand-off point.  Bounded by
+    construction (exactly ``n_buckets`` rows, 1024 by default); one
+    of the package's few ``collect()`` calls."""
+    rows = weights_df.select("bucket", "weight").collect()
+    out = [0.0] * len(rows)
+    for r in rows:
+        out[int(r.bucket)] = float(r.weight)
+    return out
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document mean unigram log-likelihood under the corpus's own

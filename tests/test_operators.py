@@ -1051,3 +1051,58 @@ def test_mix_quota_exact_counts(spark):
     got2 = {(r.source, r.doc_id) for r in out2.collect()}
     out2._cumsum_cache.unpersist()
     assert got2 == {(r.source, r.doc_id) for r in got}
+
+
+def test_nb_train_then_score_separates(spark):
+    # the full train -> gate loop: NB log-odds learned on labeled
+    # prose-vs-gibberish, baked into classifier_score as literals,
+    # must separate held-out docs of the same two kinds
+    import random
+
+    rng = random.Random(7)
+    prose_vocab = ["the", "and", "of", "house", "river", "story",
+                   "quiet", "morning", "light", "words"]
+    junk_vocab = [f"zx{i}q" for i in range(40)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    train = [(i, doc(prose_vocab), 1) for i in range(40)]
+    train += [(100 + i, doc(junk_vocab), 0) for i in range(40)]
+    tdf = spark.createDataFrame(
+        train, "doc_id long, text string, label long"
+    )
+    wdf = textops.train_nb_weights(tdf)
+    # per-bucket counts are exact: every prose token landed in a
+    # positively-weighted bucket
+    weights = textops.nb_weights_list(wdf)
+    assert len(weights) == textops.CLS_BUCKETS
+    held = [(i, doc(prose_vocab)) for i in range(20)]
+    held += [(100 + i, doc(junk_vocab)) for i in range(20)]
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.classifier_score(hdf, weights=weights).collect()}
+    prose_scores = [got[i].cls_score for i in range(20)]
+    junk_scores = [got[100 + i].cls_score for i in range(20)]
+    assert min(prose_scores) > max(junk_scores)
+    assert all(got[i].cls_pass for i in range(20))
+    assert not any(got[100 + i].cls_pass for i in range(20))
+
+
+def test_nb_weights_smoothing_and_spine(spark):
+    # unseen buckets get the symmetric smoothed weight; the spine
+    # always emits every bucket exactly once
+    tdf = spark.createDataFrame(
+        [(0, "aaa bbb", 1), (1, "ccc ddd", 0)],
+        "doc_id long, text string, label long",
+    )
+    rows = textops.train_nb_weights(tdf, n_buckets=32).collect()
+    assert sorted(r.bucket for r in rows) == list(range(32))
+    import math
+    untouched = [r for r in rows if r.n_pos == 0 and r.n_neg == 0]
+    # ln((0+1)/(2+32)) - ln((0+1)/(2+32)) = 0 when classes balance
+    assert untouched and all(r.weight == 0.0 for r in untouched)
+    hit_pos = [r for r in rows if r.n_pos > 0 and r.n_neg == 0]
+    want = round(math.log(2.0 / 34.0) - math.log(1.0 / 34.0), 6)
+    assert hit_pos and all(abs(r.weight - want) < 1e-9
+                           for r in hit_pos if r.n_pos == 1)

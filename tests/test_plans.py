@@ -310,6 +310,17 @@ def test_t15_mix_sample_shuffle_free_codegen_filter(spark):
         in plan
 
 
+def test_t16_nb_train_partial_agg_broadcast_totals(spark):
+    # token counts collapse through the B-key partial-agg groupBy,
+    # class totals ride a broadcast, and nothing drops to Python or
+    # a window
+    plan = _plan(em.queries()["t16_classifier_train"](spark, SF))
+    assert plan.count("HashAggregate") >= 2     # partial + final
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_t17_mix_quota_no_per_shard_window(spark):
     # quota rank comes from the skew-safe two-phase cumsum: every
     # window carries a partition spec (never a whole-shard sort on
