@@ -473,7 +473,8 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
 
 def dedup_lines(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                min_line_len: int = 0) -> DataFrame:
+                min_line_len: int = 0,
+                max_lines: int | None = None) -> DataFrame:
     """Within-document repetition removal: keep the FIRST occurrence
     of every line, drop later exact repeats — the C4-style
     boilerplate control (nav bars, cookie banners, repeated headers)
@@ -488,6 +489,14 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     DOCUMENT's line count only — bounded per row, embarrassingly
     parallel across the corpus, no shuffle.  ``min_line_len`` exempts
     short lines (blank separators) from dedup when > 0.
+
+    ``max_lines`` is the pathology guard for that per-doc quadratic:
+    a document with more lines than the cap passes through UNCHANGED
+    (removed_cnt 0) and gets ``capped = true``, so one adversarial
+    10^5-line document costs O(L) instead of putting 10^10
+    comparisons on a single task.  The ``capped`` column is added
+    only when the guard is requested — the default output schema
+    (and the t14 oracle) is unchanged.
     """
     def _clean(lines):
         keep = F.filter(
@@ -495,18 +504,34 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
             lambda l, i: (F.array_position(lines, l) == i + 1)
             | (F.length(l) < min_line_len),
         )
-        return F.struct(
-            F.size(lines).cast("long").alias("n"),
-            (F.size(lines) - F.size(keep)).cast("long").alias("rm"),
-            F.array_join(keep, "\n").alias("txt"),
-        )
+        cols = [F.size(lines).cast("long").alias("n")]
+        if max_lines is None:
+            cols += [
+                (F.size(lines) - F.size(keep)).cast("long").alias("rm"),
+                F.array_join(keep, "\n").alias("txt"),
+            ]
+        else:
+            over = F.size(lines) > max_lines
+            cols += [
+                F.when(over, F.lit(0).cast("long"))
+                .otherwise((F.size(lines) - F.size(keep)).cast("long"))
+                .alias("rm"),
+                F.when(over, F.array_join(lines, "\n"))
+                .otherwise(F.array_join(keep, "\n")).alias("txt"),
+                over.alias("capped"),
+            ]
+        return F.struct(*cols)
 
     out = bind_once(F.split(F.col(text_col), "\n"), _clean)
-    return docs.select(F.col(id_col), out.alias("_c")).select(
-        id_col,
+    sel = [
         F.col("_c.n").alias("line_cnt"),
         F.col("_c.rm").alias("removed_cnt"),
         F.col("_c.txt").alias("cleaned_text"),
+    ]
+    if max_lines is not None:
+        sel.append(F.col("_c.capped").alias("capped"))
+    return docs.select(F.col(id_col), out.alias("_c")).select(
+        id_col, *sel
     )
 
 

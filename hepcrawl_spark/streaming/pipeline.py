@@ -269,8 +269,8 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
     epoch — the file source processes each path once, so a retry
     cannot double-enqueue).  ``availableNow`` processes the files
     present at start then stops; children written during the run form
-    the NEXT trigger's input — drive the drain loop by re-starting
-    the query until no new frontier files appear (each run is one
+    the NEXT trigger's input — use :func:`drive_stream_crawl` for the
+    restart loop that drains the frontier to empty (each run is one
     batch "round"; the state store carries everything across runs).
 
     Storage restriction: the child loop-back publishes files with
@@ -347,9 +347,6 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
         # FIXED per-epoch name inside the watched directory: the file
         # source keys processed files by path, so a retried epoch
         # re-creates the same paths and nothing double-enqueues
-        scratch = os.path.join(work_dir, f"children-{epoch:09d}")
-        children.write.mode("overwrite").parquet(scratch)
-        parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
         # a retried epoch may produce FEWER partitions than the first
         # attempt; sweep every prior children-{epoch}-* first so the
         # retry fully replaces its earlier output (stale higher-index
@@ -357,10 +354,22 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
         for stale in glob.glob(os.path.join(
                 frontier_path, f"children-{epoch:09d}-*.parquet")):
             os.remove(stale)
-        for i, p in enumerate(parts):
-            os.replace(p, os.path.join(
-                frontier_path, f"children-{epoch:09d}-{i:05d}.parquet"
-            ))
+        if not children.isEmpty():
+            # publish only non-empty rounds: Spark writes one (empty)
+            # part file even for an empty frame, and an always-growing
+            # watched dir would re-trigger empty micro-batches forever
+            # — the drained-frontier signal drive_stream_crawl watches
+            # for is "this round added no files"
+            scratch = os.path.join(work_dir, f"children-{epoch:09d}")
+            children.write.mode("overwrite").parquet(scratch)
+            parts = sorted(
+                glob.glob(os.path.join(scratch, "part-*.parquet"))
+            )
+            for i, p in enumerate(parts):
+                os.replace(p, os.path.join(
+                    frontier_path,
+                    f"children-{epoch:09d}-{i:05d}.parquet"
+                ))
         expand_cache = getattr(expanded, "_expand_cache", None)
         if expand_cache is not None:
             expand_cache.unpersist()
@@ -375,6 +384,56 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drive_stream_crawl(spark: SparkSession, frontier_path: str,
+                       pages: DataFrame, work_dir: str,
+                       max_rounds: int = 16,
+                       round_timeout: float = 600.0,
+                       **kwargs) -> dict:
+    """Drain loop for :func:`stream_crawl_round`: ``availableNow``
+    processes the frontier files present at START, so children written
+    during a run form the NEXT run's input — this helper owns the
+    restart loop, re-running the query until a round publishes no new
+    frontier files (the crawl has drained) or ``max_rounds`` is hit.
+
+    Drain detection is the file-source's own contract: each round
+    snapshots the watched directory before starting; a round that adds
+    nothing processed only already-seen-or-empty input, and — because
+    every child file published by round N is consumed by round N+1 —
+    an unchanged directory means nothing is left to process.  State
+    (URL-seen GroupState, offsets ledger) carries across the restarts
+    exactly as across any stop/start.
+
+    Returns ``{"rounds": n, "drained": bool, "records_path": …}``;
+    ``drained`` False means max_rounds stopped the loop first (raise
+    ``max_depth`` awareness: a depth-capped crawl drains naturally in
+    ``max_depth + 1`` rounds + one empty confirming round).
+    """
+    import glob
+    import os
+
+    rounds, drained = 0, False
+    while rounds < max_rounds:
+        before = set(glob.glob(os.path.join(frontier_path, "*.parquet")))
+        q = stream_crawl_round(spark, frontier_path, pages, work_dir,
+                               available_now=True, **kwargs)
+        if not q.awaitTermination(round_timeout):
+            q.stop()
+            raise TimeoutError(
+                f"stream crawl round {rounds} exceeded "
+                f"{round_timeout}s"
+            )
+        rounds += 1
+        after = set(glob.glob(os.path.join(frontier_path, "*.parquet")))
+        if after == before:
+            drained = True
+            break
+    return {
+        "rounds": rounds,
+        "drained": drained,
+        "records_path": os.path.join(work_dir, "records"),
+    }
 
 
 CLEAN_CORPUS_OUTPUT_SCHEMA = ("doc_id long, guessed_lang string, "

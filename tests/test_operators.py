@@ -1106,3 +1106,29 @@ def test_nb_weights_smoothing_and_spine(spark):
     want = round(math.log(2.0 / 34.0) - math.log(1.0 / 34.0), 6)
     assert hit_pos and all(abs(r.weight - want) < 1e-9
                            for r in hit_pos if r.n_pos == 1)
+
+
+def test_dedup_lines_max_lines_guard(spark):
+    import time
+
+    # 100k-line adversarial doc: with the cap it passes through
+    # unchanged (and fast); a small doc still dedups normally
+    big = "\n".join(f"l{i % 997}" for i in range(100_000))
+    df = spark.createDataFrame(
+        [(0, big), (1, "a\nb\na")], "doc_id long, text string"
+    )
+    t0 = time.time()
+    got = {r.doc_id: r for r in
+           textops.dedup_lines(df, max_lines=10_000).collect()}
+    elapsed = time.time() - t0
+    assert got[0].capped and got[0].removed_cnt == 0
+    assert got[0].cleaned_text == big
+    assert got[0].line_cnt == 100_000
+    assert not got[1].capped
+    assert got[1].removed_cnt == 1 and got[1].cleaned_text == "a\nb"
+    # O(L) pass-through, not 10^10 comparisons
+    assert elapsed < 60
+    # the default path's schema and behavior are untouched
+    base = textops.dedup_lines(df.filter("doc_id = 1"))
+    assert base.columns == ["doc_id", "line_cnt", "removed_cnt",
+                            "cleaned_text"]

@@ -434,3 +434,75 @@ def test_stream_clean_corpus_state_survives_restart(spark, tmp_path):
         .write.parquet(str(src / "b2"))
     run(sink2)
     assert sorted(r.doc_id for r in sink2) == [6]
+
+
+def test_drive_stream_crawl_drains_three_depths(spark, tmp_path):
+    """VERDICT r4 #7: the drain-loop helper — a 3-level crawl runs to
+    empty through drive_stream_crawl's restart loop, and the drained
+    record set matches the batch engine on the same fixture corpus."""
+    from hepcrawl_spark.frontier.checkpoint import RoundStore
+    from hepcrawl_spark.frontier.rounds import (
+        CrawlConfig,
+        make_seeds,
+        run_crawl,
+    )
+    from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+    from hepcrawl_spark.schema import POLITENESS_SCHEMA
+    from hepcrawl_spark.streaming.pipeline import drive_stream_crawl
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url,
+                f"<html><head><title>T {url}</title></head>"
+                f"<body>doc body {url} {body}</body></html>".encode(),
+                "html-generic")
+
+    tree = {
+        "http://h0.x/s0": ["http://h0.x/s0/c0", "http://h0.x/s0/c1"],
+        "http://h1.x/s1": ["http://h1.x/s1/c2", "http://h1.x/s1/c3"],
+        "http://h0.x/s0/c0": ["http://h0.x/g0"],
+        "http://h0.x/s0/c1": ["http://h0.x/g1"],
+        "http://h1.x/s1/c2": ["http://h1.x/g2"],
+        "http://h1.x/s1/c3": [],
+    }
+    leaves = ["http://h0.x/g0", "http://h0.x/g1", "http://h1.x/g2"]
+    rows = [page(u, links) for u, links in tree.items()]
+    rows += [page(u, []) for u in leaves]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, format string"
+    )
+    politeness = spark.createDataFrame(
+        [("h0.x", 1.0, 1), ("h1.x", 1.0, 1)], POLITENESS_SCHEMA
+    )
+    seed_urls = ["http://h0.x/s0", "http://h1.x/s1"]
+    seeds = make_seeds(spark, [(u, "html-generic", 0) for u in seed_urls])
+
+    frontier = tmp_path / "frontier"
+    frontier.mkdir()
+    seeds.select(CANDIDATE_SCHEMA.fieldNames()).coalesce(1) \
+        .write.mode("append").parquet(str(frontier))
+    out = drive_stream_crawl(
+        spark, str(frontier), pages, str(tmp_path / "work"),
+        politeness=politeness, num_shards=4, max_depth=3,
+    )
+    # depth 0/1/2 rounds + one empty confirming round, then drained
+    assert out["drained"] and 3 <= out["rounds"] <= 4
+
+    stream_recs = sorted(
+        (r.url, r.title) for r in spark.read.parquet(
+            out["records_path"] + "/epoch-*"
+        ).select("url", "title").collect()
+    )
+    assert {u for u, _ in stream_recs} == set(tree) | set(leaves)
+
+    # parity: the batch engine on the same corpus fetches the same
+    # records (url + extracted title)
+    store = RoundStore(spark, str(tmp_path / "batch_store"))
+    run_crawl(spark, seeds, pages, politeness=politeness, store=store,
+              config=CrawlConfig(seen_mode="exact", max_rounds=8,
+                                 max_depth=3))
+    batch_recs = sorted(
+        (r.url, r.title)
+        for r in store.all_records().select("url", "title").collect()
+    )
+    assert stream_recs == batch_recs
