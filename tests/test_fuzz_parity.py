@@ -71,6 +71,85 @@ def _rowset(cols, rows):
     )
 
 
+# VERDICT r4 #8: adversarial LINE structures — repeated blank lines,
+# newline-only documents, and 13-gram boundary collisions — aimed at
+# t11's gram containment, the rewrites (t14/d09), and the composed
+# pipeline verdicts (p05/p06).
+_LINE = st.sampled_from(
+    ["", " ", "\t", "the cat sat", "nav menu item", "©2024 corp",
+     "w1 w2 w3", "the cat sat"]
+)
+_LINE_DOC = st.lists(_LINE, min_size=0, max_size=8).map("\n".join)
+_NL_ONLY = st.integers(min_value=0, max_value=5).map(lambda n: "\n" * n)
+# exactly 13 shared tokens with per-doc prefixes/suffixes: the gram
+# window slides on/off the shared region at the boundary
+_BASE13 = " ".join(f"t{i}" for i in range(13))
+_GRAM_DOC = st.tuples(
+    st.sampled_from(["", "pre ", "t12 "]),
+    st.sampled_from(["", " post", " t0", " t0 t1"]),
+).map(lambda p: p[0] + _BASE13 + p[1])
+# occasionally gate-passing prose so p05/p06 exercise their full tails
+_GATEY = st.lists(
+    st.sampled_from(
+        ["the", "a", "of", "to", "and", "house", "river", "story",
+         "quiet", "morning", "light", "words", "data", "engine",
+         "garden", "window"]
+    ),
+    min_size=45, max_size=60,
+).map(" ".join)
+_LINEY_DOC = st.one_of(_LINE_DOC, _NL_ONLY, _GRAM_DOC, _GATEY)
+
+LINE_FUZZED_QUERIES = [
+    "t11_benchmark_contamination",
+    "t14_dedup_lines",
+    "d09_span_rewrite",
+    "p05_clean_decontaminated",
+    "p06_clean_span_rewritten",
+]
+
+
+def test_line_structure_queries_match_duckdb(spark, tmp_path):
+    oracles = em.oracle_sql()
+    queries = em.queries()
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(_LINEY_DOC, min_size=1, max_size=6))
+    def check(texts):
+        counter[0] += 1
+        sf_dir = str(tmp_path / f"l{counter[0]}")
+        docs = spark.createDataFrame(
+            [(i, t, "en", "fuzz", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        con = duckdb.connect()
+        glob = os.path.join(sf_dir, "documents.parquet", "*.parquet")
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{glob}')"
+        )
+        for name in LINE_FUZZED_QUERIES:
+            df = queries[name](spark, sf_dir)
+            got = _rowset(df.columns, df.collect())
+            cur = con.execute(oracles[name])
+            want = _rowset([d[0] for d in cur.description],
+                           cur.fetchall())
+            for cache in getattr(df, "_caches", []):
+                cache.unpersist()
+            cache = getattr(df, "_cumsum_cache", None)
+            if cache is not None:
+                cache.unpersist()
+            assert got == want, (name, texts)
+        con.close()
+
+    check()
+
+
 def test_signal_queries_match_duckdb_on_fuzzed_corpora(spark, tmp_path):
     oracles = em.oracle_sql()
     queries = em.queries()
