@@ -429,7 +429,7 @@ def multi_executor_pair(gate: bool = True, probe_wait_sec: int = 1800,
     8-process host-capacity probe until it reads ≥ ``PROBE_MIN``
     (calm window) or ``probe_wait_sec`` elapses; the pair is marked
     ``gated`` only when it started inside a calm window.  Every pair
-    (gated or not) is appended to BENCH/scaling_executors_r4.json so
+    (gated or not) is appended to BENCH/scaling_executors_r5.json so
     the raw spread stays on record alongside the gated series.
     """
     probe = None
@@ -470,12 +470,12 @@ def multi_executor_pair(gate: bool = True, probe_wait_sec: int = 1800,
         "meets_north_rule": eff >= 0.8,
     }
     os.makedirs("BENCH", exist_ok=True)
-    path = "BENCH/scaling_executors_r4.json"
+    path = "BENCH/scaling_executors_r5.json"
     try:
         with open(path) as fh:
             log = json.load(fh)
     except (OSError, ValueError):
-        log = {"metric": "scaling_efficiency_executors_r4", "pairs": []}
+        log = {"metric": "scaling_efficiency_executors_r5", "pairs": []}
     log["pairs"].append(pair)
     gated_vals = sorted(p["value"] for p in log["pairs"] if p["gated"])
     all_vals = sorted(p["value"] for p in log["pairs"])
