@@ -445,6 +445,10 @@ def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
                         lang_threshold: float = 0.04,
                         benchmark_grams: Optional[list] = None,
                         contamination_ngram: int = 13,
+                        mix_rates: Optional[dict] = None,
+                        mix_group_cols: tuple = ("source", "lang"),
+                        mix_default: float = 0.0,
+                        mix_salt: str = "mix1",
                         **gopher_thresholds) -> DataFrame:
     """Continuous corpus cleaning — the streaming peer of
     ``operators.corpus.clean_corpus`` for an always-ingesting crawl:
@@ -476,11 +480,25 @@ def stream_clean_corpus(docs_stream: DataFrame, num_shards: int = 64,
     array is stateless codegen, so it gates BEFORE the stateful
     exchange with no join state and no extra shuffle — the exact
     property that makes decontamination stream-composable at all.
+
+    ``mix_rates`` composes the data-mixing stage
+    (``corpus.mix_sample``) the same way: the md5-threshold predicate
+    is RNG-free per-row codegen — no state, no shuffle, identical
+    keep/drop verdict for a document whether it arrives in batch 1 or
+    batch 1000 — so the mixture table holds continuously over an
+    always-ingesting crawl.  It sits first (cheapest gate, prunes the
+    most), then decontamination, then the Gopher gate, then the one
+    stateful dedup exchange.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..operators.corpus import gated_docs
+    from ..operators.corpus import gated_docs, mix_sample
 
+    if mix_rates is not None:
+        docs_stream = mix_sample(docs_stream, mix_rates,
+                                 group_cols=mix_group_cols,
+                                 default_rate=mix_default,
+                                 salt=mix_salt)
     if benchmark_grams is not None:
         from ..operators.dedup import contaminated_flag_col
 

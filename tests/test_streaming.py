@@ -506,3 +506,54 @@ def test_drive_stream_crawl_drains_three_depths(spark, tmp_path):
         for r in store.all_records().select("url", "title").collect()
     )
     assert stream_recs == batch_recs
+
+
+def test_stream_clean_corpus_mixes(spark, tmp_path):
+    """The streaming peer of the data-mixing stage: the RNG-free
+    md5-threshold predicate is stateless codegen, so the mixture
+    table gives a document the SAME keep/drop verdict in any
+    micro-batch — the streamed mixed+gated output equals the batch
+    mix_sample -> clean_corpus composition on the pooled input."""
+    from hepcrawl_spark.operators.corpus import clean_corpus, mix_sample
+    from hepcrawl_spark.streaming.pipeline import stream_clean_corpus
+
+    def prose(i):
+        return " ".join(
+            ("the" if j % 9 == 0 else f"w{i}x{j}") for j in range(50)
+        )
+
+    rows = [(i, prose(i), "s0" if i % 2 == 0 else "s1", "en")
+            for i in range(40)]
+    schema = "doc_id long, text string, source string, lang string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two micro-batches
+    spark.createDataFrame(rows[:20], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[20:], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    rates = {("s0", "en"): 1.0, ("s1", "en"): 0.4}
+
+    sink = []
+    q = (
+        stream_clean_corpus(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            num_shards=4, mix_rates=rates,
+        )
+        .writeStream
+        .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = clean_corpus(mix_sample(
+        spark.createDataFrame(rows, schema), rates
+    ))
+    want = sorted(r.doc_id for r in batch.collect())
+    assert sorted(r.doc_id for r in sink) == want
+    # the mixture actually cut: every s0 doc present, s1 thinned
+    got = {r.doc_id for r in sink}
+    assert {i for i in range(40) if i % 2 == 0} <= got
+    assert len([i for i in got if i % 2 == 1]) < 20
