@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_classifier_train": _q_classifier_train,
         "t17_mix_quota": _q_mix_quota,
         "p07_mix_pack": _q_mix_pack,
+        "p08_clean_decontam_rewritten": _q_clean_decontam_rewritten,
     }
 
 
@@ -744,6 +745,31 @@ _SPAN_RW_SQL = """, spt AS (
 _G13 = "array_to_string(list_slice(t, i, i+12), ' ')"
 _G13_RANGE = "unnest(range(1, len(t) - 11)) AS r(i)"
 _BENCH_RULE = "doc_id % 7 = 2"
+
+# p05/p08 shared prefix: gate + exact dedup (p01 body), then drop
+# gate+dedup survivors sharing any 13-gram with the held-out slice —
+# one module-level string, so the two pipeline mirrors cannot drift
+_P05_PREFIX_SQL = f"""
+            WITH RECURSIVE cleaned0 AS ({_P01_SQL}),
+            toksall AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bench AS (
+              SELECT DISTINCT {_G13} AS g
+              FROM toksall, {_G13_RANGE}
+              WHERE len(t) >= 13 AND {_BENCH_RULE}
+            ), dirty AS (
+              SELECT DISTINCT dgr.doc_id FROM (
+                SELECT tk.doc_id, {_G13} AS g
+                FROM (SELECT c0.doc_id, ta.t
+                      FROM toksall ta
+                      JOIN cleaned0 c0 ON c0.doc_id = ta.doc_id
+                     ) tk, {_G13_RANGE}
+                WHERE len(t) >= 13
+              ) dgr JOIN bench b ON b.g = dgr.g
+            ), cleaned AS (
+              SELECT * FROM cleaned0
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+            ),"""
 
 # t12: the classifier's weight vector as a SQL literal — generated
 # from the SAME Python list the Spark plan bakes in, so the two
@@ -1106,6 +1132,25 @@ def _q_clean_decontaminated(spark, sf_dir):
     inner = clean_corpus_full(docs, capacity=512, benchmark=bench)
     out = inner.select("doc_id", "guessed_lang", "token_cnt",
                        "fingerprint", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    out._caches = inner._caches
+    return out
+
+
+def _q_clean_decontam_rewritten(spark, sf_dir):
+    # p08: decontamination AND duplicate-span removal composed — the
+    # full production chain: gate → exact dedup → drop eval-
+    # overlapping docs → near-dup cluster removal → span rewrite over
+    # the kept set → packed layout over post-rewrite counts
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    inner = clean_corpus_full(docs, capacity=512, benchmark=bench,
+                              span_rewrite_w=3)
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "removed_cnt", "fingerprint", "seq_id",
+                       "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
     out._caches = inner._caches
     return out
@@ -1826,28 +1871,17 @@ def oracle_sql() -> dict[str, str]:
         # held-out slice are dropped BEFORE near-dup clustering,
         # then the same cluster-removal + packed-layout tail
         "p05_clean_decontaminated": (
-            f"""
-            WITH RECURSIVE cleaned0 AS ({_P01_SQL}),
-            toksall AS (
-              SELECT doc_id, {_TOKS} AS t FROM documents
-            ), bench AS (
-              SELECT DISTINCT {_G13} AS g
-              FROM toksall, {_G13_RANGE}
-              WHERE len(t) >= 13 AND {_BENCH_RULE}
-            ), dirty AS (
-              SELECT DISTINCT dgr.doc_id FROM (
-                SELECT tk.doc_id, {_G13} AS g
-                FROM (SELECT c0.doc_id, ta.t
-                      FROM toksall ta
-                      JOIN cleaned0 c0 ON c0.doc_id = ta.doc_id
-                     ) tk, {_G13_RANGE}
-                WHERE len(t) >= 13
-              ) dgr JOIN bench b ON b.g = dgr.g
-            ), cleaned AS (
-              SELECT * FROM cleaned0
-              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
-            ),"""
-            + _CLEAN_FULL_TAIL_SQL.format(toks=_TOKS)
+            _P05_PREFIX_SQL + _CLEAN_FULL_TAIL_SQL.format(toks=_TOKS)
+        ),
+        # p08: decontamination AND duplicate-span removal composed —
+        # the p05 prefix (gate + dedup + drop contaminated), the
+        # shared kept-set tail, the span-rewrite CTEs, the shared
+        # packing tail; every piece is byte-shared with p04/p05/p06
+        "p08_clean_decontam_rewritten": (
+            _P05_PREFIX_SQL
+            + _CLEAN_FULL_KEPT_SQL.format(toks=_TOKS)
+            + _SPAN_RW_SQL
+            + _PACK_TAIL_SQL.format(src="rw", extra=" removed_cnt,")
         ),
         # p03: the full composition — clean the corpus (p01 body)
         # then lay the survivors out as packed training sequences

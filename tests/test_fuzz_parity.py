@@ -105,6 +105,7 @@ LINE_FUZZED_QUERIES = [
     "d09_span_rewrite",
     "p05_clean_decontaminated",
     "p06_clean_span_rewritten",
+    "p08_clean_decontam_rewritten",
 ]
 
 
