@@ -522,7 +522,14 @@ def main():
         # executor count
         n = int(sys.argv[sys.argv.index("--executors") + 1])
         print(json.dumps(run_once(
-            n * 2, sf_dir, master=f"local-cluster[{n},2,6144]"
+            n * 2, sf_dir,
+            # executor heap must grow with the workload multiplier: a
+            # 6,144 MB executor starves (and local-cluster hangs
+            # rather than fails) on the 2x explode
+            master=(
+                f"local-cluster[{n},2,"
+                f"{int(os.environ.get('SPARK_GRAFT_EXEC_MB', 6144))}]"
+            )
         )))
         return
     if "--lsh-growth" in sys.argv:
