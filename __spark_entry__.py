@@ -31,6 +31,7 @@ from hepcrawl_spark.frontier.fingerprint import with_url_identity
 from hepcrawl_spark.frontier.politeness import schedule
 from hepcrawl_spark.frontier.robots import robots_filter
 from hepcrawl_spark.frontier.seen import filter_unseen
+from hepcrawl_spark.frontier import urlfilter
 from hepcrawl_spark.operators import (
     dedup,
     joins,
@@ -555,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_mix_quota": _q_mix_quota,
         "p07_mix_pack": _q_mix_pack,
         "p08_clean_decontam_rewritten": _q_clean_decontam_rewritten,
+        "d10_dedup_lines_global": _q_dedup_lines_global,
+        "t18_badwords": _q_badwords,
+        "f07_url_filter": _q_url_filter,
     }
 
 
@@ -1205,6 +1209,87 @@ def _q_dedup_lines(spark, sf_dir):
     return textops.dedup_lines(docs).select(
         "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
     )
+
+
+def _q_dedup_lines_global(spark, sf_dir):
+    # d10: CROSS-document line dedup (C4 global rule) — lines are
+    # 4-token chunks (one deterministic re-chunk, mirrored in the
+    # oracle) so cross-doc repetition is meaningful; the corpus-wide
+    # first occurrence of each line survives, blank lines exempt
+    docs = _t(spark, sf_dir, "documents")
+
+    def _chunked(t):
+        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+            ),
+            "\n",
+        )
+
+    docs = docs.withColumn(
+        "text", textops.bind_once(textops.tokens_col(F.col("text")),
+                                  _chunked)
+    )
+    return textops.dedup_lines_global(docs, min_line_len=1).select(
+        "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
+    )
+
+
+# t18 banned-word gate: blocklist rendered into BOTH the Spark plan
+# and the SQL mirror so the two cannot drift ("dup"/"slow" split the
+# synthetic vocabulary ~in half, giving the gate real selectivity)
+_BADWORDS = ["dup", "slow"]
+
+
+def _q_badwords(spark, sf_dir):
+    return textops.badwords_gate(_t(spark, sf_dir, "documents"),
+                                 _BADWORDS)
+
+
+# f07 URL-filter tables, shared by the Spark wrapper and the oracle
+_URLF_BLOCKED_DOMAINS = ["h3.example.com", "h11.example.com",
+                         "example.net"]
+_URLF_BLOCKED_EXTS = ["jpg"]
+
+_BADWORDS_SQL = "['" + "','".join(_BADWORDS) + "']"
+# suffix-blocklist mirror: host itself or any dot-suffix is blocked
+_URLF_DOMAIN_SQL = " OR ".join(
+    f"url_host = '{d}' OR ends_with(url_host, '.{d}')"
+    for d in _URLF_BLOCKED_DOMAINS
+)
+
+
+def _q_url_filter(spark, sf_dir):
+    # f07: frontier blocklist gate over event-synthesized candidates
+    # with deterministic scheme/extension/subdomain variety —
+    # exercises all three predicates incl. the registrable-domain
+    # suffix rule (example.net blocks every *.media.example.net host)
+    ev = _t(spark, sf_dir, "events")
+    hid = (F.col("user_id") % 20).cast("string")
+    host = F.when(
+        F.col("user_id") % 20 >= 15,
+        F.concat(F.lit("h"), hid, F.lit(".media.example.net")),
+    ).otherwise(F.concat(F.lit("h"), hid, F.lit(".example.com")))
+    scheme = F.when(F.col("event_id") % 17 == 0, F.lit("ftp")) \
+        .when(F.col("event_id") % 5 == 0, F.lit("https")) \
+        .otherwise(F.lit("http"))
+    ext = F.when(F.col("event_id") % 11 == 0, F.lit("jpg")) \
+        .when(F.col("event_id") % 13 == 0, F.lit("pdf")) \
+        .otherwise(F.lit("html"))
+    url = F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
+                   (F.col("event_id") % 97).cast("string"),
+                   F.lit("."), ext)
+    cand = with_url_identity(
+        ev.select(url.alias("url"), F.col("event_id").alias("seq"))
+    )
+    return urlfilter.url_filter(
+        cand,
+        blocked_domains=_URLF_BLOCKED_DOMAINS,
+        blocked_extensions=_URLF_BLOCKED_EXTS,
+    ).select("url", "url_host", "seq", "scheme_ok", "domain_blocked",
+             "ext_blocked", "keep")
 
 
 # t15/t17/p07 shared mixing tables — defined once and rendered into
@@ -2019,4 +2104,96 @@ def oracle_sql() -> dict[str, str]:
             + _SPAN_RW_SQL
             + _PACK_TAIL_SQL.format(src="rw", extra=" removed_cnt,")
         ),
+        # d10: cross-document line dedup — corpus-wide first
+        # occurrence (min of the encoded doc/line key) wins; same
+        # 4-token re-chunk as the Spark wrapper; blank lines exempt
+        # (min_line_len = 1)
+        "d10_dedup_lines_global": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_transform(range((len(t) + 3) // 4),
+                       i -> array_to_string(t[i*4+1:i*4+4], ' ')) AS ls
+              FROM toks
+            ), l AS (
+              SELECT doc_id, u.i - 1 AS i, u.line AS line
+              FROM (SELECT doc_id,
+                           unnest(list_transform(ls,
+                             (x, j) -> {{'i': j, 'line': x}})) AS u
+                    FROM s)
+            ), w AS (
+              SELECT line, min(doc_id * 1000000000 + i) AS wk
+              FROM l GROUP BY line
+            ), k AS (
+              SELECT l.doc_id, l.i, l.line,
+                     (l.doc_id * 1000000000 + l.i = w.wk
+                      OR length(l.line) < 1) AS keep
+              FROM l JOIN w USING (line)
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS line_cnt,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+                     AS removed_cnt,
+                   coalesce(string_agg(line, chr(10) ORDER BY i)
+                              FILTER (WHERE keep), '') AS cleaned_text
+            FROM k GROUP BY doc_id
+        """,
+        # t18: C4 banned-word gate — same literal blocklist as the
+        # Spark plan
+        "t18_badwords": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), m AS (
+              SELECT doc_id, len(t)::BIGINT AS token_cnt,
+                     len(list_filter(t,
+                       x -> list_contains({_BADWORDS_SQL}, x)
+                     ))::BIGINT AS bad_cnt
+              FROM toks
+            ), f AS (
+              SELECT doc_id, token_cnt, bad_cnt,
+                     CASE WHEN token_cnt > 0
+                          THEN round(bad_cnt::DOUBLE
+                                     / token_cnt::DOUBLE, 9)
+                          ELSE 0.0 END AS bad_frac
+              FROM m
+            )
+            SELECT doc_id, token_cnt, bad_cnt, bad_frac,
+                   bad_frac <= 0.0 AS keep
+            FROM f
+        """,
+        # f07: frontier URL blocklist gate — same synthesized
+        # candidates and blocklists as the Spark wrapper; the
+        # example.net entry mirrors the registrable-domain suffix
+        # rule (host itself or any dot-suffix)
+        "f07_url_filter": f"""
+            WITH c AS (
+              SELECT CASE WHEN user_id % 20 >= 15
+                          THEN 'h' || (user_id % 20)
+                               || '.media.example.net'
+                          ELSE 'h' || (user_id % 20) || '.example.com'
+                     END AS url_host,
+                     CASE WHEN event_id % 17 = 0 THEN 'ftp'
+                          WHEN event_id % 5 = 0 THEN 'https'
+                          ELSE 'http' END AS scheme,
+                     CASE WHEN event_id % 11 = 0 THEN 'jpg'
+                          WHEN event_id % 13 = 0 THEN 'pdf'
+                          ELSE 'html' END AS ext,
+                     event_id AS seq
+              FROM events
+            ), u AS (
+              SELECT scheme || '://' || url_host || '/p/'
+                       || (seq % 97) || '.' || ext AS url,
+                     url_host, seq, scheme, ext
+              FROM c
+            )
+            SELECT url, url_host, seq,
+                   scheme IN ('http', 'https') AS scheme_ok,
+                   ({_URLF_DOMAIN_SQL}) AS domain_blocked,
+                   ext IN ('jpg') AS ext_blocked,
+                   (scheme IN ('http', 'https')
+                    AND NOT ({_URLF_DOMAIN_SQL})
+                    AND NOT ext IN ('jpg')) AS keep
+            FROM u
+        """,
     }

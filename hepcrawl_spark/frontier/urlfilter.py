@@ -1,0 +1,158 @@
+"""Frontier URL filtering (blocklist gate).
+
+The crawl-side counterpart of the reference's per-spider
+`allowed_domains` / URL-pattern guards (e.g.
+/root/reference/hepcrawl/spiders/desy_spider.py restricts scheme+path
+shape before enqueueing) generalized to the gate every production
+crawler runs in front of the frontier: scheme allowlist, registrable
+domain-suffix blocklist, and path-extension blocklist.
+
+100 TB shape: every predicate is a plan literal over columns the
+frontier already carries (``url_host`` from ``with_url_identity``,
+path via ``parse_url``), so the whole gate is ONE whole-stage-codegen
+scan over the candidate stream — no join, no shuffle, no Python.
+Suffix matching enumerates the host's own dot-suffixes (bounded by
+label count, ≤ ~10) and tests membership against the literal list —
+O(labels × |blocklist|) per row in the worst case but the IN compiles
+to a hash probe, so effectively O(labels).  For blocklists past plan
+literal size (≳100k domains) use :func:`url_filter_df`, which keeps
+the same semantics through an exploded broadcast-hash semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# plan-literal blocklists stay comfortably under codegen limits up to
+# this many entries; beyond it, use url_filter_df (broadcast join)
+MAX_LITERAL_DOMAINS = 10_000
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname with >= 2 labels, plus the host
+    itself: ``a.b.example.com`` -> [a.b.example.com, b.example.com,
+    example.com].  Blocking ``example.com`` therefore blocks every
+    subdomain, the standard registrable-domain blocklist semantics.
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def _path_ext(url: Column) -> Column:
+    """Lowercased final extension of the URL path ('' when none)."""
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,8})$", 1))
+
+
+def url_filter(
+    candidates: DataFrame,
+    blocked_domains: list[str] | None = None,
+    blocked_extensions: list[str] | None = None,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+    url_col: str = "canon_url",
+) -> DataFrame:
+    """Annotate candidates with the blocklist verdict: adds
+    ``scheme_ok`` / ``domain_blocked`` / ``ext_blocked`` / ``keep``
+    (keep = scheme_ok AND NOT domain_blocked AND NOT ext_blocked).
+
+    Callers that only want the survivors filter on ``keep``; the
+    full annotation is kept so dropped candidates can be counted per
+    reason (the crawl-health metric every operator dashboard wants).
+
+    Expects ``url_host`` on the frame (``with_url_identity``); all
+    three predicates are literal column expressions — see module
+    docstring for the scale argument.
+    """
+    blocked_domains = blocked_domains or []
+    blocked_extensions = blocked_extensions or []
+    if len(blocked_domains) > MAX_LITERAL_DOMAINS:
+        raise ValueError(
+            f"blocked_domains has {len(blocked_domains)} entries; the "
+            f"plan-literal gate caps at {MAX_LITERAL_DOMAINS} — use "
+            "url_filter_df for large blocklists"
+        )
+    url = F.col(url_col)
+    scheme = F.lower(
+        F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit(""))
+    )
+    scheme_ok = scheme.isin(*allowed_schemes)
+    if blocked_domains:
+        domain_blocked = F.exists(
+            host_suffixes(F.col("url_host")),
+            lambda s: s.isin(*blocked_domains),
+        )
+    else:
+        domain_blocked = F.lit(False)
+    if blocked_extensions:
+        ext_blocked = _path_ext(url).isin(
+            *[e.lower().lstrip(".") for e in blocked_extensions]
+        )
+    else:
+        ext_blocked = F.lit(False)
+    return (
+        candidates
+        .withColumn("scheme_ok", scheme_ok)
+        .withColumn("domain_blocked", domain_blocked)
+        .withColumn("ext_blocked", ext_blocked)
+        .withColumn(
+            "keep",
+            F.col("scheme_ok")
+            & ~F.col("domain_blocked")
+            & ~F.col("ext_blocked"),
+        )
+    )
+
+
+def url_filter_df(
+    candidates: DataFrame,
+    blocked_domains: DataFrame,
+    blocked_extensions: list[str] | None = None,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+    url_col: str = "canon_url",
+    id_col: str = "url",
+) -> DataFrame:
+    """Same verdict columns as :func:`url_filter` but the domain
+    blocklist is a DataFrame (column ``domain``) — the shape for
+    blocklists too large to be a plan literal.
+
+    Scale path: explode the host's suffixes (≤ ~10 per row), inner
+    broadcast-hash join against the blocklist (map-side, output only
+    the hits), distinct the hit ids, then mark via a second broadcast
+    join of the (small) hit set back onto the stream.  The candidate
+    stream itself never shuffles; only the hit set (bounded by the
+    number of BLOCKED candidates) moves.
+    """
+    sfx = candidates.select(
+        F.col(id_col),
+        F.explode(host_suffixes(F.col("url_host"))).alias("_sfx"),
+    )
+    hits = (
+        sfx.join(
+            F.broadcast(blocked_domains.select(F.col("domain").alias("_sfx"))),
+            on="_sfx",
+            how="inner",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_dom_hit", F.lit(True))
+    )
+    marked = candidates.join(F.broadcast(hits), on=id_col, how="left")
+    out = url_filter(
+        marked,
+        blocked_domains=None,
+        blocked_extensions=blocked_extensions,
+        allowed_schemes=allowed_schemes,
+        url_col=url_col,
+    ).withColumn(
+        "domain_blocked", F.coalesce(F.col("_dom_hit"), F.lit(False))
+    )
+    return out.withColumn(
+        "keep",
+        F.col("scheme_ok") & ~F.col("domain_blocked")
+        & ~F.col("ext_blocked"),
+    ).drop("_dom_hit")

@@ -535,6 +535,107 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     )
 
 
+# encodes (doc_id, line_idx) into one orderable int64 so "first
+# occurrence corpus-wide" is a plain MIN (partial-agg-able) on both
+# engines.  Bound: line index < 1e9 per document (a billion-line
+# document is beyond any real web page); doc_id < 9.2e9 before the
+# product overflows int64 — both documented limits of the operator.
+GLOBAL_LINE_KEY = 1_000_000_000
+
+
+def dedup_lines_global(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_line_len: int = 0) -> DataFrame:
+    """CROSS-document line dedup: keep only the corpus-wide FIRST
+    occurrence of every line — the C4 global rule (Raffel et al.
+    2020 §2.2 discard duplicated three-sentence spans corpus-wide;
+    every public reimplementation applies it at line granularity),
+    complementing :func:`dedup_lines` which only dedups WITHIN a
+    document.  Returns (id, line_cnt, removed_cnt, cleaned_text).
+
+    100 TB shape: posexplode lines → one hash-partitioned partial-agg
+    ``MIN`` per distinct line picks the winner (skew-safe: min is
+    associative, so a line occurring a billion times combines
+    map-side) → one co-partitioned equi-join back on the line key →
+    per-doc re-assembly via ``array_sort(collect_list)`` (bounded by
+    the document's own line count).  Two shuffles total, both on
+    hash-balanced keys; no windows, no Python.
+
+    "First" is defined by ``doc_id * GLOBAL_LINE_KEY + line_idx`` —
+    deterministic and identical in the DuckDB mirror.  Lines shorter
+    than ``min_line_len`` are exempt (kept everywhere): blank
+    separators must not collapse to one global survivor.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_line"),
+    ).withColumn(
+        "_k",
+        F.col(id_col).cast("long") * GLOBAL_LINE_KEY + F.col("_i"),
+    )
+    winners = lines.groupBy("_line").agg(F.min("_k").alias("_w"))
+    keep = (F.col("_k") == F.col("_w")) | (
+        F.length("_line") < F.lit(min_line_len)
+    )
+    return (
+        lines.join(winners, on="_line")
+        .withColumn("_keep", keep)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("long").alias("removed_cnt"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct(F.col("_i"), F.col("_line")))
+                    )),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def badwords_gate(docs: DataFrame, banned: list[str],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_frac: float = 0.0) -> DataFrame:
+    """Banned-word document gate — the C4 "bad words" filter (Raffel
+    et al. 2020 §2.2: drop any page containing a word from a
+    blocklist).  Returns (id, token_cnt, bad_cnt, bad_frac, keep);
+    ``max_frac`` generalizes the drop rule (0.0 = C4's any-hit-drops;
+    >0 tolerates a fraction, the softened variant some pipelines use).
+
+    The blocklist is a plan literal (``IN`` over the tokenized
+    array), so the whole gate is ONE whole-stage-codegen scan — no
+    join, no shuffle, no Python; at 100 TB it rides the same pass as
+    the other per-doc signals.  Real blocklists are a few hundred
+    entries (the public "List of Dirty Naughty Obscene..." C4 uses is
+    ~400 for English) — comfortably literal-sized.
+    """
+    def _sig(t):
+        n = F.size(t)
+        bad = F.size(F.filter(t, lambda x: x.isin(*banned)))
+        frac = F.when(n > 0, F.round(bad.cast("double") / n, 9)) \
+            .otherwise(F.lit(0.0))
+        return F.struct(
+            n.cast("long").alias("n"),
+            bad.cast("long").alias("bad"),
+            frac.alias("frac"),
+        )
+
+    sig = bind_once(tokens_col(F.col(text_col)), _sig)
+    return docs.select(F.col(id_col), sig.alias("_s")).select(
+        id_col,
+        F.col("_s.n").alias("token_cnt"),
+        F.col("_s.bad").alias("bad_cnt"),
+        F.col("_s.frac").alias("bad_frac"),
+        (F.col("_s.frac") <= F.lit(max_frac)).alias("keep"),
+    )
+
+
 CLS_BUCKETS = 1024
 
 

@@ -1132,3 +1132,68 @@ def test_dedup_lines_max_lines_guard(spark):
     base = textops.dedup_lines(df.filter("doc_id = 1"))
     assert base.columns == ["doc_id", "line_cnt", "removed_cnt",
                             "cleaned_text"]
+
+
+def test_dedup_lines_global(spark):
+    # corpus-wide first occurrence (doc_id, line_idx) wins; later
+    # docs lose their copies of shared boilerplate
+    rows = [
+        (0, "cookie banner\nalpha\ncookie banner"),
+        (1, "cookie banner\nbeta"),
+        (2, "cookie banner\nalpha"),
+        (3, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.dedup_lines_global(df).collect()}
+    # doc 0 owns the first "cookie banner" AND the first "alpha";
+    # its own second "cookie banner" is a later occurrence too
+    assert got[0].line_cnt == 3 and got[0].removed_cnt == 1
+    assert got[0].cleaned_text == "cookie banner\nalpha"
+    assert got[1].removed_cnt == 1 and got[1].cleaned_text == "beta"
+    assert got[2].removed_cnt == 2 and got[2].cleaned_text == ""
+    assert got[3].removed_cnt == 0 and got[3].cleaned_text == "gamma"
+    # every doc survives in the output even when fully emptied
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_dedup_lines_global_min_line_len(spark):
+    # blank separators are exempt: they stay in EVERY doc instead of
+    # collapsing to one global survivor
+    rows = [(0, "a\n\nb"), (1, "c\n\nd"), (2, "a\n\nd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.dedup_lines_global(df, min_line_len=1).collect()}
+    assert got[0].cleaned_text == "a\n\nb"
+    assert got[1].cleaned_text == "c\n\nd"
+    assert got[2].removed_cnt == 2 and got[2].cleaned_text == ""
+    # without the exemption the blank line would survive once only
+    strict = {r.doc_id: r for r in
+              textops.dedup_lines_global(df).collect()}
+    assert strict[0].cleaned_text == "a\n\nb"
+    # doc 1 loses only its blank (doc 0 owns the first blank line)
+    assert strict[1].removed_cnt == 1 and strict[1].cleaned_text == "c\nd"
+
+
+def test_badwords_gate(spark):
+    rows = [
+        (0, "clean prose about spark tables"),
+        (1, "this has one badword in it"),
+        (2, "badword badword badword"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.badwords_gate(df, ["badword"]).collect()}
+    assert got[0].keep and got[0].bad_cnt == 0
+    assert not got[1].keep and got[1].bad_cnt == 1
+    assert not got[2].keep and got[2].bad_cnt == 3
+    assert got[2].bad_frac == 1.0
+    # empty text: zero tokens is not a banned-word hit
+    assert got[3].keep and got[3].bad_frac == 0.0
+    # softened variant: tolerate up to 20% banned tokens
+    soft = {r.doc_id: r for r in
+            textops.badwords_gate(df, ["badword"],
+                                  max_frac=0.2).collect()}
+    assert soft[1].keep          # 1/6 < 0.2
+    assert not soft[2].keep      # 3/3 > 0.2

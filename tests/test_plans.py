@@ -336,6 +336,37 @@ def test_t17_mix_quota_no_per_shard_window(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_t18_badwords_single_scan_no_shuffle(spark):
+    # the blocklist is a plan literal: one codegen scan, no Exchange,
+    # no join, no Python, pruned to (doc_id, text)
+    plan = _plan(em.queries()["t18_badwords"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_d10_global_line_dedup_two_hash_shuffles_no_window(spark):
+    # winner-per-line is a partial-agg MIN (HashAggregate both sides
+    # of its Exchange) joined back on the line key; per-doc
+    # re-assembly is another hash agg — never a Window, never a
+    # cartesian, never Python
+    plan = _plan(em.queries()["d10_dedup_lines_global"](spark, SF))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+
+
+def test_f07_url_filter_single_pass_over_candidates(spark):
+    # all three blocklist predicates are literals over columns the
+    # identity pass already computed: no join, no extra shuffle
+    # beyond the (Arrow) url-identity projection itself
+    plan = _plan(em.queries()["f07_url_filter"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_run_crawl_plans_have_no_unpartitioned_window(spark):
     # VERDICT r3 #8: with_global_order (the one unpartitioned window,
     # parity-test-only) must be unreachable from production rounds —
