@@ -32,6 +32,7 @@ FUZZED_QUERIES = [
     "p02_pack_sequences",
     "t13_pii_scrub",
     "t14_dedup_lines",
+    "t18_badwords",
 ]
 
 # the tokenizer fuzz's adversarial alphabet: unicode whitespace,
@@ -106,6 +107,7 @@ LINE_FUZZED_QUERIES = [
     "p05_clean_decontaminated",
     "p06_clean_span_rewritten",
     "p08_clean_decontam_rewritten",
+    "d10_dedup_lines_global",
 ]
 
 
