@@ -29,6 +29,7 @@ from .fingerprint import with_url_identity
 from .politeness import schedule
 from .robots import effective_politeness, robots_filter
 from .seen import CANDIDATE_SCHEMA, filter_unseen
+from .urlfilter import url_filter
 
 # spider name → pages format tag (the reference's spider choice is the
 # format route; SURVEY.md §2.1)
@@ -78,6 +79,18 @@ class CrawlConfig:
     # record the executed fetch-join plan per round in the summary
     # (tests assert the zero-Exchange shape on the REAL crawl plans)
     collect_fetch_plans: bool = False
+    # frontier URL blocklist (f07, frontier/urlfilter.py): scheme
+    # allowlist + registrable-domain-suffix + path-extension
+    # blocklists applied at QUEUE ENTRY each round, so both seeds and
+    # expanded children pass the same gate (the reference analog:
+    # per-spider allowed_domains / URL-pattern guards).  All three
+    # predicates are plan literals — one codegen pass over the queue,
+    # and the gate is entirely absent from the plan when both
+    # blocklists are empty.  Dropped count lands in
+    # ``totals["url_filtered"]``.
+    blocked_domains: Tuple[str, ...] = ()
+    blocked_extensions: Tuple[str, ...] = ()
+    allowed_schemes: Tuple[str, ...] = ("http", "https")
 
 
 def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFrame:
@@ -339,7 +352,8 @@ def run_crawl(
             offsets = store.read_table(last, "offsets")
             round_no = last + 1
 
-    totals = {"records": 0, "errors": 0, "scheduled": 0, "blocked": 0}
+    totals = {"records": 0, "errors": 0, "scheduled": 0, "blocked": 0,
+              "url_filtered": 0}
     pending_expand_cache: Optional[DataFrame] = None
 
     while queue is not None and round_no < config.max_rounds:
@@ -362,7 +376,23 @@ def run_crawl(
             queue.unpersist()
             break
 
-        allowed, blocked = robots_filter(queue, robots)
+        url_gate = bool(config.blocked_domains or config.blocked_extensions)
+        if url_gate:
+            verdict = url_filter(
+                queue,
+                blocked_domains=list(config.blocked_domains),
+                blocked_extensions=list(config.blocked_extensions),
+                allowed_schemes=config.allowed_schemes,
+            )
+            url_filtered = verdict.filter(~F.col("keep")).select("url")
+            gated = verdict.filter(F.col("keep")).drop(
+                "scheme_ok", "domain_blocked", "ext_blocked", "keep"
+            )
+        else:
+            url_filtered = None
+            gated = queue
+
+        allowed, blocked = robots_filter(gated, robots)
         prev_seen = seen_state
         admitted, seen_state = filter_unseen(
             allowed, seen_state, mode=config.seen_mode,
@@ -509,6 +539,15 @@ def run_crawl(
             .crossJoin(blocked.agg(
                 F.count(F.lit(1)).alias("n_blocked"),
             ))
+            .crossJoin(
+                url_filtered.agg(
+                    F.count(F.lit(1)).alias("n_url_filtered"),
+                )
+                if url_filtered is not None
+                else spark.range(1).select(
+                    F.lit(0).cast("long").alias("n_url_filtered")
+                )
+            )
         ).first()
         n_records = int(stats.n_records)
         n_errors = int(stats.n_extract_errors) + int(stats.n_fetch_miss)
@@ -517,6 +556,7 @@ def run_crawl(
         totals["errors"] += n_errors
         totals["scheduled"] += n_scheduled
         totals["blocked"] += int(stats.n_blocked)
+        totals["url_filtered"] += int(stats.n_url_filtered)
 
         if store is not None:
             tables = {

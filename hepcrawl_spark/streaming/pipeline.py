@@ -237,7 +237,10 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
                        max_depth: int = 4, seq_block: int = 1 << 40,
                        child_format_routes: Optional[dict] = None,
                        max_files_per_trigger: int = 64,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       blocked_domains: tuple = (),
+                       blocked_extensions: tuple = (),
+                       allowed_schemes: tuple = ("http", "https")):
     """The FULL streaming crawl engine — every stage of the batch
     round body (``frontier.rounds.run_crawl``) composed into one
     continuous query, closing the frontier loop through the watched
@@ -289,6 +292,7 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
     from ..frontier.robots import effective_politeness, robots_filter
     from ..frontier.rounds import _expand_children, _merge_offsets
     from ..frontier.seen import CANDIDATE_SCHEMA
+    from ..frontier.urlfilter import url_filter
 
     cand_cols = CANDIDATE_SCHEMA.fieldNames()
     offsets_path = os.path.join(work_dir, "offsets")
@@ -307,6 +311,19 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
 
     def round_body(df: DataFrame, epoch: int) -> None:
         epoch = int(epoch)
+        if blocked_domains or blocked_extensions:
+            # same queue-entry URL blocklist as the batch round
+            # (CrawlConfig.blocked_domains) — a stateless per-row
+            # literal gate, so its verdict is identical in any
+            # micro-batch position, like the decontamination gate
+            df = url_filter(
+                df,
+                blocked_domains=list(blocked_domains),
+                blocked_extensions=list(blocked_extensions),
+                allowed_schemes=allowed_schemes,
+            ).filter(F.col("keep")).drop(
+                "scheme_ok", "domain_blocked", "ext_blocked", "keep"
+            )
         allowed, _blocked = robots_filter(df, robots)
         prior = sorted(glob.glob(os.path.join(offsets_path, "epoch-*")))
         prior = [p for p in prior if int(p.rsplit("-", 1)[1]) < epoch]

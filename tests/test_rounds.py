@@ -212,3 +212,36 @@ def test_expand_children_multi_record_parent_unique_seq(spark):
         "http://sd/a", "http://sd/b", "http://sd/c",
         "http://sd/d", "http://sd/e",
     ]
+
+
+def test_url_blocklist_gates_seeds(spark, arxiv_pages):
+    # registrable-domain suffix rule: blocking arxiv.org catches the
+    # export.arxiv.org fixture host at queue entry — nothing reaches
+    # robots/scheduling, and the drop is counted per reason
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+    summary = run_crawl(
+        spark, seeds, arxiv_pages,
+        config=CrawlConfig(max_rounds=2,
+                           blocked_domains=("arxiv.org",)),
+    )
+    assert summary["url_filtered"] == 12
+    assert summary["scheduled"] == 0
+    assert summary["records"] == 0
+    assert summary["blocked"] == 0    # distinct from the robots count
+
+
+def test_url_blocklist_extension_and_default_off(spark, arxiv_pages):
+    seeds = _arxiv_seeds(spark, arxiv_pages)
+    gated = run_crawl(
+        spark, seeds, arxiv_pages,
+        config=CrawlConfig(max_rounds=2,
+                           blocked_extensions=("xml",)),
+    )
+    assert gated["url_filtered"] == 12 and gated["records"] == 0
+    # empty blocklists: the gate is inert and the crawl is unchanged
+    plain = run_crawl(
+        spark, _arxiv_seeds(spark, arxiv_pages), arxiv_pages,
+        config=CrawlConfig(max_rounds=2),
+    )
+    assert plain["url_filtered"] == 0
+    assert plain["records"] == 22

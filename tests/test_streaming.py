@@ -557,3 +557,77 @@ def test_stream_clean_corpus_mixes(spark, tmp_path):
     got = {r.doc_id for r in sink}
     assert {i for i in range(40) if i % 2 == 0} <= got
     assert len([i for i in got if i % 2 == 1]) < 20
+
+
+def test_stream_crawl_url_blocklist_parity_with_batch(spark, tmp_path):
+    """The streaming round body applies the SAME queue-entry URL
+    blocklist as CrawlConfig.blocked_domains: blocking h1.x keeps the
+    whole h1.x subtree (seeds AND loop-back children) out of both
+    engines, and the drained record sets still match."""
+    from hepcrawl_spark.frontier.checkpoint import RoundStore
+    from hepcrawl_spark.frontier.rounds import (
+        CrawlConfig,
+        make_seeds,
+        run_crawl,
+    )
+    from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+    from hepcrawl_spark.schema import POLITENESS_SCHEMA
+    from hepcrawl_spark.streaming.pipeline import drive_stream_crawl
+
+    def page(url, links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url,
+                f"<html><head><title>T {url}</title></head>"
+                f"<body>doc body {url} {body}</body></html>".encode(),
+                "html-generic")
+
+    tree = {
+        "http://h0.x/s0": ["http://h0.x/s0/c0", "http://h1.x/cross"],
+        "http://h1.x/s1": ["http://h1.x/s1/c2"],
+    }
+    leaves = ["http://h0.x/s0/c0", "http://h1.x/cross",
+              "http://h1.x/s1/c2"]
+    rows = [page(u, links) for u, links in tree.items()]
+    rows += [page(u, []) for u in leaves]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, format string"
+    )
+    politeness = spark.createDataFrame(
+        [("h0.x", 0.1, 4), ("h1.x", 0.1, 4)], POLITENESS_SCHEMA
+    )
+    seed_urls = sorted(tree)
+
+    # streaming engine, h1.x blocked (covers the blocked SEED s1 and
+    # the blocked loop-back CHILD cross linked from an h0.x page)
+    frontier = tmp_path / "frontier"
+    frontier.mkdir()
+    make_seeds(spark, [(u, "html-generic", 0) for u in seed_urls]) \
+        .select(CANDIDATE_SCHEMA.fieldNames()).coalesce(1) \
+        .write.mode("append").parquet(str(frontier))
+    out = drive_stream_crawl(
+        spark, str(frontier), pages, str(tmp_path / "work"),
+        politeness=politeness, num_shards=4, max_depth=2,
+        blocked_domains=("h1.x",),
+    )
+    assert out["drained"]
+    stream_urls = sorted(
+        r.url for r in spark.read.parquet(
+            str(tmp_path / "work") + "/records/epoch-*"
+        ).select("url").collect()
+    )
+    assert stream_urls == ["http://h0.x/s0", "http://h0.x/s0/c0"]
+
+    # batch engine, same blocklist → identical record set
+    ckpt = str(tmp_path / "ckpt")
+    run_crawl(
+        spark,
+        make_seeds(spark, [(u, "html-generic", 0) for u in seed_urls]),
+        pages, politeness=politeness, checkpoint_path=ckpt,
+        config=CrawlConfig(seen_mode="exact", max_rounds=4, max_depth=2,
+                           blocked_domains=("h1.x",)),
+    )
+    batch_urls = sorted(
+        r.url for r in RoundStore(spark, ckpt).all_records()
+        .select("url").collect()
+    )
+    assert batch_urls == stream_urls
