@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_dedup_lines_global": _q_dedup_lines_global,
         "t18_badwords": _q_badwords,
         "f07_url_filter": _q_url_filter,
+        "p09_clean_badwords": _q_clean_badwords,
     }
 
 
@@ -617,7 +618,7 @@ _LANG_LISTS_SQL = {
 
 # p01 body — also embedded as the `cleaned` CTE of the p03
 # composition so the two mirrors cannot drift
-_P01_SQL = f"""
+_P01_SQL_TMPL = f"""
     WITH s AS (
       SELECT doc_id, text, {_TOKS} AS toks FROM documents
     ), m AS (
@@ -631,7 +632,7 @@ _P01_SQL = f"""
     ), g AS (
       SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
     ), p AS (
-      SELECT * FROM g WHERE {_GOPHER_PASS_SQL}
+      SELECT * FROM g WHERE {_GOPHER_PASS_SQL}{{extra_gate}}
     ), k AS (
       SELECT *, row_number() OVER (
         PARTITION BY md5(text) ORDER BY doc_id
@@ -644,6 +645,15 @@ _P01_SQL = f"""
            fingerprint
     FROM k WHERE rn = 1
 """
+_P01_SQL = _P01_SQL_TMPL.format(extra_gate="")
+# p09 extra gate: the t18 banned-word predicate ANDed into the p01
+# gate (any-hit-drops); re-derives the tokens from the in-scope text
+# column — the oracle's correctness mirror of the Spark side's
+# zero-extra-cost fold in the already-bound token array
+_P09_BADWORDS_GATE = (
+    f" AND len(list_filter({_TOKS}, "
+    f"x -> list_contains({{badwords}}, x))) = 0"
+)
 
 # p04/p05/p06 shared tail pieces: near-dup cluster removal
 # (exact-Jaccard pairs + recursive-CTE connected components,
@@ -1259,6 +1269,17 @@ _URLF_DOMAIN_SQL = " OR ".join(
     f"url_host = '{d}' OR ends_with(url_host, '.{d}')"
     for d in _URLF_BLOCKED_DOMAINS
 )
+
+
+def _q_clean_badwords(spark, sf_dir):
+    # p09: p01's cleaning pipeline with the t18 banned-word verdict
+    # ANDed into the gate — still ONE scan pass (the count folds in
+    # the same bound token array), still gate-before-shuffle
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"), badwords=_BADWORDS
+    ).select("doc_id", "guessed_lang", "token_cnt", "fingerprint")
 
 
 def _q_url_filter(spark, sf_dir):
@@ -2196,4 +2217,12 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT ext IN ('jpg')) AS keep
             FROM u
         """,
+        # p09: the p01 mirror with the t18 banned-word predicate
+        # slotted into the shared gate WHERE — the template keeps
+        # p01 and p09 byte-identical everywhere else
+        "p09_clean_badwords": _P01_SQL_TMPL.format(
+            extra_gate=_P09_BADWORDS_GATE.format(
+                badwords=_BADWORDS_SQL
+            )
+        ),
     }

@@ -247,6 +247,8 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                classifier_weights: list[float] | None = None,
                classifier_bias: float = 0.0,
                classifier_threshold: float = 0.5,
+               badwords: list[str] | None = None,
+               badwords_max_frac: float = 0.0,
                **gopher_thresholds) -> DataFrame:
     """The stateless body shared by ``clean_corpus`` (batch) and
     ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
@@ -260,8 +262,14 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
     ``classifier_threshold``) into the gate — the score folds inside
     the SAME bound token array, so the extra gate column costs zero
     additional scans or tokenizations.
+
+    Pass ``badwords`` to AND the C4 banned-word verdict
+    (``textops.badwords_gate`` semantics: banned-token fraction ≤
+    ``badwords_max_frac``, default any-hit-drops) into the gate —
+    the count folds inside the same bound token array too.
     """
     cls = classifier_weights is not None
+    bw = bool(badwords)
 
     def _sig(t):
         cols = [
@@ -274,12 +282,25 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                     t, classifier_weights, classifier_bias
                 ).alias("cls"),
             )
+        if bw:
+            cols.append(
+                F.size(F.filter(t, lambda x: x.isin(*badwords)))
+                .cast("long").alias("bad"),
+            )
         return F.struct(*cols)
 
     sig = bind_once(tokens_col(F.col(text_col)), _sig)
     gate = F.col("_s.g.passes") == 1
     if cls:
         gate = gate & (F.col("_s.cls") >= F.lit(classifier_threshold))
+    if bw:
+        n = F.col("_s.g.token_cnt")
+        bad_frac = F.when(
+            n > 0,
+            F.round(F.col("_s.bad").cast("double") / n.cast("double"),
+                    9),
+        ).otherwise(F.lit(0.0))
+        gate = gate & (bad_frac <= F.lit(badwords_max_frac))
     ratio = (F.col("_s.g.stopword_cnt").cast("double")
              / F.col("_s.g.token_cnt").cast("double"))
     return (

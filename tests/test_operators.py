@@ -1197,3 +1197,31 @@ def test_badwords_gate(spark):
                                   max_frac=0.2).collect()}
     assert soft[1].keep          # 1/6 < 0.2
     assert not soft[2].keep      # 3/3 > 0.2
+
+
+def test_clean_corpus_badwords_gate(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    # both docs pass the Gopher rules; doc 1 contains a banned word
+    clean = " ".join(
+        ("the" if i % 3 == 0 else f"word{i}") for i in range(60)
+    )
+    dirty = clean + " verboten"
+    df = spark.createDataFrame(
+        [(0, clean), (1, dirty)], "doc_id long, text string"
+    )
+    base = sorted(r.doc_id for r in clean_corpus(df).collect())
+    assert base == [0, 1]
+    gated = sorted(
+        r.doc_id
+        for r in clean_corpus(df, badwords=["verboten"]).collect()
+    )
+    assert gated == [0]
+    # tolerant variant: 1 banned token out of 61 clears a 5% cap
+    soft = sorted(
+        r.doc_id
+        for r in clean_corpus(
+            df, badwords=["verboten"], badwords_max_frac=0.05
+        ).collect()
+    )
+    assert soft == [0, 1]
