@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_badwords": _q_badwords,
         "f07_url_filter": _q_url_filter,
         "p09_clean_badwords": _q_clean_badwords,
+        "f08_link_graph": _q_link_graph,
+        "f09_host_rank": _q_host_rank,
     }
 
 
@@ -1311,6 +1313,159 @@ def _q_url_filter(spark, sf_dir):
         blocked_extensions=_URLF_BLOCKED_EXTS,
     ).select("url", "url_host", "seq", "scheme_ok", "domain_blocked",
              "ext_blocked", "keep")
+
+
+# f08/f09 link-graph synthesis constants — rendered into BOTH the
+# Spark page synthesis and the SQL mirror so the two cannot drift.
+# Each synthesized page carries three absolute anchors to
+# deterministic pseudo-random target docs plus one relative anchor
+# (which extract_outlinks must drop).
+_LINK_MULT = 31
+_LINK_OFFSETS = (7919, 15838, 23757)
+_LINK_MOD = 9973
+_LINK_HOSTS = 11
+_PR_DAMPING = 0.85
+_PR_ITERATIONS = 5
+
+# closed-form link table: (src_host, dst_host, dst_url) per anchor —
+# the oracle derives what the Spark side must PARSE out of the html
+_LINK_SQL = f"""
+              SELECT 'h' || (doc_id % 7) || '.docs.example.com'
+                       AS src_host,
+                     'h' || (dd % {_LINK_HOSTS}) || '.docs.example.com'
+                       AS dst_host,
+                     'http://h' || (dd % {_LINK_HOSTS})
+                       || '.docs.example.com/d/' || dd AS dst_url
+              FROM (SELECT doc_id,
+                           (doc_id * {_LINK_MULT} + o) % {_LINK_MOD} AS dd
+                    FROM documents,
+                         (SELECT unnest([{', '.join(map(str, _LINK_OFFSETS))}])
+                          AS o))"""
+
+
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Pages with embedded outlink anchors (f08/f09 input).
+
+    Same host/url shape as ``_doc_pages`` plus three absolute anchors
+    per page to ``(doc_id * MULT + offset) % MOD`` targets across
+    ``_LINK_HOSTS`` hosts, one relative anchor, and one single-quoted
+    anchor variant — the link extractor must parse all three quoting
+    shapes and keep only the absolute http(s) targets.
+    """
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".docs.example.com"),
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+
+    def _anchor(offset, quote):
+        dd = (F.col("doc_id") * _LINK_MULT + offset) % _LINK_MOD
+        return F.concat(
+            F.lit(f"<a href={quote}http://h"),
+            (dd % _LINK_HOSTS).cast("string"),
+            F.lit(".docs.example.com/d/"), dd.cast("string"),
+            F.lit(f"{quote}>next</a>"),
+        )
+
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"), F.col("text"),
+            F.lit("</p>"),
+            _anchor(_LINK_OFFSETS[0], '"'),
+            _anchor(_LINK_OFFSETS[1], "'"),
+            _anchor(_LINK_OFFSETS[2], '"'),
+            F.lit('<a href="/rel/'), F.col("doc_id").cast("string"),
+            F.lit('">rel</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def _q_link_graph(spark, sf_dir):
+    # f08: outlink extraction (JVM regexp over decoded html, no
+    # Python) -> per-host in-degree — the raw authority signal the
+    # frontier prioritizer consumes
+    from hepcrawl_spark.frontier import linkgraph
+
+    links = linkgraph.extract_outlinks(
+        _link_pages(_t(spark, sf_dir, "documents"))
+    )
+    return (
+        links.groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("inlinks"),
+            F.countDistinct("src_host").alias("src_host_cnt"),
+            F.countDistinct("dst_url").alias("dst_url_cnt"),
+        )
+        .orderBy("dst_host")
+    )
+
+
+def _q_host_rank(spark, sf_dir):
+    # f09: fixed-iteration damped PageRank over the integer-weighted
+    # host graph — crawl-priority authority score per host
+    from hepcrawl_spark.frontier import linkgraph
+
+    edges = linkgraph.host_graph(linkgraph.extract_outlinks(
+        _link_pages(_t(spark, sf_dir, "documents"))
+    ))
+    ranks = linkgraph.pagerank_hosts(
+        edges, damping=_PR_DAMPING, iterations=_PR_ITERATIONS
+    )
+    return (
+        ranks.select("host", F.round("rank", 9).alias("rank"))
+        .orderBy("host")
+    )
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of pagerank_hosts — the SAME iteration
+    count and fold expression as the Spark loop, generated from the
+    same constants."""
+    d = _PR_DAMPING
+    ctes = [
+        f"l AS ({_LINK_SQL})",
+        """edges AS (
+              SELECT src_host, dst_host, count(*)::BIGINT AS weight
+              FROM l GROUP BY src_host, dst_host)""",
+        """hosts AS (
+              SELECT src_host AS host FROM edges
+              UNION
+              SELECT dst_host FROM edges)""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM hosts)",
+        """outw AS (
+              SELECT src_host, sum(weight)::DOUBLE AS wout
+              FROM edges GROUP BY src_host)""",
+        "r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM hosts)",
+    ]
+    for k in range(_PR_ITERATIONS):
+        ctes.append(f"""dang{k} AS (
+              SELECT coalesce(sum(rank), 0.0) AS dm FROM r{k}
+              WHERE host NOT IN (SELECT src_host FROM outw))""")
+        ctes.append(f"""c{k} AS (
+              SELECT e.dst_host,
+                     sum(r.rank * e.weight / o.wout) AS contrib
+              FROM edges e
+              JOIN r{k} r ON r.host = e.src_host
+              JOIN outw o ON o.src_host = e.src_host
+              GROUP BY e.dst_host)""")
+        ctes.append(f"""r{k + 1} AS (
+              SELECT h.host,
+                     (1 - {d}) / (SELECT n FROM nn)
+                     + {d} * (coalesce(c.contrib, 0.0)
+                              + (SELECT dm FROM dang{k})
+                                / (SELECT n FROM nn)) AS rank
+              FROM hosts h LEFT JOIN c{k} c ON c.dst_host = h.host)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+            SELECT host, round(rank, 9) AS rank
+            FROM r{_PR_ITERATIONS} ORDER BY host"""
+    )
 
 
 # t15/t17/p07 shared mixing tables — defined once and rendered into
@@ -2225,4 +2380,18 @@ def oracle_sql() -> dict[str, str]:
                 badwords=_BADWORDS_SQL
             )
         ),
+        # f08: the oracle derives the link table closed-form from
+        # doc_id; the Spark side must PARSE the same links out of the
+        # synthesized html bytes
+        "f08_link_graph": f"""
+            WITH l AS ({_LINK_SQL})
+            SELECT dst_host,
+                   count(*)::BIGINT AS inlinks,
+                   count(DISTINCT src_host)::BIGINT AS src_host_cnt,
+                   count(DISTINCT dst_url)::BIGINT AS dst_url_cnt
+            FROM l
+            GROUP BY dst_host
+            ORDER BY dst_host
+        """,
+        "f09_host_rank": _pr_oracle_sql(),
     }
