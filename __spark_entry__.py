@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p09_clean_badwords": _q_clean_badwords,
         "f08_link_graph": _q_link_graph,
         "f09_host_rank": _q_host_rank,
+        "f10_sitemap_scan": _q_sitemap_scan,
     }
 
 
@@ -1419,6 +1420,75 @@ def _q_host_rank(spark, sf_dir):
     return (
         ranks.select("host", F.round("rank", 9).alias("rank"))
         .orderBy("host")
+    )
+
+
+def _q_sitemap_scan(spark, sf_dir):
+    # f10: two-hop sitemap source — a <sitemapindex> page fans out to
+    # per-host <urlset> sitemaps, whose entries (incl. OPTIONAL
+    # lastmod/priority children) become frontier candidates; the
+    # Spark side must round-trip the synthesized XML through the
+    # itertag split + per-entry xpath projection
+    from hepcrawl_spark.sources import sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".docs.example.com"))
+    entry = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit("/d/"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("<priority>0."),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        docs.select(host.alias("url_host"),
+                    F.struct(F.col("doc_id"), entry.alias("e")).alias("se"))
+        .groupBy("url_host")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("se")),
+                        lambda x: x["e"]), "").alias("body"))
+        .select(
+            F.concat(F.lit("http://"), F.col("url_host"),
+                     F.lit("/sitemap.xml")).alias("url"),
+            F.encode(F.concat(
+                F.lit('<?xml version="1.0"?><urlset '
+                      'xmlns="http://www.sitemaps.org/schemas'
+                      '/sitemap/0.9">'),
+                F.col("body"), F.lit("</urlset>")), "UTF-8").alias("xml"),
+        )
+    )
+    index_xml = (
+        sitemaps.select(F.struct("url").alias("s"))
+        .groupBy()
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")),
+                        lambda x: F.concat(F.lit("<sitemap><loc>"),
+                                           x["url"],
+                                           F.lit("</loc></sitemap>"))),
+            "").alias("body"))
+        .select(
+            F.lit("http://docs.example.com/sitemap_index.xml").alias("url"),
+            F.encode(F.concat(
+                F.lit('<sitemapindex xmlns="http://www.sitemaps.org'
+                      '/schemas/sitemap/0.9">'),
+                F.col("body"), F.lit("</sitemapindex>")), "UTF-8")
+            .alias("xml"),
+        )
+    )
+    targets = sitemap.sitemap_index_targets(index_xml) \
+        .select(F.col("sitemap_url").alias("url"))
+    listed = sitemaps.join(F.broadcast(targets), "url", "semi")
+    return (
+        sitemap.sitemap_entries(listed)
+        .select("sitemap_url", "url", "url_host", "lastmod", "sm_priority")
+        .orderBy("url")
     )
 
 
@@ -2394,4 +2464,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_host
         """,
         "f09_host_rank": _pr_oracle_sql(),
+        # f10: the oracle states the closed form of what the Spark
+        # side must round-trip through synthesized sitemap XML (incl.
+        # NULL lastmod/priority for the entries that omit the child)
+        "f10_sitemap_scan": """
+            SELECT 'http://h' || (doc_id % 7)
+                     || '.docs.example.com/sitemap.xml' AS sitemap_url,
+                   'http://h' || (doc_id % 7)
+                     || '.docs.example.com/d/' || doc_id AS url,
+                   'h' || (doc_id % 7) || '.docs.example.com' AS url_host,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE '2024-01-'
+                             || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ((doc_id % 9) + 1) / 10.0
+                        ELSE NULL END AS sm_priority
+            FROM documents
+            ORDER BY url
+        """,
     }

@@ -1,0 +1,92 @@
+"""Sitemap scan: urlset / sitemapindex XML -> frontier candidates.
+
+The reference discovers work through per-source listing scans (OAI
+feeds, Atom feeds, FTP listings — hepcrawl/spiders/arxiv_spider.py
+XMLFeedSpider ``itertag``, elsevier_spider.py atom feed); the
+standard discovery channel for generic web hosts is the sitemap
+protocol (sitemaps.org).  This module is the sitemap counterpart of
+those scans, built the same way the engine's extractors split feeds:
+per-entry itertag split first (so optional child elements like
+``lastmod`` can never mis-align across entries), then per-entry
+XPath projection — all JVM-side (``regexp_extract_all`` for the
+split, ``xpath_string``/``xpath_double`` for the projection; no
+Python in the plan).
+
+Two hops, like the reference's feed->package expansion:
+``sitemap_index_targets`` turns a ``<sitemapindex>`` page into child
+sitemap URLs to enqueue; ``sitemap_entries`` turns a ``<urlset>``
+page into frontier candidates (url, lastmod, priority).
+
+100 TB design: sitemaps arrive as ordinary rows of the pages table,
+so both functions are narrow codegen maps over the scan — the
+explode fans out to entry cardinality with no shuffle; candidates
+flow into the same url_filter / URL-seen / politeness gates as any
+discovered link.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# default-namespace declarations make javax XPath name tests miss;
+# the sitemap schema pins one xmlns on the root, so strip it before
+# splitting (same move as the extractors' strip_namespaces, R2).
+_XMLNS_RE = r'\s+xmlns="[^"]*"'
+
+
+def _clean(xml_col: str):
+    return F.regexp_replace(F.decode(F.col(xml_col), "UTF-8"),
+                            _XMLNS_RE, "")
+
+
+def sitemap_index_targets(
+    pages: DataFrame, url_col: str = "url", xml_col: str = "xml",
+) -> DataFrame:
+    """``<sitemapindex>`` pages -> (index_url, sitemap_url) child rows."""
+    frags = F.regexp_extract_all(
+        _clean(xml_col), F.lit(r"(?s)(<sitemap>.*?</sitemap>)"), F.lit(1)
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("index_url"),
+            F.explode(frags).alias("frag"),
+        )
+        .select(
+            "index_url",
+            F.xpath_string("frag", F.lit("sitemap/loc")).alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url").rlike(r"^https?://"))
+    )
+
+
+def sitemap_entries(
+    pages: DataFrame, url_col: str = "url", xml_col: str = "xml",
+) -> DataFrame:
+    """``<urlset>`` pages -> one candidate row per ``<url>`` entry.
+
+    Columns: sitemap_url, url, url_host, lastmod (string or null),
+    sm_priority (double or null).  Entries without an absolute
+    http(s) ``<loc>`` are dropped.
+    """
+    frags = F.regexp_extract_all(
+        _clean(xml_col), F.lit(r"(?s)(<url>.*?</url>)"), F.lit(1)
+    )
+    loc = F.xpath_string("frag", F.lit("url/loc"))
+    lastmod = F.nullif(F.xpath_string("frag", F.lit("url/lastmod")),
+                       F.lit(""))
+    prio = F.xpath_string("frag", F.lit("url/priority"))
+    return (
+        pages.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(frags).alias("frag"),
+        )
+        .select(
+            "sitemap_url",
+            loc.alias("url"),
+            lastmod.alias("lastmod"),
+            F.nullif(prio, F.lit("")).cast("double").alias("sm_priority"),
+        )
+        .where(F.col("url").rlike(r"^https?://"))
+        .withColumn("url_host", F.parse_url(F.col("url"), F.lit("HOST")))
+    )

@@ -1,0 +1,64 @@
+"""Sitemap source (f10): itertag split + per-entry xpath projection."""
+
+from hepcrawl_spark.sources import sitemap
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://a.example.com/p/1</loc>
+    <lastmod>2024-01-05</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://a.example.com/p/2</loc></url>
+  <url><loc>/relative</loc><lastmod>2024-01-06</lastmod></url>
+  <url><loc>ftp://a.example.com/f</loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.example.com/s1.xml</loc></sitemap>
+  <sitemap><loc>http://a.example.com/s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _pages(spark, url, xml):
+    return spark.createDataFrame([(url, bytearray(xml.encode()))],
+                                 "url string, xml binary")
+
+
+def test_entries_optional_children_stay_aligned(spark):
+    rows = sitemap.sitemap_entries(
+        _pages(spark, "http://a.example.com/s1.xml", URLSET)
+    ).orderBy("url").collect()
+    # relative + ftp locs dropped; lastmod/priority NULL where omitted
+    assert [(r.url, r.lastmod, r.sm_priority, r.url_host) for r in rows] == [
+        ("http://a.example.com/p/1", "2024-01-05", 0.8, "a.example.com"),
+        ("http://a.example.com/p/2", None, None, "a.example.com"),
+    ]
+    assert all(r.sitemap_url == "http://a.example.com/s1.xml" for r in rows)
+
+
+def test_index_targets(spark):
+    rows = sitemap.sitemap_index_targets(
+        _pages(spark, "http://a.example.com/sitemap.xml", INDEX)
+    ).orderBy("sitemap_url").collect()
+    assert [r.sitemap_url for r in rows] == [
+        "http://a.example.com/s1.xml", "http://a.example.com/s2.xml"]
+    assert all(r.index_url == "http://a.example.com/sitemap.xml"
+               for r in rows)
+
+
+def test_plans_are_jvm_only(spark):
+    for df in (
+        sitemap.sitemap_entries(
+            _pages(spark, "http://a.example.com/s1.xml", URLSET)),
+        sitemap.sitemap_index_targets(
+            _pages(spark, "http://a.example.com/sitemap.xml", INDEX)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+
+def test_f10_registered():
+    import __spark_entry__ as em
+    assert "f10_sitemap_scan" in em.queries()
+    assert "f10_sitemap_scan" in em.oracle_sql()
