@@ -161,3 +161,24 @@ def pagerank_hosts(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def rank_priorities(ranks: DataFrame, levels: int = 100) -> DataFrame:
+    """Quantize PageRank scores to the integer host-priority dimension
+    ``schedule(host_priorities=...)`` consumes.
+
+    (host, rank) -> (url_host, host_priority) with
+    ``host_priority = floor(rank / max(rank) * levels)`` — the top
+    host gets ``levels``, hosts scale linearly below it.  Integer so
+    the scheduler's sort keys stay exact; the max rides a broadcast
+    1-row aggregate.
+    """
+    mx = ranks.agg(F.max("rank").alias("_mx"))
+    return (
+        ranks.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("host").alias("url_host"),
+            F.floor(F.col("rank") / F.col("_mx") * levels)
+            .cast("long").alias("host_priority"),
+        )
+    )

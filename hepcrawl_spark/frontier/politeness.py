@@ -96,6 +96,7 @@ def schedule(
     round_start: float = 0.0,
     horizon: Optional[float] = None,
     seq_bounds: Optional[Tuple[int, int]] = None,
+    host_priorities: Optional[DataFrame] = None,
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     """(scheduled, deferred, new_host_offsets).
 
@@ -104,8 +105,34 @@ def schedule(
     re-enter the next round's queue unchanged.  ``politeness`` and
     ``host_offsets`` are host-keyed dimension tables — broadcast joins,
     never a wide shuffle.  ``seq_bounds`` see ``per_host_rank``.
+
+    ``host_priorities`` (url_host, host_priority) is the optional
+    host-authority signal (e.g. ``linkgraph.rank_priorities`` over the
+    crawl's own outlink graph): scheduled rows carry
+    ``eff_priority = priority + host_priority`` and the global fetch
+    order keys on it, so authority promotes WHOLE hosts across the
+    schedule without touching within-host order (the boost is uniform
+    per host) or the stored ``priority`` — deferred rows and expanded
+    children keep the base priority, so the boost is re-derived each
+    round and can never compound across rounds or depths.  Without the
+    dimension ``eff_priority == priority`` (the reference-parity
+    default: every reference request is priority 0).
     """
     df = per_host_rank(admitted, seq_bounds=seq_bounds)
+
+    if host_priorities is not None:
+        df = df.join(
+            F.broadcast(host_priorities.select(
+                "url_host",
+                F.col("host_priority").cast("long").alias("_hboost"),
+            )),
+            on="url_host", how="left",
+        ).withColumn(
+            "eff_priority",
+            F.col("priority") + F.coalesce(F.col("_hboost"), F.lit(0)),
+        ).drop("_hboost")
+    else:
+        df = df.withColumn("eff_priority", F.col("priority"))
 
     if politeness is not None:
         df = df.join(
@@ -150,12 +177,14 @@ def schedule(
         deadline = float(round_start) + float(horizon)
         scheduled = df.filter(F.col("fetch_ts") < deadline)
         deferred = df.filter(F.col("fetch_ts") >= deadline).drop(
-            "host_rank", "fetch_ts", "_delay", "_conc", "_off", "_base"
+            "host_rank", "fetch_ts", "eff_priority",
+            "_delay", "_conc", "_off", "_base"
         )
     else:
         scheduled = df
         deferred = df.limit(0).drop(
-            "host_rank", "fetch_ts", "_delay", "_conc", "_off", "_base"
+            "host_rank", "fetch_ts", "eff_priority",
+            "_delay", "_conc", "_off", "_base"
         )
 
     new_offsets = (
@@ -178,8 +207,11 @@ def schedule(
 def with_global_order(scheduled: DataFrame) -> DataFrame:
     """Materialize the global fetch ordinal (parity tests / small rounds;
     a total order is inherently single-reducer, so production rounds sort
-    within partitions by the same keys instead)."""
+    within partitions by the same keys instead).  Keys on the effective
+    (authority-boosted) priority when the schedule carries one."""
+    prio = ("eff_priority" if "eff_priority" in scheduled.columns
+            else "priority")
     w = Window.orderBy(
-        F.col("fetch_ts").asc(), F.col("priority").desc(), F.col("seq").desc()
+        F.col("fetch_ts").asc(), F.col(prio).desc(), F.col("seq").desc()
     )
     return scheduled.withColumn("fetch_order", F.row_number().over(w))

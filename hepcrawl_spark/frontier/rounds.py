@@ -159,9 +159,15 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
     position within the page — the serial-contract equivalent of Scrapy
     enqueueing requests as each response is parsed.
     """
+    # parent ORDER keys on the effective (authority-boosted) priority
+    # when the schedule carries one; the INHERITED priority is always
+    # the base, so a host boost never compounds across depths
+    _ord_prio = ("eff_priority" if "eff_priority" in scheduled.columns
+                 else "priority")
     parents = scheduled.select(
         F.col("url").alias("parent_url"),
         F.col("fetch_ts").alias("_pts"),
+        F.col(_ord_prio).alias("_pord"),
         F.col("priority").alias("_pprio"),
         F.col("seq").alias("_pseq"),
         F.col("depth").alias("_pdepth"),
@@ -198,12 +204,12 @@ def _expand_children(records: DataFrame, scheduled: DataFrame,
     # COUNT table is cumulated — never the children payload — and the
     # cumulation itself is two-phase (range buckets), so no single
     # task ever sees the whole table.
-    _pkeys = ["parent_url", "_pts", "_pprio", "_pseq"]
+    _pkeys = ["parent_url", "_pts", "_pord", "_pprio", "_pseq"]
     _gkeys = _pkeys + ["_pos"]
-    # global child order = parent fetch order (fetch_ts ASC, priority
-    # DESC, seq DESC), then record position
+    # global child order = parent fetch order (fetch_ts ASC, effective
+    # priority DESC, seq DESC), then record position
     _order = [
-        F.col("_pts").asc(), F.col("_pprio").desc(),
+        F.col("_pts").asc(), F.col("_pord").desc(),
         F.col("_pseq").desc(), F.col("_pos").asc(),
     ]
     counts = kids.groupBy(*_gkeys).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -307,8 +313,14 @@ def run_crawl(
     checkpoint_path: Optional[str] = None,
     config: CrawlConfig = CrawlConfig(),
     store: Optional["RoundStore"] = None,
+    host_priorities: Optional[DataFrame] = None,
 ) -> Dict:
     """Run the crawl to completion (or max_rounds); returns a summary.
+
+    ``host_priorities`` (url_host, host_priority) is the optional
+    host-authority dimension (e.g. ``linkgraph.rank_priorities`` over a
+    previous crawl's outlink graph), applied per round inside
+    ``schedule`` — see its docstring for the no-compounding contract.
 
     ``pages`` is the Common-Crawl-style corpus (the sandbox "fetch" is a
     url equi-join — at cluster scale both sides are bucketed by
@@ -407,6 +419,7 @@ def run_crawl(
             admitted, politeness, offsets, round_start=0.0,
             horizon=config.horizon,
             seq_bounds=(int(qstats.lo), int(qstats.hi)),
+            host_priorities=host_priorities,
         )
         if config.collect_fetch_plans:
             # pre-persist: the full scheduling lineage (rank windows,

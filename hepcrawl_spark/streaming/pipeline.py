@@ -240,7 +240,8 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
                        available_now: bool = True,
                        blocked_domains: tuple = (),
                        blocked_extensions: tuple = (),
-                       allowed_schemes: tuple = ("http", "https")):
+                       allowed_schemes: tuple = ("http", "https"),
+                       host_priorities: Optional[DataFrame] = None):
     """The FULL streaming crawl engine — every stage of the batch
     round body (``frontier.rounds.run_crawl``) composed into one
     continuous query, closing the frontier loop through the watched
@@ -328,8 +329,11 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
         prior = sorted(glob.glob(os.path.join(offsets_path, "epoch-*")))
         prior = [p for p in prior if int(p.rsplit("-", 1)[1]) < epoch]
         offsets = spark.read.parquet(prior[-1]) if prior else None
+        # host-authority boost: like the blocklist, a per-row verdict
+        # against a static dimension — identical in any micro-batch
         scheduled, _deferred, new_offsets = schedule(
             allowed, pol, offsets, round_start=0.0, horizon=None,
+            host_priorities=host_priorities,
         )
         scheduled = scheduled.persist()
         (
