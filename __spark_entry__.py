@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f08_link_graph": _q_link_graph,
         "f09_host_rank": _q_host_rank,
         "f10_sitemap_scan": _q_sitemap_scan,
+        "f11_robots_parse": _q_robots_parse,
     }
 
 
@@ -1490,6 +1491,45 @@ def _q_sitemap_scan(spark, sf_dir):
         .select("sitemap_url", "url", "url_host", "lastmod", "sm_priority")
         .orderBy("url")
     )
+
+
+def _q_robots_parse(spark, sf_dir):
+    # f11: raw robots.txt bodies -> the rules dimension the robots
+    # gate joins (+ Sitemap discovery).  The synthesized bodies
+    # exercise group precedence (specific agent beats *), an ignored
+    # foreign-agent group, merged Disallow lines, Crawl-delay, and the
+    # group-scope-free Sitemap field; the oracle states the closed
+    # form of what the parser must recover
+    from hepcrawl_spark.frontier import robotstxt
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select((F.col("user_id") % 20).alias("hid")).distinct()
+    hid = F.col("hid")
+    hs = hid.cast("string")
+    body = F.concat(
+        F.lit("# synthetic robots\n"),
+        F.when(hid % 4 == 0,
+               F.lit("User-agent: otherbot\nDisallow: /\n"))
+        .otherwise(F.lit("")),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private/"), hs, F.lit("\n"),
+        F.when(hid % 3 == 0, F.lit("Disallow: /tmp/\n"))
+        .otherwise(F.lit("")),
+        F.when(hid % 2 == 0, F.concat(
+            F.lit("Crawl-delay: "), (hid % 7 + 1).cast("string"),
+            F.lit("\n"))).otherwise(F.lit("")),
+        F.when(hid % 5 == 0, F.concat(
+            F.lit("User-agent: sparkbot\nDisallow: /only/"), hs,
+            F.lit("\nCrawl-delay: 9\n"))).otherwise(F.lit("")),
+        F.lit("Sitemap: http://h"), hs,
+        F.lit(".example.com/sitemap.xml\n"),
+    )
+    bodies = hosts.select(
+        F.concat(F.lit("h"), hs, F.lit(".example.com")).alias("url_host"),
+        body.alias("body"),
+    )
+    return robotstxt.robots_table(bodies, agent="sparkbot") \
+        .orderBy("url_host")
 
 
 def _pr_oracle_sql() -> str:
@@ -2464,6 +2504,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_host
         """,
         "f09_host_rank": _pr_oracle_sql(),
+        # f11: closed form of the robots.txt round-trip — the
+        # specific-agent group (hid%5) beats *, the otherbot group is
+        # always ignored, Disallow lines within the chosen groups
+        # merge sorted, Crawl-delay only where declared
+        "f11_robots_parse": """
+            WITH h AS (SELECT DISTINCT (user_id % 20) AS hid FROM events)
+            SELECT 'h' || hid || '.example.com' AS url_host,
+                   CASE WHEN hid % 5 = 0 THEN ['/only/' || hid]
+                        WHEN hid % 3 = 0
+                          THEN ['/private/' || hid, '/tmp/']
+                        ELSE ['/private/' || hid]
+                   END AS disallow_prefixes,
+                   CASE WHEN hid % 5 = 0 THEN 9.0
+                        WHEN hid % 2 = 0 THEN (1 + hid % 7)::DOUBLE
+                        ELSE NULL END AS crawl_delay,
+                   ['http://h' || hid || '.example.com/sitemap.xml']
+                     AS sitemaps
+            FROM h ORDER BY url_host
+        """,
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.
         # NULL lastmod/priority for the entries that omit the child)

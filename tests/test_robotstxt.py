@@ -1,0 +1,95 @@
+"""robots.txt parser (f11): grammar unit tests + Spark table +
+composition into the existing robots gate."""
+
+from hepcrawl_spark.frontier import robotstxt
+from hepcrawl_spark.frontier.robotstxt import parse_robots
+
+
+def test_star_group_with_comments_and_blanks():
+    got = parse_robots(
+        "# hi\n\nUser-agent: *\nDisallow: /a  # trailing\nDisallow: /b\n",
+        agent="me")
+    assert got == {"disallow": ["/a", "/b"], "crawl_delay": None,
+                   "sitemaps": []}
+
+
+def test_specific_agent_beats_star():
+    body = ("User-agent: *\nDisallow: /all\nCrawl-delay: 3\n"
+            "User-agent: MyBot\nDisallow: /mine\n")
+    assert parse_robots(body, "mybot")["disallow"] == ["/mine"]
+    assert parse_robots(body, "mybot")["crawl_delay"] is None
+    assert parse_robots(body, "other")["disallow"] == ["/all"]
+    assert parse_robots(body, "other")["crawl_delay"] == 3.0
+
+
+def test_same_agent_groups_merge_and_delay_is_max():
+    body = ("User-agent: bot\nDisallow: /x\nCrawl-delay: 2\n"
+            "User-agent: other\nDisallow: /o\n"
+            "User-agent: bot\nDisallow: /y\nCrawl-delay: 7\n")
+    got = parse_robots(body, "bot")
+    assert got["disallow"] == ["/x", "/y"]
+    assert got["crawl_delay"] == 7.0
+
+
+def test_consecutive_ua_lines_share_one_group():
+    body = "User-agent: a\nUser-agent: b\nDisallow: /shared\n"
+    assert parse_robots(body, "a")["disallow"] == ["/shared"]
+    assert parse_robots(body, "b")["disallow"] == ["/shared"]
+    assert parse_robots(body, "c")["disallow"] == []
+
+
+def test_edge_cases_ignored():
+    body = ("Disallow: /before-any-group\n"        # rule before UA
+            "User-agent: *\n"
+            "Disallow:\n"                          # empty = no rule
+            "Allow: /hole\n"                       # not enforced
+            "Crawl-delay: fast\n"                  # unparseable
+            "Sitemap: http://a.com/s.xml\n"
+            "Sitemap: http://a.com/s2.xml\n")
+    got = parse_robots(body, "x")
+    assert got == {"disallow": [], "crawl_delay": None,
+                   "sitemaps": ["http://a.com/s.xml",
+                                "http://a.com/s2.xml"]}
+
+
+def test_robots_table_and_gate_composition(spark):
+    from hepcrawl_spark.frontier.robots import robots_filter
+
+    bodies = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n"
+                   "Crawl-delay: 4\nSitemap: http://a.com/sm.xml\n"),
+         ("b.com", "User-agent: *\nDisallow:\n")],
+        "url_host string, body string")
+    rules = robotstxt.robots_table(bodies, agent="anybot")
+    got = {r.url_host: r for r in rules.collect()}
+    assert list(got["a.com"].disallow_prefixes) == ["/private/"]
+    assert got["a.com"].crawl_delay == 4.0
+    assert list(got["a.com"].sitemaps) == ["http://a.com/sm.xml"]
+    assert list(got["b.com"].disallow_prefixes) == []
+
+    cands = spark.createDataFrame(
+        [("http://a.com/private/x", "http://a.com/private/x", "a.com"),
+         ("http://a.com/ok", "http://a.com/ok", "a.com"),
+         ("http://b.com/anything", "http://b.com/anything", "b.com")],
+        "url string, canon_url string, url_host string")
+    allowed, blocked = robots_filter(cands, rules)
+    assert {r.url for r in blocked.collect()} == {"http://a.com/private/x"}
+    assert allowed.count() == 2
+
+    sm = robotstxt.discovered_sitemaps(rules).collect()
+    assert [(r.url_host, r.sitemap_url) for r in sm] == \
+        [("a.com", "http://a.com/sm.xml")]
+
+
+def test_binary_bodies_accepted(spark):
+    bodies = spark.createDataFrame(
+        [("a.com", bytearray(b"User-agent: *\nDisallow: /x\n"))],
+        "url_host string, body binary")
+    rows = robotstxt.robots_table(bodies).collect()
+    assert list(rows[0].disallow_prefixes) == ["/x"]
+
+
+def test_f11_registered():
+    import __spark_entry__ as em
+    assert "f11_robots_parse" in em.queries()
+    assert "f11_robots_parse" in em.oracle_sql()
