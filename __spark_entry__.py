@@ -564,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f09_host_rank": _q_host_rank,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
+        "f12_snapshot_churn": _q_snapshot_churn,
+        "f13_recrawl": _q_recrawl,
     }
 
 
@@ -1530,6 +1532,79 @@ def _q_robots_parse(spark, sf_dir):
     )
     return robotstxt.robots_table(bodies, agent="sparkbot") \
         .orderBy("url_host")
+
+
+# f12/f13 snapshot synthesis + as-of constants, shared by the Spark
+# wrappers and both oracles (the history CTE is rendered once)
+_SNAP_URL = "'http://h' || ((event_id % 997) % 20) " \
+            "|| '.example.com/p/' || (event_id % 997)"
+_RECRAWL_AS_OF_US = 1_709_251_200_000_000   # 2024-03-01T00:00:00Z
+_RECRAWL_MIN_AGE_SEC = 604_800              # 7 days
+_RECRAWL_LEVELS = 100
+
+_SNAP_HIST_SQL = f"""
+            p AS (
+              SELECT {_SNAP_URL} AS url, ts,
+                     '<html>' || event_type || '</html>' AS content
+              FROM events
+            ), s AS (
+              SELECT url, epoch_us(ts) AS ts_us, content,
+                     lag(content) OVER (PARTITION BY url ORDER BY ts)
+                       AS prev,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC) AS rn_desc
+              FROM p
+            ), hist AS (
+              SELECT url,
+                     count(*)::BIGINT AS versions,
+                     sum(CASE WHEN prev IS NOT NULL AND prev <> content
+                              THEN 1 ELSE 0 END)::BIGINT AS changes,
+                     min(ts_us) AS first_ts_us,
+                     max(ts_us) AS last_ts_us,
+                     (max(CASE WHEN rn_desc = 1 THEN
+                            CASE WHEN prev IS NOT NULL
+                                 AND prev <> content
+                                 THEN 1 ELSE 0 END END) = 1)
+                       AS last_changed
+              FROM s GROUP BY url
+            )"""
+
+
+def _snapshot_pages(spark, sf_dir):
+    """Common-Crawl-style multi-snapshot pages from events: one URL
+    per event_id%997, one snapshot per event, content = event_type
+    (so adjacent snapshots sometimes repeat — real churn shape)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("event_id") % 997
+    return ev.select(
+        F.concat(F.lit("http://h"), (uid % 20).cast("string"),
+                 F.lit(".example.com/p/"), uid.cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>"), F.col("event_type"),
+                          F.lit("</html>")), "UTF-8").alias("html"),
+    )
+
+
+def _q_snapshot_churn(spark, sf_dir):
+    # f12: per-URL snapshot/churn stats over a multi-snapshot pages
+    # table — change detection via xxhash64 digests so only
+    # (url, ts, digest) ever shuffles, never the html bodies
+    from hepcrawl_spark.frontier import recrawl
+
+    return recrawl.snapshot_history(
+        _snapshot_pages(spark, sf_dir)
+    ).orderBy("url")
+
+
+def _q_recrawl(spark, sf_dir):
+    # f13: freshness priorities — stale URLs re-enqueued with integer
+    # staleness x churn priority for schedule()'s sort keys
+    from hepcrawl_spark.frontier import recrawl
+
+    hist = recrawl.snapshot_history(_snapshot_pages(spark, sf_dir))
+    return recrawl.recrawl_candidates(
+        hist, _RECRAWL_AS_OF_US, _RECRAWL_MIN_AGE_SEC, _RECRAWL_LEVELS,
+    ).orderBy("url")
 
 
 def _pr_oracle_sql() -> str:
@@ -2522,6 +2597,26 @@ def oracle_sql() -> dict[str, str]:
                    ['http://h' || hid || '.example.com/sitemap.xml']
                      AS sitemaps
             FROM h ORDER BY url_host
+        """,
+        "f12_snapshot_churn": f"""
+            WITH {_SNAP_HIST_SQL}
+            SELECT url, versions, changes, first_ts_us, last_ts_us,
+                   last_changed
+            FROM hist ORDER BY url
+        """,
+        "f13_recrawl": f"""
+            WITH {_SNAP_HIST_SQL}
+            SELECT url,
+                   least({_RECRAWL_LEVELS},
+                         b * (1 + changes))::BIGINT AS recrawl_priority,
+                   ({_RECRAWL_AS_OF_US} - last_ts_us) AS age_us,
+                   versions, changes
+            FROM (SELECT *,
+                         (({_RECRAWL_AS_OF_US} - last_ts_us)
+                          // {_RECRAWL_MIN_AGE_SEC * 1_000_000}) AS b
+                  FROM hist)
+            WHERE b >= 1
+            ORDER BY url
         """,
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.
