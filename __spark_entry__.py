@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_robots_parse": _q_robots_parse,
         "f12_snapshot_churn": _q_snapshot_churn,
         "f13_recrawl": _q_recrawl,
+        "f14_discovery_schedule": _q_discovery_schedule,
     }
 
 
@@ -1495,15 +1496,11 @@ def _q_sitemap_scan(spark, sf_dir):
     )
 
 
-def _q_robots_parse(spark, sf_dir):
-    # f11: raw robots.txt bodies -> the rules dimension the robots
-    # gate joins (+ Sitemap discovery).  The synthesized bodies
-    # exercise group precedence (specific agent beats *), an ignored
-    # foreign-agent group, merged Disallow lines, Crawl-delay, and the
-    # group-scope-free Sitemap field; the oracle states the closed
-    # form of what the parser must recover
-    from hepcrawl_spark.frontier import robotstxt
-
+def _robots_bodies(spark, sf_dir):
+    """Synthesized robots.txt bodies for the 20 event hosts —
+    exercises group precedence (specific agent beats *), an ignored
+    foreign-agent group, merged Disallow lines, Crawl-delay, and the
+    group-scope-free Sitemap field.  Shared by f11 and f14."""
     ev = _t(spark, sf_dir, "events")
     hosts = ev.select((F.col("user_id") % 20).alias("hid")).distinct()
     hid = F.col("hid")
@@ -1526,12 +1523,97 @@ def _q_robots_parse(spark, sf_dir):
         F.lit("Sitemap: http://h"), hs,
         F.lit(".example.com/sitemap.xml\n"),
     )
-    bodies = hosts.select(
+    return hosts.select(
         F.concat(F.lit("h"), hs, F.lit(".example.com")).alias("url_host"),
         body.alias("body"),
     )
-    return robotstxt.robots_table(bodies, agent="sparkbot") \
-        .orderBy("url_host")
+
+
+def _q_robots_parse(spark, sf_dir):
+    # f11: raw robots.txt bodies -> the rules dimension the robots
+    # gate joins (+ Sitemap discovery); the oracle states the closed
+    # form of what the parser must recover
+    from hepcrawl_spark.frontier import robotstxt
+
+    return robotstxt.robots_table(
+        _robots_bodies(spark, sf_dir), agent="sparkbot"
+    ).orderBy("url_host")
+
+
+def _q_discovery_schedule(spark, sf_dir):
+    # f14: the full discovery loop composed end-to-end — robots.txt
+    # parse -> Sitemap discovery -> urlset XML round-trip -> robots
+    # gate (prefix rules from the PARSED bodies) -> politeness merge
+    # (robots Crawl-delay overrides the budget) -> schedule.  Half the
+    # candidate paths are /private/... so the parsed * groups actually
+    # bite, except on the hid%5 hosts whose sparkbot group replaces
+    # them — the oracle mirrors the whole cascade closed-form
+    from hepcrawl_spark.frontier import robotstxt
+    from hepcrawl_spark.frontier.robots import effective_politeness
+    from hepcrawl_spark.sources import sitemap as sm
+
+    rules = robotstxt.robots_table(
+        _robots_bodies(spark, sf_dir), agent="sparkbot").persist()
+    targets = robotstxt.discovered_sitemaps(rules)
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("/private/"), (F.col("event_id") % 97).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/p/"), (F.col("event_id") % 97).cast("string"))
+    )
+    cand_base = (
+        ev.select(host.alias("url_host"),
+                  F.concat(F.lit("http://"), host, path).alias("url"),
+                  F.col("event_id"))
+        .groupBy("url_host", "url")
+        .agg(F.min("event_id").alias("seq"))
+    )
+    # per-host urlset XML from the candidate set, kept only where the
+    # parsed robots actually declared the sitemap (semi join on the
+    # discovered targets), then parsed back through sitemap_entries
+    sitemaps_xml = (
+        cand_base.select(
+            "url_host",
+            F.struct("url", F.concat(F.lit("<url><loc>"), F.col("url"),
+                                     F.lit("</loc></url>")).alias("e"))
+            .alias("se"))
+        .groupBy("url_host")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("se")),
+                        lambda x: x["e"]), "").alias("body"))
+        .select(
+            F.concat(F.lit("http://"), F.col("url_host"),
+                     F.lit("/sitemap.xml")).alias("url"),
+            F.encode(F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org'
+                      '/schemas/sitemap/0.9">'),
+                F.col("body"), F.lit("</urlset>")), "UTF-8").alias("xml"),
+        )
+    )
+    listed = sitemaps_xml.join(
+        F.broadcast(targets.select(F.col("sitemap_url").alias("url"))),
+        "url", "semi")
+    cands = (
+        sm.sitemap_entries(listed).select("url")
+        .join(cand_base.select("url", "seq"), "url")
+        .select("url", F.lit(0).cast("long").alias("priority"), "seq")
+    )
+    cands = with_url_identity(cands)
+    allowed, _blocked = robots_filter(cands, rules)
+    pol = rules.select(
+        "url_host", F.lit(1.0).alias("download_delay"),
+        F.lit(2).alias("max_per_host"))
+    sched, _, _ = schedule(allowed, effective_politeness(pol, rules),
+                           None, round_start=0.0, horizon=None)
+    return sched.select(
+        "url", "url_host", "seq",
+        F.col("host_rank").cast("long").alias("host_rank"),
+        F.col("fetch_ts").alias("fetch_ts"),
+    ).orderBy("url")
 
 
 # f12/f13 snapshot synthesis + as-of constants, shared by the Spark
@@ -2617,6 +2699,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM hist)
             WHERE b >= 1
             ORDER BY url
+        """,
+        # f14: closed form of the discovery cascade — candidate set,
+        # robots prefix verdict per chosen group, per-host LIFO rank,
+        # politeness spacing with the robots Crawl-delay override
+        "f14_discovery_schedule": """
+            WITH c0 AS (
+              SELECT 'h' || (user_id % 20) || '.example.com' AS url_host,
+                     (user_id % 20) AS hid,
+                     CASE WHEN event_id % 2 = 0
+                          THEN '/private/' || (event_id % 97)
+                          ELSE '/p/' || (event_id % 97) END AS path,
+                     event_id
+              FROM events
+            ), cand AS (
+              SELECT url_host, hid, path,
+                     'http://' || url_host || path AS url,
+                     min(event_id) AS seq
+              FROM c0 GROUP BY url_host, hid, path
+            ), gated AS (
+              SELECT * FROM cand
+              WHERE NOT (CASE WHEN hid % 5 = 0
+                              THEN starts_with(path, '/only/' || hid)
+                              ELSE starts_with(path,
+                                               '/private/' || hid)
+                                   OR (hid % 3 = 0
+                                       AND starts_with(path, '/tmp/'))
+                         END)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY url_host
+                                           ORDER BY seq DESC)
+                          AS host_rank
+              FROM gated
+            )
+            SELECT url, url_host, seq, host_rank::BIGINT AS host_rank,
+                   (floor((host_rank - 1) / 2)
+                    * CASE WHEN hid % 5 = 0 THEN 9.0
+                           WHEN hid % 2 = 0 THEN (1 + hid % 7)::DOUBLE
+                           ELSE 1.0 END) AS fetch_ts
+            FROM ranked ORDER BY url
         """,
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.

@@ -93,3 +93,21 @@ def test_f11_registered():
     import __spark_entry__ as em
     assert "f11_robots_parse" in em.queries()
     assert "f11_robots_parse" in em.oracle_sql()
+
+
+def test_f14_discovery_composition(spark):
+    # the composed cascade at sf0.001: every surviving path avoids its
+    # host's chosen disallow prefixes, and every host's spacing honors
+    # the parsed Crawl-delay override
+    import __spark_entry__ as em
+    rows = em.queries()["f14_discovery_schedule"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "discovery cascade produced no candidates"
+    for r in rows:
+        hid = int(r.url_host.split(".")[0][1:])
+        path = r.url.split(".example.com", 1)[1]
+        if hid % 5 == 0:
+            assert not path.startswith(f"/only/{hid}")
+        else:
+            assert not path.startswith(f"/private/{hid}")
+    assert "f14_discovery_schedule" in em.oracle_sql()
