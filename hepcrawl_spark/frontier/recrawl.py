@@ -123,3 +123,35 @@ def recrawl_candidates(
             "versions", "changes",
         )
     )
+
+
+def as_frontier_seeds(
+    candidates: DataFrame,
+    source: str = "recrawl",
+    fmt: str = "html-generic",
+) -> DataFrame:
+    """``recrawl_candidates`` output -> rows in the frontier's
+    CANDIDATE_SCHEMA, ready for ``run_crawl``/``stream_crawl_round``.
+
+    ``recrawl_priority`` becomes the queue priority (stalest +
+    churniest first, composing with any host-authority boost on top);
+    ``seq`` is ``xxhash64(url)`` masked to the non-negative 63-bit
+    domain — deterministic given the input (the LIFO tie-break among
+    equal-priority recrawls carries no meaning, unlike discovery
+    order), and the mask keeps the scheduler's ``seq - min(seq)``
+    range bucketing inside int64 under ANSI mode.  Same identity
+    derivation as every other queue entry (``with_url_identity``).
+    """
+    from .fingerprint import with_url_identity
+    from .seen import CANDIDATE_SCHEMA
+
+    seeded = with_url_identity(candidates.select(
+        "url",
+        F.col("recrawl_priority").cast("long").alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.xxhash64(F.col("url"))
+        .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)).alias("seq"),
+        F.lit(source).alias("source"),
+        F.lit(fmt).alias("format"),
+    ))
+    return seeded.select(*CANDIDATE_SCHEMA.fieldNames())

@@ -76,3 +76,27 @@ def test_f12_f13_registered():
     q, o = em.queries(), em.oracle_sql()
     for k in ("f12_snapshot_churn", "f13_recrawl"):
         assert k in q and k in o
+
+
+def test_as_frontier_seeds_feeds_run_crawl(spark, tmp_path):
+    # the freshness loop end-to-end: stale URLs re-enter the frontier
+    # with their recrawl priority and actually get fetched again
+    from hepcrawl_spark.frontier.rounds import CrawlConfig, run_crawl
+    from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+    from hepcrawl_spark.sources.fixtures import fixture_pages
+
+    pages = fixture_pages(spark, formats=["arxiv-oai"])
+    day_us = 86400 * 1_000_000
+    hist = spark.createDataFrame(
+        [(r.url, 3, 2, 0, day_us) for r in pages.select("url").collect()],
+        "url string, versions long, changes long, "
+        "first_ts_us long, last_ts_us long")
+    cands = recrawl.recrawl_candidates(hist, as_of_us=5 * day_us)
+    seeds = recrawl.as_frontier_seeds(cands, fmt="arxiv-oai")
+    assert seeds.columns == CANDIDATE_SCHEMA.fieldNames()
+    got = seeds.collect()
+    assert all(r.priority == 4 * (1 + 2) for r in got)  # 4 buckets x churn
+    assert all(r.source == "recrawl" and r.depth == 0 for r in got)
+    summary = run_crawl(spark, seeds, pages,
+                        config=CrawlConfig(max_rounds=2))
+    assert summary["records"] == 22 and summary["errors"] == 0
