@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_snapshot_churn": _q_snapshot_churn,
         "f13_recrawl": _q_recrawl,
         "f14_discovery_schedule": _q_discovery_schedule,
+        "f15_queue_budget": _q_queue_budget,
     }
 
 
@@ -1538,6 +1539,17 @@ def _q_robots_parse(spark, sf_dir):
     return robotstxt.robots_table(
         _robots_bodies(spark, sf_dir), agent="sparkbot"
     ).orderBy("url_host")
+
+
+def _q_queue_budget(spark, sf_dir):
+    # f15: round budgeting — per-host fairness cap (skew-safe
+    # two-phase rank) then global top-k (TakeOrderedAndProject, no
+    # global sort) over the event-synthesized queue
+    from hepcrawl_spark.frontier.politeness import queue_budget
+
+    cand = _event_candidates(spark, sf_dir)
+    kept, _shed = queue_budget(cand, per_host=3, total=40)
+    return kept.select("url", "url_host", "seq").orderBy("url", "seq")
 
 
 def _q_discovery_schedule(spark, sf_dir):
@@ -2738,6 +2750,26 @@ def oracle_sql() -> dict[str, str]:
                            WHEN hid % 2 = 0 THEN (1 + hid % 7)::DOUBLE
                            ELSE 1.0 END) AS fetch_ts
             FROM ranked ORDER BY url
+        """,
+        # f15: all priorities are 0 in this queue, so the budget order
+        # reduces to seq DESC on both axes
+        "f15_queue_budget": f"""
+            WITH c AS (
+              SELECT {_CAND_URL_SQL} AS url, {_CAND_HOST_SQL} AS url_host,
+                     event_id AS seq
+              FROM events
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY url_host
+                                           ORDER BY seq DESC) AS hr
+              FROM c
+            ), k AS (
+              SELECT * FROM r WHERE hr <= 3
+            ), g AS (
+              SELECT *, row_number() OVER (ORDER BY seq DESC) AS gr
+              FROM k
+            )
+            SELECT url, url_host, seq FROM g WHERE gr <= 40
+            ORDER BY url, seq
         """,
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.

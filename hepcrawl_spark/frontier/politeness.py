@@ -204,6 +204,41 @@ def schedule(
     return scheduled, deferred, new_offsets
 
 
+def queue_budget(
+    queue: DataFrame,
+    per_host: Optional[int] = None,
+    total: Optional[int] = None,
+    seq_bounds: Optional[Tuple[int, int]] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """(kept, shed) — bound a round's queue before scheduling.
+
+    A 10^10-URL frontier cannot fetch everything every round; real
+    crawlers cap work per host (fairness: one mega-host must not eat
+    the round) and globally (round sizing).  ``per_host`` keeps each
+    host's best ``k`` by the queue order (priority DESC, seq DESC)
+    via the same skew-safe two-phase rank the scheduler uses — a
+    mega-host is split across seq-range buckets, never one task.
+    ``total`` then keeps the global best by (priority DESC, seq DESC):
+    expressed as orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — each partition surfaces only its top
+    ``total``, no global sort materializes.  ``shed`` rows re-enter
+    the next round's queue unchanged (they keep base priority and
+    seq, so nothing about their eventual order shifts).
+    """
+    kept = queue
+    if per_host is not None:
+        kept = per_host_rank(kept, seq_bounds=seq_bounds)
+        kept = kept.filter(F.col("host_rank") <= int(per_host)) \
+                   .drop("host_rank")
+    if total is not None:
+        kept = kept.orderBy(
+            F.col("priority").desc(), F.col("seq").desc()
+        ).limit(int(total))
+    shed = queue.join(kept.select("url", "seq"), on=["url", "seq"],
+                      how="left_anti")
+    return kept, shed
+
+
 def with_global_order(scheduled: DataFrame) -> DataFrame:
     """Materialize the global fetch ordinal (parity tests / small rounds;
     a total order is inherently single-reducer, so production rounds sort

@@ -117,3 +117,36 @@ def test_run_crawl_boost_invariant_on_single_host(spark):
         host_priorities=_prio(spark, [("export.arxiv.org", 50)]))
     assert (plain["records"], plain["scheduled"]) == \
         (boosted["records"], boosted["scheduled"]) == (22, 12)
+
+
+def test_queue_budget_per_host_and_total(spark):
+    rows = [(f"http://{h}/p/{s}", h, p, 0, s, "t", "f")
+            for h, p, s in [("a.com", 0, 1), ("a.com", 0, 2),
+                            ("a.com", 1, 3), ("a.com", 0, 4),
+                            ("b.com", 0, 5), ("b.com", 0, 6)]]
+    queue = spark.createDataFrame(rows, CAND)
+    from hepcrawl_spark.frontier.politeness import queue_budget
+
+    kept, shed = queue_budget(queue, per_host=2)
+    # a.com order: (prio 1, seq 3) first, then seq 4, 2, 1
+    assert {(r.url_host, r.seq) for r in kept.collect()} == {
+        ("a.com", 3), ("a.com", 4), ("b.com", 5), ("b.com", 6)}
+    assert {(r.url_host, r.seq) for r in shed.collect()} == {
+        ("a.com", 1), ("a.com", 2)}
+    # kept + shed partition the queue exactly
+    assert kept.count() + shed.count() == queue.count()
+
+    kept2, shed2 = queue_budget(queue, per_host=2, total=3)
+    got = {(r.url_host, r.seq) for r in kept2.collect()}
+    # global order (prio DESC, seq DESC): (a,3) wins prio, then seq 6, 5
+    assert got == {("a.com", 3), ("b.com", 6), ("b.com", 5)}
+    assert shed2.count() == 3
+
+    plan = kept2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort materializes
+
+
+def test_f15_registered():
+    import __spark_entry__ as em
+    assert "f15_queue_budget" in em.queries()
+    assert "f15_queue_budget" in em.oracle_sql()
