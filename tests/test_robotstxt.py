@@ -111,3 +111,43 @@ def test_f14_discovery_composition(spark):
         else:
             assert not path.startswith(f"/private/{hid}")
     assert "f14_discovery_schedule" in em.oracle_sql()
+
+
+def test_fuzz_arrow_path_matches_pure_function(spark):
+    # property: the Spark mapInPandas path IS parse_robots — fuzz
+    # adversarial bodies (weird whitespace, case variance, colons in
+    # values, rules before groups, empty fields) through both
+    import pytest
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    field = st.sampled_from(
+        ["User-agent", "user-AGENT", "Disallow", "disallow", "Allow",
+         "Crawl-delay", "CRAWL-DELAY", "Sitemap", "sitemap", "Unknown"])
+    value = st.sampled_from(
+        ["*", "bot", "MyBot", "/", "/a", "/a/b", "", "3", "2.5", "x",
+         "http://h.example.com/s.xml", "http://h:8080/s.xml",
+         "  /spaced  ", "/a#frag"])
+    line = st.builds(lambda f, v, c: f + ":" + v + c,
+                     field, value,
+                     st.sampled_from(["", "  # comment", "\r"]))
+    body = st.lists(line, max_size=24).map("\n".join)
+
+    @given(bodies=st.lists(body, min_size=1, max_size=6),
+           agent=st.sampled_from(["bot", "mybot", "none"]))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(bodies, agent):
+        df = spark.createDataFrame(
+            [(f"h{i}.example.com", b) for i, b in enumerate(bodies)],
+            "url_host string, body string")
+        got = {r.url_host: (list(r.disallow_prefixes), r.crawl_delay,
+                            list(r.sitemaps))
+               for r in robotstxt.robots_table(df, agent=agent).collect()}
+        for i, b in enumerate(bodies):
+            want = parse_robots(b, agent)
+            assert got[f"h{i}.example.com"] == (
+                want["disallow"], want["crawl_delay"], want["sitemaps"])
+
+    check()
