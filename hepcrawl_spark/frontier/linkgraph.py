@@ -108,19 +108,26 @@ def pagerank_hosts(
     given the edge table: integer weights, fixed iteration count, and
     the same fold expression the DuckDB mirror unrolls.
     """
+    out_w = edges.groupBy("src_host").agg(
+        F.sum("weight").cast("double").alias("wout")
+    )
+    # node set, flagged ONCE with has_out so the per-iteration
+    # dangling mass is a filter + 1-row agg over the rank frame —
+    # never a membership join inside the loop
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
         .distinct()
+        .join(out_w.select(F.col("src_host").alias("host"),
+                           F.lit(True).alias("has_out")),
+              on="host", how="left")
+        .withColumn("has_out", F.coalesce("has_out", F.lit(False)))
         .persist()
     )
     n = hosts.count()  # one scalar agg over a host-cardinality frame
     if n == 0:
-        return hosts.withColumn("rank", F.lit(0.0))
+        return hosts.select("host", F.lit(0.0).alias("rank"))
 
-    out_w = edges.groupBy("src_host").agg(
-        F.sum("weight").cast("double").alias("wout")
-    )
     # partition the (edge ⋈ out-weight) side once on src_host and keep
     # it resident: every iteration joins the small rank frame against
     # this layout, so only ranks shuffle per iteration.
@@ -129,17 +136,17 @@ def pagerank_hosts(
         .repartition("src_host")
         .persist()
     )
-    linked_hosts = out_w.select(F.col("src_host").alias("host"))
 
-    ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
+    ranks = hosts.select("host", "has_out", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         dangling = (
-            ranks.join(linked_hosts, "host", "left_anti")
+            ranks.filter(~F.col("has_out"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contrib = (
             contrib_edges
-            .join(ranks.withColumnRenamed("host", "src_host"), "src_host")
+            .join(ranks.select(F.col("host").alias("src_host"), "rank"),
+                  "src_host")
             .groupBy("dst_host")
             .agg(F.sum(F.col("rank") * F.col("weight") / F.col("wout"))
                  .alias("contrib"))
@@ -150,6 +157,7 @@ def pagerank_hosts(
             .crossJoin(F.broadcast(dangling))
             .select(
                 hosts["host"],
+                hosts["has_out"],
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -160,7 +168,7 @@ def pagerank_hosts(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("host", "rank")
 
 
 def rank_priorities(ranks: DataFrame, levels: int = 100) -> DataFrame:
