@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_recrawl": _q_recrawl,
         "f14_discovery_schedule": _q_discovery_schedule,
         "f15_queue_budget": _q_queue_budget,
+        "f16_host_skew": _q_host_skew,
     }
 
 
@@ -1550,6 +1551,18 @@ def _q_queue_budget(spark, sf_dir):
     cand = _event_candidates(spark, sf_dir)
     kept, _shed = queue_budget(cand, per_host=3, total=40)
     return kept.select("url", "url_host", "seq").orderBy("url", "seq")
+
+
+def _q_host_skew(spark, sf_dir):
+    # f16: queue skew diagnostic — top hosts by depth with share and
+    # cumulative share (synthesized queue is near-uniform over 20
+    # hosts, so ties resolve by the host tie-break, both engines)
+    from hepcrawl_spark.frontier.politeness import host_skew_report
+
+    cand = _event_candidates(spark, sf_dir)
+    return host_skew_report(cand, top_k=10).select(
+        "url_host", "depth", "rank", "share", "cum_share"
+    ).orderBy("rank")
 
 
 def _q_discovery_schedule(spark, sf_dir):
@@ -2770,6 +2783,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, url_host, seq FROM g WHERE gr <= 40
             ORDER BY url, seq
+        """,
+        "f16_host_skew": f"""
+            WITH h AS (
+              SELECT {_CAND_HOST_SQL} AS url_host,
+                     count(*)::BIGINT AS depth
+              FROM events GROUP BY url_host
+            ), t AS (SELECT sum(depth)::DOUBLE AS total FROM h),
+            r AS (
+              SELECT url_host, depth,
+                     row_number() OVER (ORDER BY depth DESC, url_host)
+                       AS rank
+              FROM h
+            )
+            SELECT url_host, depth, rank::BIGINT AS rank,
+                   round(depth / (SELECT total FROM t), 9) AS share,
+                   round(sum(depth) OVER (ORDER BY rank)
+                         / (SELECT total FROM t), 9) AS cum_share
+            FROM r WHERE rank <= 10 ORDER BY rank
         """,
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.

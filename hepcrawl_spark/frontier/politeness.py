@@ -239,6 +239,39 @@ def queue_budget(
     return kept, shed
 
 
+def host_skew_report(queue: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top-``top_k`` heaviest hosts in the queue with depth, share,
+    and cumulative share — the skew diagnostic behind the scheduler's
+    salted-rank design (one glance says whether one host owns the
+    round and whether the politeness budget, not the engine, is the
+    wall-clock bound).
+
+    Scale shape: one map-side-combined count per host, total via a
+    broadcast 1-row aggregate, then orderBy+limit =
+    TakeOrderedAndProject (each partition surfaces its top ``top_k``;
+    no global sort).  The rank/cum-share window runs AFTER the limit,
+    over ≤ ``top_k`` rows — the one place an unpartitioned window is
+    the right tool.
+    """
+    per_host = queue.groupBy("url_host").agg(
+        F.count(F.lit(1)).alias("depth"))
+    total = per_host.agg(F.sum("depth").cast("double").alias("_total"))
+    top = (
+        per_host.orderBy(F.col("depth").desc(), F.col("url_host").asc())
+        .limit(int(top_k))
+    )
+    w_rank = Window.orderBy(F.col("depth").desc(), F.col("url_host").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("share", F.round(F.col("depth") / F.col("_total"), 9))
+        .withColumn("cum_share", F.round(
+            F.sum("depth").over(w_cum) / F.col("_total"), 9))
+        .drop("_total")
+    )
+
+
 def with_global_order(scheduled: DataFrame) -> DataFrame:
     """Materialize the global fetch ordinal (parity tests / small rounds;
     a total order is inherently single-reducer, so production rounds sort

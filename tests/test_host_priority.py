@@ -150,3 +150,29 @@ def test_f15_registered():
     import __spark_entry__ as em
     assert "f15_queue_budget" in em.queries()
     assert "f15_queue_budget" in em.oracle_sql()
+
+
+def test_host_skew_report(spark):
+    from hepcrawl_spark.frontier.politeness import host_skew_report
+
+    rows = ([(f"http://big/{i}", "big.com", 0, 0, i, "t", "f")
+             for i in range(6)]
+            + [(f"http://mid/{i}", "mid.com", 0, 0, 100 + i, "t", "f")
+               for i in range(3)]
+            + [("http://small/1", "small.com", 0, 0, 200, "t", "f")])
+    queue = spark.createDataFrame(rows, CAND)
+    got = host_skew_report(queue, top_k=2).orderBy("rank").collect()
+    assert [(r.url_host, r.depth, r.rank) for r in got] == [
+        ("big.com", 6, 1), ("mid.com", 3, 2)]
+    # shares are against the FULL queue (10), not just the top-k
+    assert got[0].share == 0.6
+    assert got[1].cum_share == 0.9
+    plan = host_skew_report(queue, top_k=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_f16_registered():
+    import __spark_entry__ as em
+    assert "f16_host_skew" in em.queries()
+    assert "f16_host_skew" in em.oracle_sql()
