@@ -4,7 +4,12 @@
 (url_host, disallow_prefixes, crawl_delay); this module produces that
 table from raw robots.txt bodies fetched through the ordinary corpus
 join, and additionally surfaces ``Sitemap:`` declarations — which
-feed ``sources.sitemap`` — closing the discovery loop:
+feed ``sources.sitemap`` — closing the discovery loop.  (Reference
+parity note: the reference crawler leaves robots handling to Scrapy
+and ships with it OFF — no ROBOTSTXT_OBEY in
+/root/reference/hepcrawl/settings.py — so parity mode simply passes
+no rules table; this parser is the engine-mode path that makes the
+gate self-sufficient at Common-Crawl scale.)  The loop:
 
     robots.txt -> rules -> robots_filter gate
               \\-> sitemaps -> sitemap_entries -> frontier candidates
