@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f14_discovery_schedule": _q_discovery_schedule,
         "f15_queue_budget": _q_queue_budget,
         "f16_host_skew": _q_host_skew,
+        "p10_crawl_clean": _q_crawl_clean,
     }
 
 
@@ -1540,6 +1541,28 @@ def _q_robots_parse(spark, sf_dir):
     return robotstxt.robots_table(
         _robots_bodies(spark, sf_dir), agent="sparkbot"
     ).orderBy("url_host")
+
+
+def _q_crawl_clean(spark, sf_dir):
+    # p10: the crawl feeds the corpus pipeline end-to-end — seen gate
+    # → schedule → fetch join → Arrow extraction → Gopher gate → exact
+    # dedup → lang/fingerprint.  The html-generic extraction
+    # round-trips each page's visible text as
+    # 'Doc {id} {original text}' (title + body, whitespace-collapsed;
+    # the synthesized corpus is collapse-invariant), so the oracle is
+    # the p01 SQL body verbatim over a CTE that shadows `documents`
+    # with the same closed-form text
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    recs = _crawl_round(spark, _t(spark, sf_dir, "documents"))
+    crawled = recs.select(
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("abstract").alias("text"),
+    )
+    return clean_corpus(crawled).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
+    )
 
 
 def _q_queue_budget(spark, sf_dir):
@@ -2802,6 +2825,19 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT total FROM t), 9) AS cum_share
             FROM r WHERE rank <= 10 ORDER BY rank
         """,
+        # p10: the p01 body with ONLY its source swapped to a
+        # `crawl_docs` CTE carrying the crawl-extracted text shape —
+        # the crawl→extract→clean cascade and the pure-SQL pipeline
+        # must agree token for token
+        "p10_crawl_clean": _P01_SQL_TMPL.format(extra_gate="").replace(
+            "WITH s AS (",
+            "WITH crawl_docs AS (\n"
+            "      SELECT doc_id,\n"
+            "             'Doc ' || doc_id || ' ' || text AS text\n"
+            "      FROM documents\n"
+            "    ), s AS (",
+            1,
+        ).replace("AS toks FROM documents", "AS toks FROM crawl_docs", 1),
         # f10: the oracle states the closed form of what the Spark
         # side must round-trip through synthesized sitemap XML (incl.
         # NULL lastmod/priority for the entries that omit the child)

@@ -25,3 +25,26 @@ def test_full_corpus_extraction(spark):
     # pages (mit/infn/t2k hops) legitimately carry none
     assert with_title.count() >= 30
     extracted.unpersist()
+
+
+def test_p10_crawl_clean_equals_direct_clean(spark):
+    # the crawl->extract->clean cascade must equal clean_corpus applied
+    # directly to the closed-form text the extraction round-trips --
+    # any byte deviation in the extracted text changes tokens /
+    # fingerprint and breaks this equality
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    sf = "/root/testdata/sf0.001"
+    via_crawl = {tuple(r) for r in
+                 em.queries()["p10_crawl_clean"](spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                 F.lit(" "), F.col("text")).alias("text"))
+    direct = {tuple(r) for r in clean_corpus(docs).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint").collect()}
+    assert via_crawl == direct and via_crawl
+    assert "p10_crawl_clean" in em.oracle_sql()
