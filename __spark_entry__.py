@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f15_queue_budget": _q_queue_budget,
         "f16_host_skew": _q_host_skew,
         "p10_crawl_clean": _q_crawl_clean,
+        "t19_repetition": _q_repetition,
     }
 
 
@@ -1254,6 +1255,33 @@ def _q_dedup_lines_global(spark, sf_dir):
     )
     return textops.dedup_lines_global(docs, min_line_len=1).select(
         "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
+    )
+
+
+def _q_repetition(spark, sf_dir):
+    # t19: Gopher repetition battery — same deterministic 4-token
+    # re-chunk as d10 (mirrored in the oracle) so duplicate-line
+    # signals are meaningful on the single-line synthetic corpus;
+    # bigram/5-gram coverage runs over the unchanged token stream
+    docs = _t(spark, sf_dir, "documents")
+
+    def _chunked(t):
+        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+            ),
+            "\n",
+        )
+
+    docs = docs.withColumn(
+        "text", textops.bind_once(textops.tokens_col(F.col("text")),
+                                  _chunked)
+    )
+    return textops.repetition_quality(docs).select(
+        "doc_id", "line_cnt", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "dup_5gram_char_frac", "passes"
     )
 
 
@@ -2629,6 +2657,69 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                               FILTER (WHERE keep), '') AS cleaned_text
             FROM k GROUP BY doc_id
+        """,
+        # t19: Gopher repetition battery — same 4-token re-chunk as
+        # d10 for the line signals; bigram/5-gram coverage over the
+        # unchanged token stream; thresholds compare the ROUNDED
+        # signals in the same order as the Spark plan
+        "t19_repetition": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), s AS (
+              SELECT doc_id, t,
+                     list_transform(range((len(t) + 3) // 4),
+                       i -> array_to_string(t[i*4+1:i*4+4], ' ')) AS ls
+              FROM toks
+            ), g AS (
+              SELECT doc_id, ls, t,
+                CASE WHEN len(t) >= 2 THEN
+                  list_transform(range(len(t) - 1),
+                    i -> t[i+1] || ' ' || t[i+2]) ELSE [] END AS g2,
+                CASE WHEN len(t) >= 5 THEN
+                  list_transform(range(len(t) - 4),
+                    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                         || ' ' || t[i+4] || ' ' || t[i+5])
+                  ELSE [] END AS g5,
+                COALESCE(list_sum(list_transform(ls,
+                  x -> length(x))), 0) AS line_chars,
+                COALESCE(list_sum(list_transform(t,
+                  x -> length(x))), 0) AS tok_chars
+              FROM s
+            ), r AS (
+              SELECT doc_id, ls, g2, g5, line_chars, tok_chars,
+                list_filter(ls,
+                  (x, i) -> list_position(ls, x) != i) AS rep_ls,
+                list_filter(g5,
+                  (x, i) -> list_position(g5, x) != i) AS rep_g5
+              FROM g
+            ), sig AS (
+              SELECT doc_id,
+                len(ls)::BIGINT AS line_cnt,
+                round(len(rep_ls)::DOUBLE / len(ls), 9)
+                  AS dup_line_frac,
+                CASE WHEN line_chars > 0 THEN
+                  round(COALESCE(list_sum(list_transform(rep_ls,
+                    x -> length(x))), 0)::DOUBLE / line_chars, 9)
+                  ELSE 0.0 END AS dup_line_char_frac,
+                CASE WHEN len(g2) > 0 AND tok_chars > 0 THEN
+                  round(list_max(list_transform(list_distinct(g2),
+                    y -> len(list_filter(g2, x -> x = y))
+                         * (length(y) - 1)))::DOUBLE / tok_chars, 9)
+                  ELSE 0.0 END AS top_2gram_char_frac,
+                CASE WHEN tok_chars > 0 THEN
+                  round(COALESCE(list_sum(list_transform(rep_g5,
+                    x -> length(x) - 4)), 0)::DOUBLE / tok_chars, 9)
+                  ELSE 0.0 END AS dup_5gram_char_frac
+              FROM r
+            )
+            SELECT doc_id, line_cnt, dup_line_frac,
+                   dup_line_char_frac, top_2gram_char_frac,
+                   dup_5gram_char_frac,
+                   (dup_line_frac <= 0.30
+                    AND dup_line_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20
+                    AND dup_5gram_char_frac <= 0.15)::INT AS passes
+            FROM sig
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

@@ -838,3 +838,137 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
             ).alias("mean_logprob"),
         )
     )
+
+
+def repetition_signals(t: Column, ls: Column,
+                       max_dup_line_frac: float = 0.30,
+                       max_dup_line_char_frac: float = 0.20,
+                       max_top_2gram_char_frac: float = 0.20,
+                       max_dup_5gram_char_frac: float = 0.15) -> Column:
+    """Struct of Gopher repetition signals + verdict from a bound
+    token-array column ``t`` and a bound line-array column ``ls``
+    (use inside nested ``bind_once`` so both run once per row).
+
+    Exact cross-engine definitions (all single int/int divisions,
+    rounded to 9):
+
+    - ``dup_line_frac``: fraction of line OCCURRENCES that repeat an
+      earlier line (``array_position != own index``).
+    - ``dup_line_char_frac``: characters inside those repeat
+      occurrences / total line characters.
+    - ``top_2gram_char_frac``: characters covered by the most
+      frequent bigram (count x token-chars of the gram, separators
+      excluded) / total token characters.
+    - ``dup_5gram_char_frac``: token-characters inside repeat
+      5-gram occurrences / total token characters.  Occurrence-
+      weighted (overlapping repeats each count), the common public
+      reimplementation of Rae et al. 2021 Table A1's char-fraction
+      rules.
+    """
+    d = "double"
+
+    def _build(g2: Column, g5: Column) -> Column:
+        line_cnt = F.size(ls)
+        line_chars = F.aggregate(
+            ls, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        tok_chars = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        rep_lines = F.filter(
+            ls, lambda l, i: F.array_position(ls, l) != i + 1
+        )
+        dup_line_frac = F.round(
+            F.size(rep_lines).cast(d) / line_cnt.cast(d), 9
+        )
+        rep_line_chars = F.aggregate(
+            rep_lines, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        dup_line_char_frac = F.when(
+            line_chars > 0,
+            F.round(rep_line_chars.cast(d) / line_chars.cast(d), 9),
+        ).otherwise(F.lit(0.0))
+        top2 = F.when(
+            (F.size(g2) > 0) & (tok_chars > 0),
+            F.round(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(g2),
+                        lambda g: (
+                            F.size(F.filter(g2, lambda x: x == g))
+                            * (F.length(g) - 1)
+                        ).cast("long"),
+                    )
+                ).cast(d) / tok_chars.cast(d),
+                9,
+            ),
+        ).otherwise(F.lit(0.0))
+        rep5_chars = F.aggregate(
+            F.filter(g5, lambda g, i: F.array_position(g5, g) != i + 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x) - 4,
+        )
+        dup5 = F.when(
+            tok_chars > 0,
+            F.round(rep5_chars.cast(d) / tok_chars.cast(d), 9),
+        ).otherwise(F.lit(0.0))
+        passes = (
+            (dup_line_frac <= F.lit(max_dup_line_frac))
+            & (dup_line_char_frac <= F.lit(max_dup_line_char_frac))
+            & (top2 <= F.lit(max_top_2gram_char_frac))
+            & (dup5 <= F.lit(max_dup_5gram_char_frac))
+        )
+        return F.struct(
+            line_cnt.cast("long").alias("line_cnt"),
+            dup_line_frac.alias("dup_line_frac"),
+            dup_line_char_frac.alias("dup_line_char_frac"),
+            top2.alias("top_2gram_char_frac"),
+            dup5.alias("dup_5gram_char_frac"),
+            passes.cast("int").alias("passes"),
+        )
+
+    return bind_once(
+        ngrams_col(t, 2),
+        lambda g2: bind_once(ngrams_col(t, 5), lambda g5: _build(g2, g5)),
+    )
+
+
+def repetition_quality(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       **thresholds) -> DataFrame:
+    """Gopher REPETITION filter (Rae et al. 2021 Table A1, public
+    rules): duplicate-line fraction, duplicate-line character
+    fraction, top-bigram character coverage, and duplicate-5-gram
+    character fraction, plus the conjunction verdict — the
+    within-document repetition battery that complements
+    :func:`gopher_quality` (which carries only the duplicate-bigram
+    count fraction) and the rewrite operators t14/d10 (which CUT
+    repeats instead of scoring them).
+
+    One codegen scan pass: every signal is a higher-order-function
+    fold over the once-bound token and line arrays (nested
+    ``bind_once``) — no Python, no shuffle, full column pruning, and
+    the verdict predicate pushes into downstream filters.  The
+    top-bigram mode is O(distinct-grams x grams) per DOCUMENT —
+    bounded per row, embarrassingly parallel across the corpus, the
+    same per-doc-quadratic envelope as t14's ``array_position`` scan.
+    Thresholds compare the ROUNDED signals in the same order as the
+    SQL mirror, so the verdict is bit-identical across engines.
+    """
+    s = bind_once(
+        F.split(F.col(text_col), "\n"),
+        lambda ls: bind_once(
+            tokens_col(F.col(text_col)),
+            lambda t: repetition_signals(t, ls, **thresholds),
+        ),
+    )
+    return docs.select(F.col(id_col), s.alias("_s")).select(
+        id_col,
+        F.col("_s.line_cnt").alias("line_cnt"),
+        F.col("_s.dup_line_frac").alias("dup_line_frac"),
+        F.col("_s.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("_s.top_2gram_char_frac").alias("top_2gram_char_frac"),
+        F.col("_s.dup_5gram_char_frac").alias("dup_5gram_char_frac"),
+        F.col("_s.passes").alias("passes"),
+    )

@@ -1225,3 +1225,33 @@ def test_clean_corpus_badwords_gate(spark):
         ).collect()
     )
     assert soft == [0, 1]
+
+
+def test_repetition_quality_signals(spark):
+    # hand-computed Gopher repetition battery (t19)
+    rows = [
+        (1, "a b c d e f g h i j"),       # clean: top bigram 2/10
+        (2, "x y\nx y\nx y\nz w"),        # 2 repeat lines of 4
+        (3, "a b a b a b a b a b a b"),   # every bigram repeats
+        (5, ""),                          # degenerate empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.repetition_quality(df).collect()
+    }
+    assert out[1].passes == 1 and out[1].top_2gram_char_frac == 0.2
+    # doc 2: rep lines 2/4, rep chars 6 of 12 line chars, "x y"
+    # bigram covers 3 occurrences x 2 chars of 8 token chars
+    assert out[2].dup_line_frac == 0.5
+    assert out[2].dup_line_char_frac == 0.5
+    assert out[2].top_2gram_char_frac == 0.75
+    assert out[2].passes == 0
+    # doc 3: "a b" occurs 6 times x 2 chars / 12 token chars
+    assert out[3].top_2gram_char_frac == 1.0
+    # overlapping 5-gram repeats: 12-grams -> 8 g5, 6 repeats x 5
+    # token-chars / 12 token chars
+    assert out[3].dup_5gram_char_frac == 2.5
+    assert out[3].passes == 0
+    # empty doc: single empty line, zero chars everywhere, passes
+    assert out[5].line_cnt == 1 and out[5].passes == 1
