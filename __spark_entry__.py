@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f16_host_skew": _q_host_skew,
         "p10_crawl_clean": _q_crawl_clean,
         "t19_repetition": _q_repetition,
+        "t20_c4_filter": _q_c4_filter,
     }
 
 
@@ -1282,6 +1283,42 @@ def _q_repetition(spark, sf_dir):
     return textops.repetition_quality(docs).select(
         "doc_id", "line_cnt", "dup_line_frac", "dup_line_char_frac",
         "top_2gram_char_frac", "dup_5gram_char_frac", "passes"
+    )
+
+
+def _q_c4_filter(spark, sf_dir):
+    # t20: C4 line filter — the d10 re-chunk gives the single-line
+    # corpus line structure, with a terminal '.' on chunks whose
+    # 0-based index isn't divisible by 3 (so the punctuation rule
+    # has real selectivity) and a "javascript { var }" line injected
+    # into every 7th document (so the substring and page rules fire);
+    # both constructions are mirrored verbatim in the oracle
+    docs = _t(spark, sf_dir, "documents")
+
+    def _mk(t):
+        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+                F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        )
+        return F.array_join(lines, "\n")
+
+    docs = docs.withColumn(
+        "text", textops.bind_once(textops.tokens_col(F.col("text")),
+                                  _mk)
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"),
+                     F.lit("\ninsert javascript { var }.")),
+        ).otherwise(F.col("text")),
+    )
+    return textops.c4_line_filter(docs, min_words=4).select(
+        "doc_id", "line_cnt", "kept_cnt", "page_ok", "cleaned_text"
     )
 
 
@@ -2720,6 +2757,51 @@ def oracle_sql() -> dict[str, str]:
                     AND top_2gram_char_frac <= 0.20
                     AND dup_5gram_char_frac <= 0.15)::INT AS passes
             FROM sig
+        """,
+        # t20: C4 line filter — same chunk/punctuation/injection
+        # construction as the Spark wrapper, then the three line
+        # rules (terminal punctuation, >= 4 words, no "javascript")
+        # and the page verdict (>= 3 kept lines, no brace, no
+        # "lorem ipsum")
+        "t20_c4_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), s AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range((len(t)+3) // 4),
+                  i -> array_to_string(t[i*4+1:i*4+4], ' ')
+                       || CASE WHEN i % 3 != 0 THEN '.' ELSE '' END),
+                  chr(10)) AS text
+              FROM toks
+            ), a AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || chr(10)
+                          || 'insert javascript {{ var }}.'
+                     ELSE text END AS text
+              FROM s
+            ), l AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS ls
+              FROM a
+            ), k AS (
+              SELECT doc_id, text, ls,
+                list_filter(ls, x ->
+                  right(x, 1) IN ('.', '!', '?', '"')
+                  AND len(regexp_split_to_array(regexp_replace(x,
+                        '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
+                        '', 'g'), '[ \\t\\n\\f\\r]+')) >= 4
+                  AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM l
+            )
+            SELECT doc_id, len(ls)::BIGINT AS line_cnt,
+                   len(kept)::BIGINT AS kept_cnt,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), '{{')
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                   )::INT AS page_ok,
+                   array_to_string(kept, chr(10)) AS cleaned_text
+            FROM k
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

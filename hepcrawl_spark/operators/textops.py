@@ -972,3 +972,66 @@ def repetition_quality(docs: DataFrame, text_col: str = "text",
         F.col("_s.dup_5gram_char_frac").alias("dup_5gram_char_frac"),
         F.col("_s.passes").alias("passes"),
     )
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 5, min_lines: int = 3,
+                   terminal: tuple = (".", "!", "?", "\""),
+                   drop_substrings: tuple = ("javascript",),
+                   page_drop: tuple = ("{", "lorem ipsum")) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, public
+    rules): keep only lines that end in a terminal punctuation mark,
+    carry at least ``min_words`` words, and contain none of
+    ``drop_substrings`` (the "javascript" rule); flag the PAGE as
+    dropped when the raw text contains any of ``page_drop`` (curly
+    brace / "lorem ipsum") or fewer than ``min_lines`` lines survive.
+    Returns (id, line_cnt, kept_cnt, page_ok, cleaned_text) — the
+    rewrite plus the page verdict, so the caller filters on
+    ``page_ok`` and keeps the cleaned text in one pass.
+
+    One codegen scan: the line array binds once (``bind_once``) and
+    every rule is a higher-order filter over it — no Python, no
+    shuffle, embarrassingly parallel across the corpus.  Exact
+    cross-engine semantics: "word" = whitespace split of the
+    edge-trimmed line (an empty line counts 1 and is dropped by the
+    punctuation rule anyway); substring checks compare lowercased;
+    the last-character test is ``substring(l, -1, 1)`` / DuckDB
+    ``right(l, 1)``, '' for the empty line on both engines.
+    """
+    term = list(terminal)
+
+    def _keep(l: Column) -> Column:
+        words = F.size(F.split(
+            F.regexp_replace(l, WS_EDGE, ""), WS_CLASS
+        ))
+        cond = (
+            F.substring(l, -1, 1).isin(*term)
+            & (words >= F.lit(min_words))
+        )
+        low = F.lower(l)
+        for s in drop_substrings:
+            cond = cond & ~low.contains(s)
+        return cond
+
+    def _build(ls: Column) -> Column:
+        kept = F.filter(ls, _keep)
+        page = F.size(kept) >= F.lit(min_lines)
+        low_text = F.lower(F.col(text_col))
+        for s in page_drop:
+            page = page & ~low_text.contains(s)
+        return F.struct(
+            F.size(ls).cast("long").alias("line_cnt"),
+            F.size(kept).cast("long").alias("kept_cnt"),
+            page.cast("int").alias("page_ok"),
+            F.array_join(kept, "\n").alias("cleaned_text"),
+        )
+
+    s = bind_once(F.split(F.col(text_col), "\n"), _build)
+    return docs.select(F.col(id_col), s.alias("_s")).select(
+        id_col,
+        F.col("_s.line_cnt").alias("line_cnt"),
+        F.col("_s.kept_cnt").alias("kept_cnt"),
+        F.col("_s.page_ok").alias("page_ok"),
+        F.col("_s.cleaned_text").alias("cleaned_text"),
+    )

@@ -1255,3 +1255,27 @@ def test_repetition_quality_signals(spark):
     assert out[3].passes == 0
     # empty doc: single empty line, zero chars everywhere, passes
     assert out[5].line_cnt == 1 and out[5].passes == 1
+
+
+def test_c4_line_filter_rules(spark):
+    # each C4 rule in isolation (t20)
+    rows = [
+        (1, "one two three four five.\nsix seven eight nine ten!\n"
+            "good words eleven twelve?"),           # 3 kept -> page ok
+        (2, "no terminal punctuation here\nshort."  # punct + words
+            "\nthe javascript line stays out."),    # substring rule
+        (3, "braces are fine in lines.\nbut the page has { a brace.\n"
+            "so the page flag drops here."),        # page brace rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.c4_line_filter(
+        df, min_words=4, min_lines=2).collect()}
+    assert (out[1].line_cnt, out[1].kept_cnt, out[1].page_ok) == (3, 3, 1)
+    assert out[1].cleaned_text.count("\n") == 2
+    # doc 2: line 1 lacks punctuation, line 2 is short, line 3 has
+    # "javascript" -> nothing survives, page fails the min_lines rule
+    assert (out[2].kept_cnt, out[2].page_ok) == (0, 0)
+    assert out[2].cleaned_text == ""
+    # doc 3: all three lines pass the LINE rules but the page brace
+    # kills the page verdict
+    assert (out[3].kept_cnt, out[3].page_ok) == (3, 0)
