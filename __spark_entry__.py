@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_crawl_clean": _q_crawl_clean,
         "t19_repetition": _q_repetition,
         "t20_c4_filter": _q_c4_filter,
+        "t21_ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -1320,6 +1321,15 @@ def _q_c4_filter(spark, sf_dir):
     return textops.c4_line_filter(docs, min_words=4).select(
         "doc_id", "line_cnt", "kept_cnt", "page_ok", "cleaned_text"
     )
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    # t21: CCNet head/middle/tail by unigram-LM fluency, boundaries
+    # from the deterministic 25% md5 sample, assignment by broadcast
+    # comparison (defaults match the oracle literals)
+    return textops.ccnet_buckets(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "token_cnt", "mean_logprob", "bucket")
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -2802,6 +2812,50 @@ def oracle_sql() -> dict[str, str]:
                    )::INT AS page_ok,
                    array_to_string(kept, chr(10)) AS cleaned_text
             FROM k
+        """,
+        # t21: CCNet LM bucketing — t10's score mirror, the t07 md5
+        # sample substrate (salt c42, 16384/65536), integer-ceil
+        # boundary ranks over the sample per language, two COALESCEd
+        # comparisons assign the bucket; ties attach upward on both
+        # engines because the compared score is the rounded t10 value
+        "t21_ccnet_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS total FROM freq
+            ), sc AS (
+              SELECT doc_id, count(*)::BIGINT AS token_cnt,
+                     round(avg(ln(cnt::DOUBLE / total)), 6)
+                       AS mean_logprob
+              FROM toks JOIN freq USING (tok), tot GROUP BY doc_id
+            ), j AS (
+              SELECT d.doc_id, d.lang, sc.token_cnt, sc.mean_logprob
+              FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+            ), samp AS (
+              SELECT * FROM j
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':c42'),
+                     1, 4))::BIGINT < 16384
+            ), rk AS (
+              SELECT lang, doc_id, mean_logprob,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY mean_logprob DESC, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS m
+              FROM samp
+            ), b AS (
+              SELECT lang,
+                     max(CASE WHEN rnk = (m * 1 + 2) // 3
+                              THEN mean_logprob END) AS b1,
+                     max(CASE WHEN rnk = (m * 2 + 2) // 3
+                              THEN mean_logprob END) AS b2
+              FROM rk GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.token_cnt, j.mean_logprob,
+                   (1 + COALESCE((j.mean_logprob < b.b1)::INT, 0)
+                      + COALESCE((j.mean_logprob < b.b2)::INT, 0)
+                   )::INT AS bucket
+            FROM j LEFT JOIN b USING (lang)
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

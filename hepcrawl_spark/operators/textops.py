@@ -1035,3 +1035,75 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
         F.col("_s.page_ok").alias("page_ok"),
         F.col("_s.cleaned_text").alias("cleaned_text"),
     )
+
+
+def ccnet_buckets(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  n_buckets: int = 3,
+                  sample_bps: int = 16384,
+                  salt: str = "c42") -> DataFrame:
+    """CCNet-style language-model bucketing (Wenzek et al. 2020,
+    public pipeline): split each language's documents into
+    head/middle/tail by fluency under the corpus's own unigram LM
+    (:func:`unigram_logprob` — head = most probable).  Returns
+    (id, lang, token_cnt, mean_logprob, bucket) with bucket in
+    [1, n_buckets].
+
+    Scale shape — NO per-language global sort: boundaries come from a
+    deterministic md5-threshold SAMPLE (``sample_bps``/65536 of the
+    corpus, the t07 substrate), exactly how the public CCNet computes
+    its percentiles on a subset.  The rank window runs over the
+    SAMPLE only, partitioned by language (bounded: sample fraction is
+    sized so a language's sample fits one partition); the boundary
+    table is a handful of rows, broadcast; assignment back to the
+    full corpus is two broadcast comparisons per row — codegen, no
+    shuffle of the corpus itself.  Boundary rank for cut k is
+    ``(m*k + n - 1) div n`` (integer ceil) over the sample ordered by
+    (score DESC, id ASC); a document lands in bucket
+    ``1 + #{k : score < boundary_k}`` — ties attach upward,
+    deterministic on both engines because the compared score is the
+    ROUNDED (6-decimal) t10 value.  Languages absent from the sample
+    get bucket 1 (no boundaries — explicit COALESCE, same in the
+    mirror).
+    """
+    scored = unigram_logprob(docs, text_col=text_col, id_col=id_col) \
+        .join(docs.select(id_col, lang_col), on=id_col)
+    samp = scored.where(
+        sample_bucket_col(F.col(id_col), salt) < F.lit(sample_bps)
+    ).select(lang_col, id_col, "mean_logprob")
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("mean_logprob"), F.col(id_col)
+    )
+    ranked = samp.withColumn("_rnk", F.row_number().over(w))
+    m = samp.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_m"))
+    cuts = [k for k in range(1, n_buckets)]
+    qcols = {
+        k: ((F.col("_m") * k + n_buckets - 1) / n_buckets)
+        .cast("long")
+        for k in cuts
+    }
+    bounds = (
+        ranked.join(m, on=lang_col)
+        .where(F.lit(False) | (
+            # boundary rows only: rnk equals some cut's ceil-rank
+            sum((F.col("_rnk") == qcols[k]).cast("int") for k in cuts)
+            > 0
+        ))
+        .groupBy(lang_col)
+        .agg(*[
+            F.max(F.when(F.col("_rnk") == qcols[k],
+                         F.col("mean_logprob"))).alias(f"_b{k}")
+            for k in cuts
+        ])
+    )
+    bucket = F.lit(1)
+    for k in cuts:
+        bucket = bucket + F.coalesce(
+            (F.col("mean_logprob") < F.col(f"_b{k}")).cast("int"),
+            F.lit(0),
+        )
+    return scored.join(F.broadcast(bounds), on=lang_col, how="left") \
+        .select(
+            F.col(id_col), F.col(lang_col), F.col("token_cnt"),
+            F.col("mean_logprob"), bucket.cast("int").alias("bucket"),
+        )

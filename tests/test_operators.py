@@ -1279,3 +1279,25 @@ def test_c4_line_filter_rules(spark):
     # doc 3: all three lines pass the LINE rules but the page brace
     # kills the page verdict
     assert (out[3].kept_cnt, out[3].page_ok) == (3, 0)
+
+
+def test_ccnet_buckets_separate_fluent_from_gibberish(spark):
+    # fluent docs reuse high-frequency tokens; gibberish docs carry
+    # corpus-unique tokens -> lowest unigram logprob -> tail bucket
+    rows = []
+    for i in range(9):
+        rows.append((i, "the cat sat on the mat again today", "en"))
+    for i in range(9, 12):
+        rows.append((i, f"qz{i}x wv{i}k jj{i}m zzq{i} xxo{i} ppl{i}",
+                     "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in textops.ccnet_buckets(
+        df, sample_bps=0x10000).collect()}  # full sample
+    assert all(out[i].bucket == 3 for i in range(9, 12))
+    assert all(out[i].bucket <= 2 for i in range(9))
+    # a language with no sampled rows defaults to the head bucket
+    df2 = df.withColumn(
+        "lang", F.when(F.col("doc_id") == 0, "zz").otherwise("en"))
+    out2 = {r.doc_id: r for r in textops.ccnet_buckets(
+        df2, sample_bps=0).collect()}  # empty sample everywhere
+    assert all(r.bucket == 1 for r in out2.values())
