@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_repetition": _q_repetition,
         "t20_c4_filter": _q_c4_filter,
         "t21_ccnet_buckets": _q_ccnet_buckets,
+        "f17_warc_scan": _q_warc_scan,
     }
 
 
@@ -1330,6 +1331,40 @@ def _q_ccnet_buckets(spark, sf_dir):
     return textops.ccnet_buckets(
         _t(spark, sf_dir, "documents")
     ).select("doc_id", "lang", "token_cnt", "mean_logprob", "bucket")
+
+
+def _q_warc_scan(spark, sf_dir):
+    # f17: WARC container round-trip — documents serialize into 16
+    # multi-record WARC members (deterministic url/date, ordered
+    # concat) and the parser must recover every record's headers and
+    # payload byte-identically; the oracle mirrors both halves
+    from hepcrawl_spark.sources import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2026-08-19T00:00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    recs = docs.select(
+        (F.col("doc_id") % 16).alias("file_id"), F.col("doc_id"),
+        warc.build_warc_records(url, date, F.col("text")).alias("rec"),
+    )
+    members = recs.groupBy("file_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda s: s["rec"],
+            ), ""
+        ).alias("warc")
+    )
+    return warc.parse_warc_records(members, keep_cols=("file_id",)) \
+        .select("file_id", "warc_type", "target_uri", "warc_date",
+                "content_length", "payload", "length_ok")
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -2856,6 +2891,68 @@ def oracle_sql() -> dict[str, str]:
                       + COALESCE((j.mean_logprob < b.b2)::INT, 0)
                    )::INT AS bucket
             FROM j LEFT JOIN b USING (lang)
+        """,
+        # f17: WARC round-trip — serialize documents into 16
+        # multi-record members (same url/date construction and
+        # ordered concat as the Spark wrapper), re-split on the
+        # version line, recover headers + payload; length_ok pins
+        # the declared Content-Length to the recovered payload
+        "f17_warc_scan": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 16 AS file_id,
+                'https://h' || (doc_id % 13) || '.example.com/doc/'
+                  || doc_id AS url,
+                '2026-08-19T00:00:'
+                  || lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z' AS dt,
+                text
+              FROM documents
+            ), r AS (
+              SELECT file_id, doc_id,
+                'WARC/1.0' || chr(13) || chr(10)
+                || 'WARC-Type: response' || chr(13) || chr(10)
+                || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                || 'WARC-Date: ' || dt || chr(13) || chr(10)
+                || 'Content-Length: ' || length(text)
+                || chr(13) || chr(10) || chr(13) || chr(10)
+                || text || chr(13) || chr(10) || chr(13) || chr(10)
+                  AS rec
+              FROM d
+            ), m AS (
+              SELECT file_id, string_agg(rec, '' ORDER BY doc_id)
+                       AS warc
+              FROM r GROUP BY file_id
+            ), x AS (
+              SELECT file_id, u.rec FROM (
+                SELECT file_id, unnest(string_split(warc,
+                  'WARC/1.0' || chr(13) || chr(10))) AS rec
+                FROM m) u
+              WHERE u.rec != ''
+            ), p AS (
+              SELECT file_id, rec,
+                strpos(rec, chr(13)||chr(10)||chr(13)||chr(10)) AS pos
+              FROM x
+            ), f AS (
+              SELECT file_id,
+                substr(rec, 1, pos - 1) AS headers,
+                regexp_replace(substr(rec, pos + 4),
+                  '\\r\\n\\r\\n$', '') AS payload
+              FROM p
+            )
+            SELECT file_id,
+              regexp_extract(headers, 'WARC-Type: ([^\\r\\n]*)', 1)
+                AS warc_type,
+              regexp_extract(headers,
+                'WARC-Target-URI: ([^\\r\\n]*)', 1) AS target_uri,
+              regexp_extract(headers, 'WARC-Date: ([^\\r\\n]*)', 1)
+                AS warc_date,
+              regexp_extract(headers,
+                'Content-Length: ([^\\r\\n]*)', 1)::BIGINT
+                AS content_length,
+              payload,
+              regexp_extract(headers,
+                'Content-Length: ([^\\r\\n]*)', 1)::BIGINT
+                = length(payload) AS length_ok
+            FROM f
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan
