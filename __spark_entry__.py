@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t20_c4_filter": _q_c4_filter,
         "t21_ccnet_buckets": _q_ccnet_buckets,
         "f17_warc_scan": _q_warc_scan,
+        "f18_hop_distance": _q_hop_distance,
     }
 
 
@@ -1893,6 +1894,74 @@ def _pr_oracle_sql() -> str:
     )
 
 
+# f18 seed-distance constants — a 23-cycle host graph with per-doc
+# step 1..3 gives real multi-hop distances from the single seed;
+# rendered into BOTH engines so the constructions cannot drift
+_HOP_HOSTS = 23
+_HOP_SEEDS = ["h0.example.com"]
+_HOP_MAX = 8
+
+
+def _q_hop_distance(spark, sf_dir):
+    # f18: BFS hop distance from the seed host over a synthesized
+    # host cycle — the per-host depth bound the crawl planner
+    # budgets politeness by (fixed relaxation rounds, exact mirror)
+    from hepcrawl_spark.frontier import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % _HOP_HOSTS
+    step = F.lit(1) + F.col("doc_id") % 3
+    edges = docs.select(
+        F.concat(F.lit("h"), i.cast("string"),
+                 F.lit(".example.com")).alias("src_host"),
+        F.concat(F.lit("h"), ((i + step) % _HOP_HOSTS).cast("string"),
+                 F.lit(".example.com")).alias("dst_host"),
+    ).groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return linkgraph.hop_distance(
+        edges, _HOP_SEEDS, max_hops=_HOP_MAX
+    ).select(
+        "host", F.col("hops").cast("int").alias("hops")
+    ).orderBy("host")
+
+
+def _hop_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of hop_distance — the SAME relaxation
+    count and edge construction as the Spark side, generated from the
+    same constants."""
+    seeds = ", ".join(f"'{s}'" for s in _HOP_SEEDS)
+    ctes = [
+        f"""e AS (
+              SELECT 'h' || (doc_id % {_HOP_HOSTS}) || '.example.com'
+                       AS src_host,
+                     'h' || ((doc_id % {_HOP_HOSTS} + 1 + doc_id % 3)
+                             % {_HOP_HOSTS}) || '.example.com'
+                       AS dst_host
+              FROM documents GROUP BY 1, 2)""",
+        """hosts AS (
+              SELECT src_host AS host FROM e
+              UNION SELECT dst_host FROM e)""",
+        f"""d0 AS (
+              SELECT host, 0 AS hops FROM hosts
+              WHERE host IN ({seeds}))""",
+    ]
+    for k in range(_HOP_MAX):
+        ctes.append(f"""d{k + 1} AS (
+              SELECT host, min(hops) AS hops FROM (
+                SELECT host, hops FROM d{k}
+                UNION ALL
+                SELECT e.dst_host AS host, d.hops + 1 AS hops
+                FROM d{k} d JOIN e ON e.src_host = d.host
+              ) GROUP BY host)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+            SELECT host, hops::INT AS hops
+            FROM d{_HOP_MAX} ORDER BY host"""
+    )
+
+
 # t15/t17/p07 shared mixing tables — defined once and rendered into
 # BOTH the Spark plan and the SQL mirror so the two cannot drift
 _MIX_RATES = {("src0", "en"): 1.0, ("src1", "en"): 0.5,
@@ -3033,6 +3102,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_host
         """,
         "f09_host_rank": _pr_oracle_sql(),
+        # f18: BFS seed distance — unrolled relaxation mirror, same
+        # constants as the Spark loop
+        "f18_hop_distance": _hop_oracle_sql(),
         # f11: closed form of the robots.txt round-trip — the
         # specific-agent group (hid%5) beats *, the otherbot group is
         # always ignored, Disallow lines within the chosen groups

@@ -190,3 +190,58 @@ def rank_priorities(ranks: DataFrame, levels: int = 100) -> DataFrame:
             .cast("long").alias("host_priority"),
         )
     )
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Minimum link distance from any seed host -> (host, hops).
+
+    The breadth-first counterpart of ``pagerank_hosts``: the crawl
+    planner budgets politeness and recrawl priority by how far a host
+    sits from the seed list (the reference's crawls are all depth-
+    bounded off ``start_urls``; at frontier scale the bound must be a
+    per-host number, not a per-request counter).  Fixed ``max_hops``
+    relaxation rounds — deterministic and exactly unrollable by the
+    DuckDB mirror; hosts not reached within the bound are absent from
+    the result (their budget is the crawl's default).
+
+    100 TB shape: all frames are host-cardinality, never URL-
+    cardinality.  The deduplicated forward-edge table is partitioned
+    once on ``src_host`` and reused every round, so only the small
+    distance frame shuffles per round; each round is one join + one
+    min-aggregation (both partial-agg-able, skew-safe: min combines
+    map-side), with lineage truncated every ``checkpoint_every``
+    rounds like the PageRank loop above.
+    """
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    dist = hosts.where(F.col("host").isin(list(seeds))).select(
+        "host", F.lit(0).cast("int").alias("hops")
+    )
+    fwd = (
+        edges.select("src_host", "dst_host").distinct()
+        .repartition("src_host")
+        .persist()
+    )
+    for i in range(max_hops):
+        nxt = dist.join(
+            fwd, dist["host"] == fwd["src_host"]
+        ).select(
+            F.col("dst_host").alias("host"),
+            (F.col("hops") + 1).cast("int").alias("hops"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("host")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -139,3 +139,31 @@ def test_f08_f09_registered():
     assert "f09_host_rank" in q and "f09_host_rank" in o
     # the oracle unrolls the same iteration count the query runs
     assert o["f09_host_rank"].count("dang") == 2 * em._PR_ITERATIONS
+
+
+def test_hop_distance_path_graph(spark):
+    # a -> b -> c -> d chain plus an unreachable island x -> y: hops
+    # count edges from the seed, the island never appears
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("c", "d", 1), ("x", "y", 1)],
+        "src_host string, dst_host string, weight long",
+    )
+    got = {r.host: r.hops
+           for r in linkgraph.hop_distance(edges, ["a"]).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # max_hops bounds the relaxation: depth 3 never materializes
+    capped = {r.host: r.hops for r in linkgraph.hop_distance(
+        edges, ["a"], max_hops=2).collect()}
+    assert capped == {"a": 0, "b": 1, "c": 2}
+    # two seeds: distances take the minimum over seeds
+    two = {r.host: r.hops
+           for r in linkgraph.hop_distance(edges, ["a", "c"]).collect()}
+    assert two == {"a": 0, "b": 1, "c": 0, "d": 1}
+
+
+def test_f18_registered():
+    import __spark_entry__ as em
+    q, o = em.queries(), em.oracle_sql()
+    assert "f18_hop_distance" in q and "f18_hop_distance" in o
+    # the oracle unrolls the same relaxation count the query runs
+    assert o["f18_hop_distance"].count("UNION ALL") == em._HOP_MAX
