@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_ccnet_buckets": _q_ccnet_buckets,
         "f17_warc_scan": _q_warc_scan,
         "f18_hop_distance": _q_hop_distance,
+        "p11_clean_c4": _q_clean_c4,
     }
 
 
@@ -1289,15 +1290,14 @@ def _q_repetition(spark, sf_dir):
     )
 
 
-def _q_c4_filter(spark, sf_dir):
-    # t20: C4 line filter — the d10 re-chunk gives the single-line
-    # corpus line structure, with a terminal '.' on chunks whose
-    # 0-based index isn't divisible by 3 (so the punctuation rule
-    # has real selectivity) and a "javascript { var }" line injected
-    # into every 7th document (so the substring and page rules fire);
-    # both constructions are mirrored verbatim in the oracle
-    docs = _t(spark, sf_dir, "documents")
-
+def _c4_input_docs(docs):
+    # shared t20/p11 input construction: the d10 re-chunk gives the
+    # single-line corpus line structure, with a terminal '.' on
+    # chunks whose 0-based index isn't divisible by 3 (so the
+    # punctuation rule has real selectivity) and a
+    # "javascript { var }" line injected into every 7th document (so
+    # the substring and page rules fire); mirrored verbatim in the
+    # oracle CTEs (_C4_CTES)
     def _mk(t):
         n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
         lines = F.transform(
@@ -1309,7 +1309,7 @@ def _q_c4_filter(spark, sf_dir):
         )
         return F.array_join(lines, "\n")
 
-    docs = docs.withColumn(
+    return docs.withColumn(
         "text", textops.bind_once(textops.tokens_col(F.col("text")),
                                   _mk)
     ).withColumn(
@@ -1320,8 +1320,34 @@ def _q_c4_filter(spark, sf_dir):
                      F.lit("\ninsert javascript { var }.")),
         ).otherwise(F.col("text")),
     )
-    return textops.c4_line_filter(docs, min_words=4).select(
+
+
+def _q_c4_filter(spark, sf_dir):
+    # t20: C4 line filter over the shared constructed input
+    return textops.c4_line_filter(
+        _c4_input_docs(_t(spark, sf_dir, "documents")), min_words=4
+    ).select(
         "doc_id", "line_cnt", "kept_cnt", "page_ok", "cleaned_text"
+    )
+
+
+def _q_clean_c4(spark, sf_dir):
+    # p11: C4-filtered clean corpus — the t20 line rewrite + page
+    # verdict runs FIRST (line-level boilerplate out before any
+    # tokenization), then the surviving cleaned text flows through
+    # the standard p01 gate+dedup pipeline; the oracle is the p01
+    # SQL body verbatim over a CTE that shadows `documents` with the
+    # C4-cleaned pages (same swap pattern as p10)
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    c4 = textops.c4_line_filter(
+        _c4_input_docs(_t(spark, sf_dir, "documents")), min_words=4
+    )
+    survivors = c4.where(F.col("page_ok") == 1).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    return clean_corpus(survivors).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
 
 
@@ -1892,6 +1918,47 @@ def _pr_oracle_sql() -> str:
             SELECT host, round(rank, 9) AS rank
             FROM r{_PR_ITERATIONS} ORDER BY host"""
     )
+
+
+# t20/p11 shared C4 mirror: the constructed input (re-chunk +
+# terminal '.' + injected javascript line) and the line-rule filter
+# as CTEs, so the standalone t20 oracle and the p11 composition use
+# byte-identical SQL and cannot drift
+_C4_CTES = f"""c4toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), c4s AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range((len(t)+3) // 4),
+                  i -> array_to_string(t[i*4+1:i*4+4], ' ')
+                       || CASE WHEN i % 3 != 0 THEN '.' ELSE '' END),
+                  chr(10)) AS text
+              FROM c4toks
+            ), c4a AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || chr(10)
+                          || 'insert javascript {{ var }}.'
+                     ELSE text END AS text
+              FROM c4s
+            ), c4l AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS ls
+              FROM c4a
+            ), c4k AS (
+              SELECT doc_id, text, ls,
+                list_filter(ls, x ->
+                  right(x, 1) IN ('.', '!', '?', '"')
+                  AND len(regexp_split_to_array(regexp_replace(x,
+                        '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
+                        '', 'g'), '[ \\t\\n\\f\\r]+')) >= 4
+                  AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM c4l
+            )"""
+
+# the page verdict + cleaned text over c4k — t20 projects it,
+# p11 filters on it
+_C4_PAGE_OK_SQL = ("(len(kept) >= 3 AND NOT contains(lower(text), "
+                   "'{') AND NOT contains(lower(text), 'lorem ipsum'))")
 
 
 # f18 seed-distance constants — a 23-cycle host graph with per-doc
@@ -2872,51 +2939,29 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_5gram_char_frac <= 0.15)::INT AS passes
             FROM sig
         """,
-        # t20: C4 line filter — same chunk/punctuation/injection
-        # construction as the Spark wrapper, then the three line
-        # rules (terminal punctuation, >= 4 words, no "javascript")
-        # and the page verdict (>= 3 kept lines, no brace, no
-        # "lorem ipsum")
-        "t20_c4_filter": f"""
-            WITH toks AS (
-              SELECT doc_id, {_TOKS} AS t FROM documents
-            ), s AS (
-              SELECT doc_id,
-                array_to_string(list_transform(range((len(t)+3) // 4),
-                  i -> array_to_string(t[i*4+1:i*4+4], ' ')
-                       || CASE WHEN i % 3 != 0 THEN '.' ELSE '' END),
-                  chr(10)) AS text
-              FROM toks
-            ), a AS (
-              SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0
-                     THEN text || chr(10)
-                          || 'insert javascript {{ var }}.'
-                     ELSE text END AS text
-              FROM s
-            ), l AS (
-              SELECT doc_id, text,
-                     string_split(text, chr(10)) AS ls
-              FROM a
-            ), k AS (
-              SELECT doc_id, text, ls,
-                list_filter(ls, x ->
-                  right(x, 1) IN ('.', '!', '?', '"')
-                  AND len(regexp_split_to_array(regexp_replace(x,
-                        '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
-                        '', 'g'), '[ \\t\\n\\f\\r]+')) >= 4
-                  AND NOT contains(lower(x), 'javascript')) AS kept
-              FROM l
-            )
+        # t20: C4 line filter — shared construction + line-rule CTEs
+        # (_C4_CTES), then the three line rules' counts and the page
+        # verdict (>= 3 kept lines, no brace, no "lorem ipsum")
+        "t20_c4_filter": "WITH " + _C4_CTES + f"""
             SELECT doc_id, len(ls)::BIGINT AS line_cnt,
                    len(kept)::BIGINT AS kept_cnt,
-                   (len(kept) >= 3
-                    AND NOT contains(lower(text), '{{')
-                    AND NOT contains(lower(text), 'lorem ipsum')
-                   )::INT AS page_ok,
+                   {_C4_PAGE_OK_SQL}::INT AS page_ok,
                    array_to_string(kept, chr(10)) AS cleaned_text
-            FROM k
+            FROM c4k
         """,
+        # p11: C4-filtered clean corpus — the shared C4 CTEs produce
+        # the cleaned pages, page_ok survivors shadow `documents`,
+        # and the p01 SQL body runs verbatim over them (same swap
+        # pattern as p10, so the two pipeline mirrors cannot drift)
+        "p11_clean_c4": _P01_SQL_TMPL.format(extra_gate="").replace(
+            "WITH s AS (",
+            "WITH " + _C4_CTES + f""", c4_docs AS (
+              SELECT doc_id,
+                     array_to_string(kept, chr(10)) AS text
+              FROM c4k WHERE {_C4_PAGE_OK_SQL}
+            ), s AS (""",
+            1,
+        ).replace("AS toks FROM documents", "AS toks FROM c4_docs", 1),
         # t21: CCNet LM bucketing — t10's score mirror, the t07 md5
         # sample substrate (salt c42, 16384/65536), integer-ceil
         # boundary ranks over the sample per language, two COALESCEd

@@ -1301,3 +1301,17 @@ def test_ccnet_buckets_separate_fluent_from_gibberish(spark):
     out2 = {r.doc_id: r for r in textops.ccnet_buckets(
         df2, sample_bps=0).collect()}  # empty sample everywhere
     assert all(r.bucket == 1 for r in out2.values())
+
+
+def test_p11_oracle_shares_c4_and_p01_sql():
+    # the p11 mirror must embed the t20 CTEs and the p01 body
+    # byte-identically — shared-constant construction, no drift
+    import __spark_entry__ as em
+    o = em.oracle_sql()
+    assert em._C4_CTES in o["t20_c4_filter"]
+    assert em._C4_CTES in o["p11_clean_c4"]
+    assert "AS toks FROM c4_docs" in o["p11_clean_c4"]
+    # p01's gate/dedup tail is present verbatim after the source swap
+    tail = em._P01_SQL_TMPL.format(extra_gate="").split(
+        "AS toks FROM documents", 1)[1]
+    assert tail in o["p11_clean_c4"]
