@@ -427,3 +427,43 @@ def test_no_query_uses_row_at_a_time_python(spark):
     for name, fn in em.queries().items():
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_t19_t20_single_codegen_scan_no_exchange(spark):
+    # the repetition battery and the C4 line filter are pure per-row
+    # projections: one codegen scan, zero shuffles, zero joins, no
+    # Python anywhere — the shape that stays scan-bound at 100 TB
+    for q in ("t19_repetition", "t20_c4_filter"):
+        plan = _plan(em.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+        assert "Join" not in plan, q
+        assert "EvalPython" not in plan, q
+        # toString() marks whole-stage-codegen spans with a "*(n)"
+        # prefix on the operator line
+        assert "*(" in plan, q
+
+
+def test_t21_buckets_broadcast_assignment_no_corpus_sort(spark):
+    # CCNet bucketing: the only window runs over the md5 SAMPLE
+    # (partitioned by lang); the boundary table joins back broadcast;
+    # the full corpus is never globally sorted
+    plan = _plan(em.queries()["t21_ccnet_buckets"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # every Window in the plan is partitioned (no empty partition spec)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "partitionbyspec" not in line.lower()
+
+
+def test_f17_warc_parse_no_python_no_cartesian(spark):
+    plan = _plan(em.queries()["f17_warc_scan"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_f18_hop_distance_no_cartesian_no_python(spark):
+    plan = _plan(em.queries()["f18_hop_distance"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
