@@ -57,6 +57,15 @@ def tokens_col(text: Column) -> Column:
     SQL mirror: ``regexp_split_to_array(regexp_replace(lower(text),
     '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'),
     '[ \\t\\n\\f\\r]+')`` (same explicit class on both engines).
+
+    Known seam (found by the tokenizer fuzz): ``lower()`` case
+    MAPPINGS follow each engine's Unicode tables, which differ by
+    engine version for recently cased scripts — e.g. Vithkuqi
+    (U+10570 ff., cased in Unicode 14) lowercases on Python 3.11 but
+    not on JVMs/utf8proc builds with older tables.  The whitespace
+    CLASS above is version-stable; only case mappings of
+    post-release code points can diverge, and the parity property
+    test skips exactly that set.
     """
     return F.split(
         F.regexp_replace(F.lower(text), WS_EDGE, ""), WS_CLASS
