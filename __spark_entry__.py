@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f17_warc_scan": _q_warc_scan,
         "f18_hop_distance": _q_hop_distance,
         "p11_clean_c4": _q_clean_c4,
+        "d11_cross_corpus": _q_cross_corpus,
     }
 
 
@@ -1392,6 +1393,28 @@ def _q_warc_scan(spark, sf_dir):
     return warc.parse_warc_records(members, keep_cols=("file_id",)) \
         .select("file_id", "warc_type", "target_uri", "warc_date",
                 "content_length", "payload", "length_ok")
+
+
+def _q_cross_corpus(spark, sf_dir):
+    # d11: incremental-dump dedup — the odd-id half plays the NEW
+    # snapshot, the even-id half the existing REFERENCE corpus;
+    # every 40th even doc is additionally re-id'd (+100000) into the
+    # new side so exact cross-corpus duplicates exist by
+    # construction (mirrored verbatim in the oracle)
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    ref_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    return dedup.cross_corpus_dedup(
+        new_docs, ref_docs, n=3, threshold=0.8
+    ).select("doc_id", "exact_dup", "near_cnt", "max_jaccard", "keep")
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -3067,6 +3090,65 @@ def oracle_sql() -> dict[str, str]:
                 'Content-Length: ([^\\r\\n]*)', 1)::BIGINT
                 = length(payload) AS length_ok
             FROM f
+        """,
+        # d11: incremental-dump dedup — same new/ref split + planted
+        # exact dups as the Spark wrapper; exact via DISTINCT ref
+        # md5 set, near via the d02 shingle measure joined NEW x REF
+        # only; threshold compares unrounded like d02
+        "d11_cross_corpus": f"""
+            WITH newd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 40 = 0
+            ), refd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), tn AS (
+              SELECT doc_id, {_TOKS} AS t FROM newd
+            ), tr AS (
+              SELECT doc_id, {_TOKS} AS t FROM refd
+            ), shn AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM tn, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), shr AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM tr, unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), szn AS (
+              SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id
+            ), szr AS (
+              SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS dn, b.doc_id AS dr,
+                     count(*)::BIGINT AS ni
+              FROM shn a JOIN shr b ON a.s = b.s GROUP BY 1, 2
+            ), pairs AS (
+              SELECT dn,
+                     ni::DOUBLE / (szn.n + szr.n - ni)::DOUBLE AS j
+              FROM inter
+              JOIN szn ON szn.doc_id = dn
+              JOIN szr ON szr.doc_id = dr
+              WHERE ni::DOUBLE / (szn.n + szr.n - ni)::DOUBLE >= 0.8
+            ), near AS (
+              SELECT dn, count(*)::BIGINT AS near_cnt,
+                     round(max(j), 9) AS max_jaccard
+              FROM pairs GROUP BY dn
+            ), rh AS (
+              SELECT DISTINCT md5(text) AS h FROM refd
+            )
+            SELECT n.doc_id,
+                   CASE WHEN rh.h IS NOT NULL THEN 1 ELSE 0 END
+                     AS exact_dup,
+                   COALESCE(near.near_cnt, 0)::BIGINT AS near_cnt,
+                   COALESCE(near.max_jaccard, 0.0) AS max_jaccard,
+                   (CASE WHEN rh.h IS NOT NULL THEN 1 ELSE 0 END = 0
+                    AND near.near_cnt IS NULL)::INT AS keep
+            FROM newd n
+            LEFT JOIN rh ON rh.h = md5(n.text)
+            LEFT JOIN near ON near.dn = n.doc_id
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

@@ -883,3 +883,97 @@ def simhash_pairs(docs: DataFrame, hamming_max: int = 3,
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= hamming_max)
+
+
+def cross_corpus_dedup(new_docs: DataFrame, ref_docs: DataFrame,
+                       n: int = 3, threshold: float = 0.8,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_shingle_df: int | None = None) -> DataFrame:
+    """Incremental-dump dedup: flag every NEW document that duplicates
+    the existing REFERENCE corpus — the step public pipelines run on
+    each fresh crawl snapshot before it joins the training set (e.g.
+    dedup of a new Common Crawl dump against prior dumps).  Returns
+    one row per new document: (id, exact_dup, near_cnt, max_jaccard,
+    keep) with ``keep = 1`` iff the document is neither an exact nor
+    a near duplicate of anything in the reference.
+
+    exact: md5(text) membership against the DISTINCT reference hash
+    set (semi-join shape — the hash set is tiny next to the corpus
+    and broadcastable).  near: distinct n-gram shingle inverted index
+    joined NEW x REF only — never new x new, never ref x ref, so the
+    join is linear in the new snapshot for a fixed reference posting
+    profile.  ``max_shingle_df`` prunes stop-shingles by REFERENCE
+    document frequency (the historical side is the big one) from BOTH
+    sides before the join, the d05 guardrail measure.  Jaccard is a
+    small-int ratio — bit-exact cross-engine; the threshold compares
+    the unrounded value (like d02), the reported max rounds to 9.
+
+    100 TB shape: the reference shingle index is the reusable asset —
+    build it once per corpus generation, hash-partitioned by shingle,
+    and stream each new snapshot's (much smaller) shingle set against
+    it; sizes join back broadcast; one narrow output row per new doc.
+    """
+    new_sh = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    ref_sh = ref_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            ref_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        new_sh = new_sh.join(rare, on="shingle")
+        ref_sh = ref_sh.join(rare, on="shingle")
+    new_sz = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_n"))
+    ref_sz = ref_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_r"))
+    inter = (
+        new_sh.alias("a")
+        .join(ref_sh.alias("b"), on="shingle")
+        .groupBy(
+            F.col("a.doc_id").alias("dn"),
+            F.col("b.doc_id").alias("dr"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        inter
+        .join(F.broadcast(new_sz.withColumnRenamed("doc_id", "dn")),
+              on="dn")
+        .join(F.broadcast(ref_sz.withColumnRenamed("doc_id", "dr")),
+              on="dr")
+        .withColumn(
+            "j",
+            F.col("ni").cast("double")
+            / (F.col("n_n") + F.col("n_r") - F.col("ni")).cast("double"),
+        )
+        .filter(F.col("j") >= F.lit(threshold))
+    )
+    near = pairs.groupBy("dn").agg(
+        F.count(F.lit(1)).alias("near_cnt"),
+        F.round(F.max("j"), 9).alias("max_jaccard"),
+    )
+    ref_h = ref_docs.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct().withColumn("_e", F.lit(1))
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"),
+                        F.md5(F.col(text_col)).alias("_nh"))
+        .join(F.broadcast(ref_h), F.col("_nh") == F.col("_h"), "left")
+        .join(near, F.col("doc_id") == F.col("dn"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(0)).alias("exact_dup"),
+            F.coalesce(F.col("near_cnt"), F.lit(0).cast("long"))
+            .alias("near_cnt"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0))
+            .alias("max_jaccard"),
+            ((F.coalesce(F.col("_e"), F.lit(0)) == 0)
+             & F.col("near_cnt").isNull()).cast("int").alias("keep"),
+        )
+    )

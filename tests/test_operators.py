@@ -1327,3 +1327,30 @@ def test_p11_oracle_shares_c4_and_p01_sql():
     tail = em._P01_SQL_TMPL.format(extra_gate="").split(
         "AS toks FROM documents", 1)[1]
     assert tail in o["p11_clean_c4"]
+
+
+def test_cross_corpus_dedup_flags(spark):
+    ref = spark.createDataFrame([
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "completely different reference material lives here now"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        # exact copy of ref 100
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        # near-dup of ref 100 (one token changed at the end)
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        # genuinely new
+        (3, "spark engines shuffle partitions across executors quickly"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cross_corpus_dedup(
+        new, ref, threshold=0.5).collect()}
+    assert out[1].exact_dup == 1 and out[1].keep == 0
+    assert out[1].max_jaccard == 1.0
+    assert out[2].exact_dup == 0 and out[2].near_cnt >= 1
+    assert 0.5 <= out[2].max_jaccard < 1.0 and out[2].keep == 0
+    assert out[3] == (3, 0, 0, 0.0, 1)
+    # the stop-shingle cap prunes by REFERENCE document frequency:
+    # cap 0 removes every shingle -> only the exact path can fire
+    capped = {r.doc_id: r for r in dedup.cross_corpus_dedup(
+        new, ref, threshold=0.5, max_shingle_df=0).collect()}
+    assert capped[2].near_cnt == 0 and capped[1].exact_dup == 1
