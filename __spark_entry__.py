@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f18_hop_distance": _q_hop_distance,
         "p11_clean_c4": _q_clean_c4,
         "d11_cross_corpus": _q_cross_corpus,
+        "t22_normalize_punct": _q_normalize_punct,
     }
 
 
@@ -1415,6 +1416,23 @@ def _q_cross_corpus(spark, sf_dir):
     return dedup.cross_corpus_dedup(
         new_docs, ref_docs, n=3, threshold=0.8
     ).select("doc_id", "exact_dup", "near_cnt", "max_jaccard", "keep")
+
+
+def _q_normalize_punct(spark, sf_dir):
+    # t22: webtext punctuation normalization — every doc decorated
+    # with curly quotes, an en dash, NBSP, an ellipsis and an
+    # ideographic space (escape-explicit here, chr() in the oracle)
+    # so the folding pass has every class to rewrite
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("\u201c"), F.col("text"),
+            F.lit("\u201d  \u2013\u00a0done\u2026\u3000ok "),
+        ),
+    )
+    return textops.normalize_punct(docs).select(
+        "doc_id", "changed", "norm_text"
+    )
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -3149,6 +3167,33 @@ def oracle_sql() -> dict[str, str]:
             FROM newd n
             LEFT JOIN rh ON rh.h = md5(n.text)
             LEFT JOIN near ON near.dn = n.doc_id
+        """,
+        # t22: punctuation normalization — same decorated input
+        # (chr() construction), the same translate map rendered from
+        # textops.PUNCT_SRC/PUNCT_DST, ellipsis replace, whitespace
+        # collapse with the contract class
+        "t22_normalize_punct": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     chr(8220) || text || chr(8221) || '  '
+                       || chr(8211) || chr(160) || 'done'
+                       || chr(8230) || chr(12288) || 'ok ' AS text
+              FROM documents
+            ), n AS (
+              SELECT doc_id, text,
+                     regexp_replace(regexp_replace(
+                       replace(translate(text,
+                         '{textops.PUNCT_SRC.replace(chr(39), chr(39) * 2)}',
+                         '{textops.PUNCT_DST.replace(chr(39), chr(39) * 2)}'),
+                         chr(8230), '...'),
+                       '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
+                       '', 'g'),
+                       '[ \\t\\n\\f\\r]+', ' ', 'g') AS norm_text
+              FROM aug
+            )
+            SELECT doc_id, (norm_text != text)::INT AS changed,
+                   norm_text
+            FROM n
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

@@ -1116,3 +1116,46 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text",
             F.col(id_col), F.col(lang_col), F.col("token_cnt"),
             F.col("mean_logprob"), bucket.cast("int").alias("bucket"),
         )
+
+
+# web-punctuation folding map: curly/angle quotes -> straight,
+# en/em/minus dashes -> hyphen, NBSP/ideographic space -> space.
+# A 1:1 codepoint map so both engines express it as one translate()
+# (same source/target strings rendered into the SQL mirror).
+PUNCT_SRC = "‘’‚“”„«»–—− 　"
+PUNCT_DST = "'',\"\"\"\"\"---  "
+
+
+def normalize_punct(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Webtext punctuation normalization — the pre-tokenization
+    folding pass most public pipelines run (quote unification, dash
+    unification, ellipsis expansion, exotic-space folding, whitespace
+    collapse): returns (id, changed, norm_text).
+
+    One codegen scan: a single 1:1 ``translate`` (PUNCT_SRC →
+    PUNCT_DST) handles every codepoint-for-codepoint fold, one
+    ``replace`` expands U+2026 ellipsis to three dots, and one
+    anchored ``regexp_replace`` collapses runs of the contract's
+    whitespace class to a single space after edge-trimming.
+    ``changed`` marks rows the pass rewrote, so downstream can meter
+    how dirty a source is without diffing.  Exact cross-engine:
+    translate/replace are table lookups, and the collapse uses the
+    same explicit class as the tokenizer (``WS_CLASS``), so
+    ``tokens_col(norm_text)`` equals ``tokens_col(text)`` modulo the
+    folded punctuation — no case mapping involved.
+    """
+    PUNCT_DST_ = PUNCT_DST
+    t = F.col(text_col)
+    folded = F.replace(
+        F.translate(t, PUNCT_SRC, PUNCT_DST_),
+        F.lit("…"), F.lit("..."),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(folded, WS_EDGE, ""), WS_CLASS, " "
+    )
+    return docs.select(
+        F.col(id_col),
+        (norm != t).cast("int").alias("changed"),
+        norm.alias("norm_text"),
+    )

@@ -1354,3 +1354,25 @@ def test_cross_corpus_dedup_flags(spark):
     capped = {r.doc_id: r for r in dedup.cross_corpus_dedup(
         new, ref, threshold=0.5, max_shingle_df=0).collect()}
     assert capped[2].near_cnt == 0 and capped[1].exact_dup == 1
+
+
+def test_normalize_punct_folds_web_punctuation(spark):
+    rows = [
+        (1, "“quoted” – and spaced… done"),
+        (2, "already plain ascii."),
+        (3, "tabs\tand\nnewlines   collapse"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.normalize_punct(df).collect()}
+    assert out[1].norm_text == '"quoted" - and spaced... done'
+    assert out[1].changed == 1
+    assert out[2].norm_text == "already plain ascii."
+    assert out[2].changed == 0
+    assert out[3].norm_text == "tabs and newlines collapse"
+    # the normalized text tokenizes identically to the raw text
+    # modulo the folded punctuation — NBSP becomes a real separator
+    toks = textops.token_stats(
+        textops.normalize_punct(df).withColumnRenamed(
+            "norm_text", "text")
+    ).collect()
+    assert {r.doc_id: r.token_cnt for r in toks}[1] == 5
