@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_clean_c4": _q_clean_c4,
         "d11_cross_corpus": _q_cross_corpus,
         "t22_normalize_punct": _q_normalize_punct,
+        "t23_chunk_documents": _q_chunk_documents,
     }
 
 
@@ -1433,6 +1434,16 @@ def _q_normalize_punct(spark, sf_dir):
     return textops.normalize_punct(docs).select(
         "doc_id", "changed", "norm_text"
     )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    # t23: long-document chunking — 32-token windows starting every
+    # 24 tokens (overlapping stride), same integer construction in
+    # the oracle
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=32, stride=24
+    ).select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens",
+             "chunk_text")
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -3194,6 +3205,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (norm_text != text)::INT AS changed,
                    norm_text
             FROM n
+        """,
+        # t23: long-document chunking — same window/stride integer
+        # arithmetic; range(nc) is the 0-based chunk index on both
+        # engines
+        "t23_chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), c AS (
+              SELECT doc_id, t,
+                     greatest(1, ceil((len(t) - 32)::DOUBLE
+                                      / 24.0)::INT + 1) AS nc
+              FROM toks
+            ), e AS (
+              SELECT doc_id, t, i
+              FROM c, unnest(range(nc)) AS r(i)
+            )
+            SELECT doc_id, i::BIGINT AS chunk_idx,
+                   (i * 24)::BIGINT AS chunk_start,
+                   least(32, len(t) - i * 24)::BIGINT AS chunk_tokens,
+                   array_to_string(t[i*24+1:i*24+32], ' ')
+                     AS chunk_text
+            FROM e
+            WHERE least(32, len(t) - i * 24) >= 1
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

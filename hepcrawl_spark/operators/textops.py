@@ -1159,3 +1159,69 @@ def normalize_punct(docs: DataFrame, text_col: str = "text",
         (norm != t).cast("int").alias("changed"),
         norm.alias("norm_text"),
     )
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 256,
+                    stride: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tail: int = 1) -> DataFrame:
+    """Split long documents into fixed-token-window training chunks —
+    the long-document step every context-window pipeline runs before
+    sequence packing (p02 packs whole docs; this cuts docs LONGER
+    than a window into overlapping pieces first).  Returns one row
+    per chunk: (id, chunk_idx, chunk_start, chunk_tokens, chunk_text).
+
+    Windows start every ``stride`` tokens (default = ``max_tokens``,
+    i.e. disjoint); the final window may be shorter but must carry at
+    least ``min_tail`` tokens.  A document at or under ``max_tokens``
+    yields exactly one chunk.  Exact construction on both engines:
+    chunk starts are ``0, stride, 2*stride, …`` while
+    ``start < token_cnt`` with the count of chunks
+    ``greatest(1, ceil((token_cnt - max_tokens) / stride) + 1)`` —
+    integer arithmetic only, and the chunk text re-joins the token
+    slice with single spaces (the tokenizer's inverse up to
+    whitespace, which downstream ops treat canonically anyway).
+
+    100 TB shape: one codegen scan + per-row generate (chunk
+    cardinality), no shuffle — chunks inherit the scan's partitioning
+    and flow straight into `pack_sequences`.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+
+    def _chunks(t):
+        n = F.size(t)
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((n - F.lit(max_tokens)).cast("double")
+                   / F.lit(float(stride))).cast("int") + 1,
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("idx"),
+                (i * stride).cast("long").alias("start"),
+                F.least(
+                    F.lit(max_tokens), n - i * stride
+                ).cast("long").alias("ntok"),
+                F.array_join(
+                    F.slice(t, i * stride + 1, max_tokens), " "
+                ).alias("txt"),
+            ),
+        )
+
+    out = bind_once(tokens_col(F.col(text_col)), _chunks)
+    return (
+        docs.select(F.col(id_col), F.explode(out).alias("_c"))
+        .where(F.col("_c.ntok") >= F.lit(min_tail))
+        .select(
+            id_col,
+            F.col("_c.idx").alias("chunk_idx"),
+            F.col("_c.start").alias("chunk_start"),
+            F.col("_c.ntok").alias("chunk_tokens"),
+            F.col("_c.txt").alias("chunk_text"),
+        )
+    )

@@ -1376,3 +1376,34 @@ def test_normalize_punct_folds_web_punctuation(spark):
             "norm_text", "text")
     ).collect()
     assert {r.doc_id: r.token_cnt for r in toks}[1] == 5
+
+
+def test_chunk_documents_windows(spark):
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, ten), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    # disjoint windows of 4: 10 tokens -> chunks at 0,4,8 (sizes 4,4,2)
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_tokens,
+         r.chunk_text)
+        for r in textops.chunk_documents(df, max_tokens=4).collect()
+    )
+    assert [(c[1], c[2], c[3]) for c in out if c[0] == 1] == [
+        (0, 0, 4), (1, 4, 4), (2, 8, 2)]
+    assert [c for c in out if c[0] == 1][0][4] == "w0 w1 w2 w3"
+    # a short doc and even the empty doc yield exactly one chunk
+    assert [(c[3], c[4]) for c in out if c[0] == 2] == [(2, "short doc")]
+    assert len([c for c in out if c[0] == 3]) == 1
+    # overlapping stride: windows at 0,3,6 cover with overlap
+    ov = sorted(
+        (r.chunk_start, r.chunk_tokens)
+        for r in textops.chunk_documents(
+            df.where("doc_id = 1"), max_tokens=4, stride=3).collect()
+    )
+    assert ov == [(0, 4), (3, 4), (6, 4)]
+    # chunks re-pack: total chunk tokens with disjoint stride equals
+    # the document's token count
+    tot = sum(c[3] for c in out if c[0] == 1)
+    assert tot == 10
