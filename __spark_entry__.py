@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_cross_corpus": _q_cross_corpus,
         "t22_normalize_punct": _q_normalize_punct,
         "t23_chunk_documents": _q_chunk_documents,
+        "p12_ccnet_pack": _q_ccnet_pack,
     }
 
 
@@ -1446,6 +1447,24 @@ def _q_chunk_documents(spark, sf_dir):
              "chunk_text")
 
 
+def _q_ccnet_pack(spark, sf_dir):
+    # p12: the CCNet use of t21 — drop the tail bucket, pack
+    # head+middle into the context-window layout (two-phase cumsum,
+    # no unpartitioned window on the Spark side)
+    from hepcrawl_spark.operators.corpus import pack_sequences
+
+    kept = textops.ccnet_buckets(
+        _t(spark, sf_dir, "documents")
+    ).where(F.col("bucket") <= 2).select(
+        "doc_id", "lang", "token_cnt", "bucket"
+    )
+    inner = pack_sequences(kept, capacity=512, count_col="token_cnt")
+    out = inner.select("doc_id", "lang", "token_cnt", "bucket",
+                       "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
+
+
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
 # and the SQL mirror so the two cannot drift ("dup"/"slow" split the
 # synthetic vocabulary ~in half, giving the gate real selectivity)
@@ -2011,6 +2030,50 @@ _C4_CTES = f"""c4toks AS (
 # p11 filters on it
 _C4_PAGE_OK_SQL = ("(len(kept) >= 3 AND NOT contains(lower(text), "
                    "'{') AND NOT contains(lower(text), 'lorem ipsum'))")
+
+
+# t21/p12 shared CCNet bucketing mirror (see ccnet_buckets): t10's
+# score, the t07 md5 sample, integer-ceil boundary ranks, COALESCEd
+# broadcast comparisons
+_CCNET_SQL = f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT sum(cnt)::DOUBLE AS total FROM freq
+            ), sc AS (
+              SELECT doc_id, count(*)::BIGINT AS token_cnt,
+                     round(avg(ln(cnt::DOUBLE / total)), 6)
+                       AS mean_logprob
+              FROM toks JOIN freq USING (tok), tot GROUP BY doc_id
+            ), j AS (
+              SELECT d.doc_id, d.lang, sc.token_cnt, sc.mean_logprob
+              FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+            ), samp AS (
+              SELECT * FROM j
+              WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':c42'),
+                     1, 4))::BIGINT < 16384
+            ), rk AS (
+              SELECT lang, doc_id, mean_logprob,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY mean_logprob DESC, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY lang) AS m
+              FROM samp
+            ), b AS (
+              SELECT lang,
+                     max(CASE WHEN rnk = (m * 1 + 2) // 3
+                              THEN mean_logprob END) AS b1,
+                     max(CASE WHEN rnk = (m * 2 + 2) // 3
+                              THEN mean_logprob END) AS b2
+              FROM rk GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.token_cnt, j.mean_logprob,
+                   (1 + COALESCE((j.mean_logprob < b.b1)::INT, 0)
+                      + COALESCE((j.mean_logprob < b.b2)::INT, 0)
+                   )::INT AS bucket
+            FROM j LEFT JOIN b USING (lang)
+"""
 
 
 # f18 seed-distance constants — a 23-cycle host graph with per-doc
@@ -3018,45 +3081,28 @@ def oracle_sql() -> dict[str, str]:
         # sample substrate (salt c42, 16384/65536), integer-ceil
         # boundary ranks over the sample per language, two COALESCEd
         # comparisons assign the bucket; ties attach upward on both
-        # engines because the compared score is the rounded t10 value
-        "t21_ccnet_buckets": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-            ), freq AS (
-              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
-            ), tot AS (
-              SELECT sum(cnt)::DOUBLE AS total FROM freq
-            ), sc AS (
-              SELECT doc_id, count(*)::BIGINT AS token_cnt,
-                     round(avg(ln(cnt::DOUBLE / total)), 6)
-                       AS mean_logprob
-              FROM toks JOIN freq USING (tok), tot GROUP BY doc_id
-            ), j AS (
-              SELECT d.doc_id, d.lang, sc.token_cnt, sc.mean_logprob
-              FROM documents d JOIN sc ON sc.doc_id = d.doc_id
-            ), samp AS (
-              SELECT * FROM j
-              WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':c42'),
-                     1, 4))::BIGINT < 16384
-            ), rk AS (
-              SELECT lang, doc_id, mean_logprob,
-                     row_number() OVER (PARTITION BY lang
-                       ORDER BY mean_logprob DESC, doc_id) AS rnk,
-                     count(*) OVER (PARTITION BY lang) AS m
-              FROM samp
-            ), b AS (
-              SELECT lang,
-                     max(CASE WHEN rnk = (m * 1 + 2) // 3
-                              THEN mean_logprob END) AS b1,
-                     max(CASE WHEN rnk = (m * 2 + 2) // 3
-                              THEN mean_logprob END) AS b2
-              FROM rk GROUP BY lang
+        # engines because the compared score is the rounded t10
+        # value.  Shared verbatim with the p12 composition.
+        "t21_ccnet_buckets": _CCNET_SQL,
+        # p12: quality-mixed packed layout — t21's SQL verbatim as a
+        # CTE (shared constant, cannot drift), tail bucket dropped,
+        # head+middle packed with the p02 cumsum/offset arithmetic
+        "p12_ccnet_pack": f"""
+            WITH bkt AS ({_CCNET_SQL}
+            ), kept AS (
+              SELECT doc_id, lang, token_cnt, bucket FROM bkt
+              WHERE bucket <= 2
+            ), laid AS (
+              SELECT *,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM kept
             )
-            SELECT j.doc_id, j.lang, j.token_cnt, j.mean_logprob,
-                   (1 + COALESCE((j.mean_logprob < b.b1)::INT, 0)
-                      + COALESCE((j.mean_logprob < b.b2)::INT, 0)
-                   )::INT AS bucket
-            FROM j LEFT JOIN b USING (lang)
+            SELECT doc_id, lang, token_cnt, bucket,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM laid
         """,
         # f17: WARC round-trip — serialize documents into 16
         # multi-record members (same url/date construction and

@@ -1407,3 +1407,11 @@ def test_chunk_documents_windows(spark):
     # the document's token count
     tot = sum(c[3] for c in out if c[0] == 1)
     assert tot == 10
+
+
+def test_p12_oracle_shares_t21_sql():
+    import __spark_entry__ as em
+    o = em.oracle_sql()
+    assert o["t21_ccnet_buckets"] == em._CCNET_SQL
+    assert em._CCNET_SQL in o["p12_ccnet_pack"]
+    assert "bucket <= 2" in o["p12_ccnet_pack"]
