@@ -597,3 +597,31 @@ def stream_host_stats(pages_stream: DataFrame,
             "url_host", "n_pages", "bytes",
         )
     )
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming WARC ingestion: each ``*.warc`` text file landing in
+    the watched directory is one (decompressed) WARC member, read
+    whole (``wholetext``) and exploded into records by the same
+    JVM-side parser the batch path uses
+    (:func:`hepcrawl_spark.sources.warc.parse_warc_records`) — the
+    continuous counterpart of the batch WARC scan, so a live crawl
+    dump drains into the extraction/cleaning pipelines as it arrives.
+
+    The parse is a stateless per-row projection, legal in any
+    micro-batch position; downstream the records join the same
+    ``stream_extract``/``stream_clean_corpus`` surfaces as parquet
+    pages.  At scale the natural trigger unit is the member file
+    (Common Crawl ships ~1 GB members), so ``maxFilesPerTrigger``
+    bounds per-batch bytes.
+    """
+    from ..sources.warc import parse_warc_records
+
+    members = (
+        spark.readStream
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path, wholetext=True)
+        .withColumnRenamed("value", "warc")
+    )
+    return parse_warc_records(members)

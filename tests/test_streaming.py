@@ -631,3 +631,62 @@ def test_stream_crawl_url_blocklist_parity_with_batch(spark, tmp_path):
         .select("url").collect()
     )
     assert batch_urls == stream_urls
+
+
+def test_read_warc_stream_parses_members(spark, tmp_path):
+    # two WARC members land in the watched dir; the stream must
+    # yield every record with byte-identical payloads, continuously
+    from hepcrawl_spark.streaming.pipeline import read_warc_stream
+
+    warc_dir = tmp_path / "warc_in"
+    warc_dir.mkdir()
+    out_dir = str(tmp_path / "records_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def member(recs):
+        return "".join(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {u}\r\nWARC-Date: {d}\r\n"
+            f"Content-Length: {len(p)}\r\n\r\n{p}\r\n\r\n"
+            for u, d, p in recs
+        )
+
+    (warc_dir / "m0.warc").write_text(member([
+        ("http://a.example.com/1", "2026-08-19T00:00:01Z", "alpha"),
+        ("http://a.example.com/2", "2026-08-19T00:00:02Z",
+         "beta\r\ngamma"),
+    ]), newline="")
+    (warc_dir / "m1.warc").write_text(member([
+        ("http://b.example.com/3", "2026-08-19T00:00:03Z", ""),
+    ]), newline="")
+
+    q = (
+        read_warc_stream(spark, str(warc_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.target_uri: r for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 3
+    assert got["http://a.example.com/2"].payload == "beta\r\ngamma"
+    assert got["http://b.example.com/3"].payload == ""
+    assert all(r.length_ok for r in got.values())
+    # a third member arriving later drains on the next availableNow
+    (warc_dir / "m2.warc").write_text(member([
+        ("http://c.example.com/4", "2026-08-19T00:00:04Z", "delta"),
+    ]), newline="")
+    q2 = (
+        read_warc_stream(spark, str(warc_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 4
