@@ -467,3 +467,34 @@ def test_f18_hop_distance_no_cartesian_no_python(spark):
     plan = _plan(em.queries()["f18_hop_distance"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_t22_t23_single_scan_no_exchange(spark):
+    # punctuation folding is a pure projection; chunking is a
+    # projection + generate — neither may shuffle or join
+    for q in ("t22_normalize_punct", "t23_chunk_documents"):
+        plan = _plan(em.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+        assert "Join" not in plan, q
+        assert "EvalPython" not in plan, q
+
+
+def test_d11_cross_corpus_no_cartesian_broadcast_sizes(spark):
+    plan = _plan(em.queries()["d11_cross_corpus"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the exact-hash membership and both size tables ride broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_p12_pack_no_unpartitioned_window(spark):
+    # the Spark side lays out via two_phase_cumsum — a corpus-wide
+    # ORDER BY window (empty partition spec) must never appear
+    plan = _plan(em.queries()["p12_ccnet_pack"](spark, SF))
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # every window carries a partition expression before the
+            # ordering spec (the sample-rank and bucket windows)
+            head = line.split("windowspecdefinition(", 1)[1]
+            assert not head.lstrip().startswith("_w"), line
