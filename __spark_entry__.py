@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_normalize_punct": _q_normalize_punct,
         "t23_chunk_documents": _q_chunk_documents,
         "p12_ccnet_pack": _q_ccnet_pack,
+        "f19_robots_gate": _q_robots_gate,
     }
 
 
@@ -1710,8 +1711,10 @@ def _q_sitemap_scan(spark, sf_dir):
 def _robots_bodies(spark, sf_dir):
     """Synthesized robots.txt bodies for the 20 event hosts —
     exercises group precedence (specific agent beats *), an ignored
-    foreign-agent group, merged Disallow lines, Crawl-delay, and the
-    group-scope-free Sitemap field.  Shared by f11 and f14."""
+    foreign-agent group, merged Disallow lines, Allow lines (chosen
+    so their prefixes never match f14's candidate paths — the f14
+    verdict stays pure-Disallow by construction), Crawl-delay, and
+    the group-scope-free Sitemap field.  Shared by f11 and f14."""
     ev = _t(spark, sf_dir, "events")
     hosts = ev.select((F.col("user_id") % 20).alias("hid")).distinct()
     hid = F.col("hid")
@@ -1723,6 +1726,9 @@ def _robots_bodies(spark, sf_dir):
         .otherwise(F.lit("")),
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /private/"), hs, F.lit("\n"),
+        F.when(hid % 2 == 1, F.concat(
+            F.lit("Allow: /private/"), hs, F.lit("/pub/\n")))
+        .otherwise(F.lit("")),
         F.when(hid % 3 == 0, F.lit("Disallow: /tmp/\n"))
         .otherwise(F.lit("")),
         F.when(hid % 2 == 0, F.concat(
@@ -1730,7 +1736,8 @@ def _robots_bodies(spark, sf_dir):
             F.lit("\n"))).otherwise(F.lit("")),
         F.when(hid % 5 == 0, F.concat(
             F.lit("User-agent: sparkbot\nDisallow: /only/"), hs,
-            F.lit("\nCrawl-delay: 9\n"))).otherwise(F.lit("")),
+            F.lit("\nAllow: /only/"), hs, F.lit("/ok\n"),
+            F.lit("Crawl-delay: 9\n"))).otherwise(F.lit("")),
         F.lit("Sitemap: http://h"), hs,
         F.lit(".example.com/sitemap.xml\n"),
     )
@@ -1749,6 +1756,49 @@ def _q_robots_parse(spark, sf_dir):
     return robotstxt.robots_table(
         _robots_bodies(spark, sf_dir), agent="sparkbot"
     ).orderBy("url_host")
+
+
+def _q_robots_gate(spark, sf_dir):
+    # f19: the RFC 9309 longest-match verdict end-to-end — raw
+    # bodies (with Allow lines) -> robots_table -> robots_filter;
+    # three path shapes per host exercise the allow punch-through
+    # ('/pub/' under a disallowed subtree), the still-blocked
+    # sibling, and the untouched path; the oracle states the closed
+    # form of every verdict
+    from hepcrawl_spark.frontier import robotstxt
+    from hepcrawl_spark.frontier.robots import robots_filter
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("hid"),
+        (F.col("event_id") % 3).alias("v"),
+        (F.col("event_id") % 50).alias("n"),
+    ).distinct()
+    hs = F.col("hid").cast("string")
+    ns = F.col("n").cast("string")
+    path = (
+        F.when(F.col("v") == 0,
+               F.concat(F.lit("/private/"), hs, F.lit("/pub/d"), ns))
+        .when(F.col("v") == 1,
+              F.concat(F.lit("/private/"), hs, F.lit("/s"), ns))
+        .otherwise(F.concat(F.lit("/p/"), ns))
+    )
+    cand = ev.select(
+        F.concat(F.lit("h"), hs, F.lit(".example.com"))
+        .alias("url_host"),
+        path.alias("path"),
+    ).withColumn(
+        "canon_url",
+        F.concat(F.lit("http://"), F.col("url_host"), F.col("path")),
+    )
+    rules = robotstxt.robots_table(
+        _robots_bodies(spark, sf_dir), agent="sparkbot"
+    )
+    allowed, blocked = robots_filter(cand, rules)
+    return allowed.select(
+        "url_host", "path", F.lit(0).alias("blocked")
+    ).unionByName(
+        blocked.select("url_host", "path", F.lit(1).alias("blocked"))
+    )
 
 
 def _q_crawl_clean(spark, sf_dir):
@@ -3369,12 +3419,40 @@ def oracle_sql() -> dict[str, str]:
                           THEN ['/private/' || hid, '/tmp/']
                         ELSE ['/private/' || hid]
                    END AS disallow_prefixes,
+                   CASE WHEN hid % 5 = 0
+                          THEN ['/only/' || hid || '/ok']
+                        WHEN hid % 2 = 1
+                          THEN ['/private/' || hid || '/pub/']
+                        ELSE []
+                   END AS allow_prefixes,
                    CASE WHEN hid % 5 = 0 THEN 9.0
                         WHEN hid % 2 = 0 THEN (1 + hid % 7)::DOUBLE
                         ELSE NULL END AS crawl_delay,
                    ['http://h' || hid || '.example.com/sitemap.xml']
                      AS sitemaps
             FROM h ORDER BY url_host
+        """,
+        # f19: closed form of the longest-match verdicts — sparkbot
+        # hosts (hid%5=0) follow their own group (nothing here
+        # matches it); odd hosts' Allow '/pub/' punches through the
+        # Disallow for the v=0 paths; everything else under
+        # '/private/' stays blocked
+        "f19_robots_gate": """
+            WITH c AS (
+              SELECT DISTINCT (user_id % 20) AS hid,
+                     event_id % 3 AS v, event_id % 50 AS n
+              FROM events
+            )
+            SELECT 'h' || hid || '.example.com' AS url_host,
+                   CASE v
+                     WHEN 0 THEN '/private/' || hid || '/pub/d' || n
+                     WHEN 1 THEN '/private/' || hid || '/s' || n
+                     ELSE '/p/' || n END AS path,
+                   CASE WHEN hid % 5 = 0 THEN 0
+                        WHEN v = 2 THEN 0
+                        WHEN v = 0 AND hid % 2 = 1 THEN 0
+                        ELSE 1 END AS blocked
+            FROM c
         """,
         "f12_snapshot_churn": f"""
             WITH {_SNAP_HIST_SQL}

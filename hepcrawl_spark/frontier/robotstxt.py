@@ -17,13 +17,15 @@ gate self-sufficient at Common-Crawl scale.)  The loop:
 Grammar: the RFC 9309 subset the gate can enforce — ``User-agent``
 groups (consecutive UA lines share one group; a specific-agent group
 takes precedence over ``*``; multiple groups for the same agent
-merge), ``Disallow`` path prefixes (empty value = no rule),
-``Crawl-delay`` (non-standard, honored conservatively as the max
-across matching groups), ``Sitemap`` (global — outside group scope
-per the RFC), ``#`` comments.  ``Allow`` lines are IGNORED: the gate
-is prefix-blocklist shaped, so an Allow that would punch a hole in a
-Disallow is not honored and the Disallow wins — strictly conservative
-(we may skip an allowed URL, never fetch a disallowed one).
+merge), ``Disallow`` AND ``Allow`` path prefixes (empty value = no
+rule), ``Crawl-delay`` (non-standard, honored conservatively as the
+max across matching groups), ``Sitemap`` (global — outside group
+scope per the RFC), ``#`` comments.  Allow-vs-Disallow resolution
+follows RFC 9309 §2.2.2 longest-match in the gate
+(``frontier.robots.robots_filter``): the most specific (longest)
+matching prefix wins, and a tie is least-restrictive (allow).  A
+rules table WITHOUT the ``allow_prefixes`` column (older producers)
+degrades to the previous pure prefix-blocklist semantics.
 
 Scale shape: robots bodies are HOST-cardinality, not URL-cardinality
 — the same regime as the record extractors — so the parse runs as an
@@ -50,6 +52,7 @@ DEFAULT_AGENT = "sparkcrawl"
 ROBOTS_RULES_SCHEMA = StructType([
     StructField("url_host", StringType()),
     StructField("disallow_prefixes", ArrayType(StringType())),
+    StructField("allow_prefixes", ArrayType(StringType())),
     StructField("crawl_delay", DoubleType()),
     StructField("sitemaps", ArrayType(StringType())),
 ])
@@ -58,19 +61,23 @@ ROBOTS_RULES_SCHEMA = StructType([
 def parse_robots(body: str, agent: str = DEFAULT_AGENT) -> dict:
     """Parse one robots.txt body for ``agent``.
 
-    Returns ``{"disallow": [prefixes...], "crawl_delay": float|None,
-    "sitemaps": [urls...]}``.  Group selection per RFC 9309 §2.2.1:
-    if any group names ``agent`` (case-insensitive product token), the
-    union of those groups applies and ``*`` groups are ignored;
-    otherwise the ``*`` groups apply.
+    Returns ``{"disallow": [prefixes...], "allow": [prefixes...],
+    "crawl_delay": float|None, "sitemaps": [urls...]}``.  Group
+    selection per RFC 9309 §2.2.1: if any group names ``agent``
+    (case-insensitive product token), the union of those groups
+    applies and ``*`` groups are ignored; otherwise the ``*`` groups
+    apply.  ``Allow`` lines are collected per group under the same
+    precedence; the GATE resolves Allow-vs-Disallow by RFC 9309
+    §2.2.2 longest-match (ties go to allow) — see
+    ``frontier.robots.robots_filter``.
     """
-    groups = []          # [(set_of_agents, [disallow], [delay])]
+    groups = []          # [(set_of_agents, [disallow], [delay], [allow])]
     cur_agents: Optional[set] = None
     cur_open = False     # True while still collecting UA lines
     sitemaps = []
 
     def _new_group(a):
-        groups.append(({a}, [], []))
+        groups.append(({a}, [], [], []))
 
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -98,20 +105,25 @@ def parse_robots(body: str, agent: str = DEFAULT_AGENT) -> dict:
         if field == "disallow":
             if value:
                 groups[-1][1].append(value)
+        elif field == "allow":
+            if value:
+                groups[-1][3].append(value)
         elif field == "crawl-delay":
             try:
                 groups[-1][2].append(float(value))
             except ValueError:
                 pass
-        # 'allow' and unknown fields: ignored (see module docstring)
+        # unknown fields: ignored
 
     agent = agent.lower()
     exact = [g for g in groups if agent in g[0]]
     chosen = exact if exact else [g for g in groups if "*" in g[0]]
     disallow = [p for g in chosen for p in g[1]]
+    allow = [p for g in chosen for p in g[3]]
     delays = [d for g in chosen for d in g[2]]
     return {
         "disallow": sorted(set(disallow)),
+        "allow": sorted(set(allow)),
         "crawl_delay": max(delays) if delays else None,
         "sitemaps": sitemaps,
     }
@@ -126,7 +138,8 @@ def robots_table(
     """(url_host, body) -> the rules dimension ``robots_filter`` joins.
 
     ``body`` may be string or binary.  Output columns: url_host,
-    disallow_prefixes, crawl_delay, sitemaps (ROBOTS_RULES_SCHEMA).
+    disallow_prefixes, allow_prefixes, crawl_delay, sitemaps
+    (ROBOTS_RULES_SCHEMA).
     """
     src = bodies.select(
         F.col(host_col).alias("url_host"),
@@ -139,6 +152,7 @@ def robots_table(
             yield pd.DataFrame({
                 "url_host": pdf["url_host"].values,
                 "disallow_prefixes": [p["disallow"] for p in parsed],
+                "allow_prefixes": [p["allow"] for p in parsed],
                 "crawl_delay": [p["crawl_delay"] for p in parsed],
                 "sitemaps": [p["sitemaps"] for p in parsed],
             })

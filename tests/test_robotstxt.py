@@ -9,8 +9,8 @@ def test_star_group_with_comments_and_blanks():
     got = parse_robots(
         "# hi\n\nUser-agent: *\nDisallow: /a  # trailing\nDisallow: /b\n",
         agent="me")
-    assert got == {"disallow": ["/a", "/b"], "crawl_delay": None,
-                   "sitemaps": []}
+    assert got == {"disallow": ["/a", "/b"], "allow": [],
+                   "crawl_delay": None, "sitemaps": []}
 
 
 def test_specific_agent_beats_star():
@@ -42,14 +42,48 @@ def test_edge_cases_ignored():
     body = ("Disallow: /before-any-group\n"        # rule before UA
             "User-agent: *\n"
             "Disallow:\n"                          # empty = no rule
-            "Allow: /hole\n"                       # not enforced
+            "Allow: /hole\n"                       # collected
             "Crawl-delay: fast\n"                  # unparseable
             "Sitemap: http://a.com/s.xml\n"
             "Sitemap: http://a.com/s2.xml\n")
     got = parse_robots(body, "x")
-    assert got == {"disallow": [], "crawl_delay": None,
+    assert got == {"disallow": [], "allow": ["/hole"],
+                   "crawl_delay": None,
                    "sitemaps": ["http://a.com/s.xml",
                                 "http://a.com/s2.xml"]}
+
+
+def test_allow_longest_match_gate(spark):
+    # RFC 9309 §2.2.2: longest matching prefix wins; ties (incl. the
+    # no-rules case) are least-restrictive
+    from hepcrawl_spark.frontier.robots import robots_filter
+    from hepcrawl_spark.frontier.robotstxt import robots_table
+
+    bodies = spark.createDataFrame(
+        [("h.example.com",
+          "User-agent: *\nDisallow: /private/\n"
+          "Allow: /private/pub/\nAllow: /private/x\n")],
+        "url_host string, body string",
+    )
+    rules = robots_table(bodies, agent="me")
+    cand = spark.createDataFrame(
+        [("h.example.com", f"http://h.example.com{p}")
+         for p in ("/private/secret", "/private/pub/doc",
+                   "/private/x", "/private/xy", "/open/doc")],
+        "url_host string, canon_url string",
+    )
+    allowed, blocked = robots_filter(cand, rules)
+    ok = {r.canon_url.rsplit(".com", 1)[1] for r in allowed.collect()}
+    no = {r.canon_url.rsplit(".com", 1)[1] for r in blocked.collect()}
+    # deeper Allow beats the shorter Disallow; equal length ties
+    # allow; the bare Disallow still blocks
+    assert ok == {"/private/pub/doc", "/private/x", "/private/xy",
+                  "/open/doc"}
+    assert no == {"/private/secret"}
+    # a rules table WITHOUT allow_prefixes keeps the old semantics
+    legacy = rules.drop("allow_prefixes")
+    allowed2, blocked2 = robots_filter(cand, legacy)
+    assert blocked2.count() == 4 and allowed2.count() == 1
 
 
 def test_robots_table_and_gate_composition(spark):
