@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_chunk_documents": _q_chunk_documents,
         "p12_ccnet_pack": _q_ccnet_pack,
         "f19_robots_gate": _q_robots_gate,
+        "t24_dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1464,6 +1465,15 @@ def _q_ccnet_pack(spark, sf_dir):
                        "seq_id", "seq_offset")
     out._cumsum_cache = inner._cumsum_cache
     return out
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # t24: DSIR hashed-unigram importance weights — the data-selection
+    # signal of Xie et al. 2023; target = the deterministic md5-bucket
+    # sample standing in for the held-out quality corpus
+    return textops.dsir_weights(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "is_target", "token_cnt", "dsir_weight")
 
 
 # t18 banned-word gate: blocklist rendered into BOTH the Spark plan
@@ -3324,6 +3334,47 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM e
             WHERE least(32, len(t) - i * 24) >= 1
+        """,
+        # t24: DSIR importance weights — identical md5 target bucket,
+        # identical md5 token-hash buckets, add-one smoothing, mean of
+        # the per-token log ratio (round 6, the ln contract of t10)
+        "t24_dsir_weights": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
+                                     1, 4))::BIGINT
+                       < {textops.DSIR_TARGET_BPS} AS is_target,
+                     {_TOKS} AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, is_target,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT
+                       % {textops.DSIR_BUCKETS} AS bucket
+              FROM s, unnest(toks) AS u(t)
+            ), bc AS (
+              SELECT bucket, count(*)::BIGINT AS raw_cnt,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0
+                         END)::BIGINT AS tgt_cnt
+              FROM tok GROUP BY bucket
+            ), tot AS (
+              SELECT sum(raw_cnt)::BIGINT AS raw_total,
+                     sum(tgt_cnt)::BIGINT AS tgt_total
+              FROM bc
+            ), w AS (
+              SELECT bucket,
+                     ln((tgt_cnt + 1)::DOUBLE
+                        / (tgt_total + {textops.DSIR_BUCKETS})::DOUBLE)
+                     - ln((raw_cnt + 1)::DOUBLE
+                          / (raw_total
+                             + {textops.DSIR_BUCKETS})::DOUBLE)
+                       AS logratio
+              FROM bc, tot
+            )
+            SELECT doc_id, is_target,
+                   count(*)::BIGINT AS token_cnt,
+                   round(avg(logratio), 6) AS dsir_weight
+            FROM tok JOIN w USING (bucket)
+            GROUP BY doc_id, is_target
         """,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan

@@ -1225,3 +1225,81 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 256,
             F.col("_c.txt").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_BPS = 9830          # ≈15% of 0x10000 — the target sample
+
+
+def dsir_weights(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = DSIR_BUCKETS,
+                 target_bps: int = DSIR_TARGET_BPS,
+                 salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) at hashed-unigram order: score every raw document by how
+    much more likely its tokens are under a *target* distribution
+    than under the raw-corpus distribution.
+
+        weight(d) = mean over tokens t of
+                    [ ln p_target(bucket(t)) - ln p_raw(bucket(t)) ]
+
+    with add-one smoothing over ``n_buckets`` hashed buckets.  The
+    target here is the deterministic md5-bucket sample of the corpus
+    itself (``target_bps``/65536 of docs, same RNG-free idiom as
+    ``stratified_sample``) standing in for the held-out high-quality
+    corpus (Wikipedia/books in the paper); swap ``is_target`` for a
+    real reference corpus by unioning it in upstream.
+
+    Plan shape at 100 TB: bucket frequencies are ONE explode +
+    hash-partial groupBy collapsing to ``n_buckets`` rows (tiny);
+    totals ride along as a broadcast 1-row aggregate; scoring
+    broadcast-joins the n_buckets-row log-ratio table back to the
+    token stream (no shuffle on the big side beyond the per-doc
+    partial agg).  No token-level join against a corpus-cardinality
+    table — unlike ``unigram_logprob`` the model side is fixed-size,
+    which is what makes DSIR the scalable selection signal.
+
+    Rounded to 6 decimals: the fold crosses ``ln`` (libm-dependent
+    last digits), same contract as ``unigram_logprob``.
+    """
+    is_target = (sample_bucket_col(F.col(id_col), salt)
+                 < F.lit(int(target_bps)))
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("is_target"),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    ).select(
+        id_col, "is_target",
+        (token_hash(F.col("_tok")) % F.lit(n_buckets)).alias("bucket"),
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"),
+        F.sum("tgt_cnt").alias("tgt_total"),
+    )
+    b = F.lit(n_buckets).cast("double")
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + 1).cast("double")
+                  / (F.col("tgt_total").cast("double") + b))
+            - F.log((F.col("raw_cnt") + 1).cast("double")
+                    / (F.col("raw_total").cast("double") + b))
+        ).alias("logratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), on="bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("token_cnt"),
+            F.round(F.avg("logratio"), 6).alias("dsir_weight"),
+        )
+    )

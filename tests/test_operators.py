@@ -1415,3 +1415,39 @@ def test_p12_oracle_shares_t21_sql():
     assert o["t21_ccnet_buckets"] == em._CCNET_SQL
     assert em._CCNET_SQL in o["p12_ccnet_pack"]
     assert "bucket <= 2" in o["p12_ccnet_pack"]
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    # t24: docs written in the target sample's vocabulary must score
+    # positive importance weight; docs in a disjoint vocabulary
+    # negative.  Target membership is the md5 bucket of the id —
+    # computed here independently so the test also pins the sampling
+    # contract.
+    import hashlib
+
+    def is_tgt(i, bps):
+        h = hashlib.md5(f"{i}:dsir".encode()).hexdigest()[:4]
+        return int(h, 16) < bps
+
+    bps = 0x8000  # 50% target so both vocabularies are well sampled
+    rows = []
+    for i in range(40):
+        if is_tgt(i, bps):
+            rows.append((i, "the cat sat on the mat and purred"))
+        else:
+            rows.append((i, "qzx wvk jjm zzq xxo ppl grb mnw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.dsir_weights(df, target_bps=bps).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i].is_target == is_tgt(i, bps)
+        if is_tgt(i, bps):
+            assert out[i].dsir_weight > 0, i
+        else:
+            assert out[i].dsir_weight < 0, i
+    # weights are a corpus-level model: every doc sharing a
+    # vocabulary gets the identical score
+    tgt_w = {out[i].dsir_weight for i in range(40) if is_tgt(i, bps)}
+    off_w = {out[i].dsir_weight for i in range(40) if not is_tgt(i, bps)}
+    assert len(tgt_w) == 1 and len(off_w) == 1

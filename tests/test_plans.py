@@ -498,3 +498,15 @@ def test_p12_pack_no_unpartitioned_window(spark):
             # ordering spec (the sample-rank and bucket windows)
             head = line.split("windowspecdefinition(", 1)[1]
             assert not head.lstrip().startswith("_w"), line
+
+
+def test_t24_dsir_broadcast_model_no_sort_merge(spark):
+    # DSIR: the n_buckets-row log-ratio table must ride broadcast back
+    # to the token stream — a sort-merge join there would shuffle the
+    # full token explosion a second time; the model side is fixed-size
+    # by construction so this must never regress
+    plan = _plan(em.queries()["t24_dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
