@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_ccnet_pack": _q_ccnet_pack,
         "f19_robots_gate": _q_robots_gate,
         "t24_dsir_weights": _q_dsir_weights,
+        "f20_trap_hosts": _q_trap_hosts,
     }
 
 
@@ -1540,6 +1541,51 @@ def _q_url_filter(spark, sf_dir):
         blocked_extensions=_URLF_BLOCKED_EXTS,
     ).select("url", "url_host", "seq", "scheme_ok", "domain_blocked",
              "ext_blocked", "keep")
+
+
+# f20 trap-detection synthesis constants — section words for the
+# honest hosts (no ≥8-char hex run, so they survive both collapse
+# rules), rendered into BOTH sides so the mirrors cannot drift
+_TRAP_SECTIONS = ("news", "about", "blog", "docs", "shop", "help",
+                  "team")
+_TRAP_SECTIONS_SQL = "['" + "','".join(_TRAP_SECTIONS) + "']"
+
+
+def _q_trap_hosts(spark, sf_dir):
+    # f20: crawl-trap detection — hid%10==0 hosts emit a calendar
+    # digit trap (every URL collapses to /cal/~d/~d), hid%5==0 a
+    # session-id hex trap (/s/~h), every other host spreads its URL
+    # mass over seven section patterns; detect_traps must flag
+    # exactly the four planted hosts at sf0.01
+    from hepcrawl_spark.frontier.urlfilter import detect_traps
+
+    ev = _t(spark, sf_dir, "events")
+    hid = F.col("user_id") % 20
+    host = F.concat(F.lit("h"), hid.cast("string"),
+                    F.lit(".example.com"))
+    sect = F.element_at(
+        F.array(*[F.lit(s) for s in _TRAP_SECTIONS]),
+        (F.col("event_id") % len(_TRAP_SECTIONS) + 1).cast("int"),
+    )
+    path = (
+        F.when(hid % 10 == 0,
+               F.concat(F.lit("/cal/"),
+                        (F.col("event_id") % 997).cast("string"),
+                        F.lit("/"),
+                        (F.col("event_id") % 12).cast("string")))
+        .when(hid % 5 == 0,
+              F.concat(F.lit("/s/"),
+                       F.format_string(
+                           "%08x",
+                           (F.col("event_id") % 99991).cast("int"))))
+        .otherwise(F.concat(F.lit("/"), sect, F.lit("/"),
+                            (F.col("event_id") % 97).cast("string")))
+    )
+    cand = ev.select(
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        host.alias("url_host"),
+    )
+    return urlfilter.detect_traps(cand).orderBy("url_host")
 
 
 # f08/f09 link-graph synthesis constants — rendered into BOTH the
@@ -3504,6 +3550,58 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v = 0 AND hid % 2 = 1 THEN 0
                         ELSE 1 END AS blocked
             FROM c
+        """,
+        # f20: trap detection mirror — the SAME two collapse regexes
+        # (hex first, then digits; constants imported from urlfilter
+        # so the engines cannot drift), then the (host, pattern)
+        # distinct-URL rollup and the (count DESC, pattern ASC)
+        # argmax stated as a window
+        "f20_trap_hosts": f"""
+            WITH c AS (
+              SELECT (user_id % 20) AS hid,
+                     CASE WHEN (user_id % 20) % 10 = 0
+                          THEN '/cal/' || (event_id % 997)
+                               || '/' || (event_id % 12)
+                          WHEN (user_id % 20) % 5 = 0
+                          THEN '/s/' || printf('%08x',
+                                               event_id % 99991)
+                          ELSE '/' || ({_TRAP_SECTIONS_SQL})[
+                                 (event_id % {len(_TRAP_SECTIONS)})
+                                 + 1]
+                               || '/' || (event_id % 97)
+                     END AS path
+              FROM events
+            ), u AS (
+              SELECT 'h' || hid || '.example.com' AS url_host,
+                     'http://h' || hid || '.example.com' || path
+                       AS url,
+                     regexp_replace(regexp_replace(lower(path),
+                       '{urlfilter._TRAP_HEX_RE}', '~h', 'g'),
+                       '{urlfilter._TRAP_DIGIT_RE}', '~d', 'g')
+                       AS pattern
+              FROM c
+            ), per_pat AS (
+              SELECT url_host, pattern,
+                     count(DISTINCT url)::BIGINT AS pattern_urls
+              FROM u GROUP BY url_host, pattern
+            ), per_host AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY url_host
+                       ORDER BY pattern_urls DESC, pattern ASC)
+                       AS rk,
+                     sum(pattern_urls) OVER (PARTITION BY url_host)
+                       ::BIGINT AS host_urls,
+                     count(*) OVER (PARTITION BY url_host)
+                       ::BIGINT AS pattern_cnt
+              FROM per_pat
+            )
+            SELECT url_host, host_urls, pattern_cnt,
+                   pattern AS top_pattern,
+                   pattern_urls AS top_pattern_urls,
+                   (pattern_urls >= 100
+                    AND pattern_urls::DOUBLE
+                        >= 0.5 * host_urls::DOUBLE) AS trap
+            FROM per_host WHERE rk = 1 ORDER BY url_host
         """,
         "f12_snapshot_churn": f"""
             WITH {_SNAP_HIST_SQL}

@@ -156,3 +156,111 @@ def url_filter_df(
         F.col("scheme_ok") & ~F.col("domain_blocked")
         & ~F.col("ext_blocked"),
     ).drop("_dom_hit")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection (URL-pattern explosion per host)
+# ---------------------------------------------------------------------------
+
+# hex runs first (digits are a subset of hex — the session-id rule
+# must win before the digit rule eats half the token), then digit
+# runs; both classes read identically in Java regex, RE2 and
+# Python re.
+_TRAP_HEX_RE = r"[0-9a-f]{8,}"
+_TRAP_DIGIT_RE = r"[0-9]+"
+
+
+def url_pattern_col(url: Column) -> Column:
+    """Normalized URL path pattern: hex runs >= 8 chars (session ids,
+    content hashes) collapse to ``~h``, digit runs to ``~d``.
+
+    ``/cal/2026/08/19`` and ``/cal/1999/01/02`` both become
+    ``/cal/~d/~d/~d`` — the equivalence classing under which a
+    calendar or session-id trap collapses to ONE exploding pattern.
+    SQL mirror: the same two ``regexp_replace`` calls in the same
+    order.
+    """
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(path), _TRAP_HEX_RE, "~h"),
+        _TRAP_DIGIT_RE, "~d",
+    )
+
+
+def detect_traps(
+    candidates: DataFrame,
+    min_pattern_urls: int = 100,
+    min_share: float = 0.5,
+    url_col: str = "url",
+    host_col: str = "url_host",
+) -> DataFrame:
+    """Per-host crawl-trap verdict from URL-pattern explosion.
+
+    A trap host (calendar pages, session-id links, faceted-search
+    combinatorics) emits unbounded distinct URLs that all collapse to
+    one normalized pattern; an honest host's URL mass spreads over
+    many patterns or stays small.  The reference crawler never needs
+    this (its spiders walk finite listings, e.g. the per-spider page
+    guards in /root/reference/hepcrawl/spiders/wsp_spider.py), but a
+    10^10-URL frontier dies without it — trap hosts eat the
+    politeness budget.
+
+    Verdict: ``trap`` iff the host's hottest pattern holds >=
+    ``min_pattern_urls`` distinct URLs AND >= ``min_share`` of the
+    host's distinct-URL mass (tie on counts resolves to the
+    lexicographically smallest pattern).  Output one row per host:
+    ``url_host, host_urls, pattern_cnt, top_pattern,
+    top_pattern_urls, trap``.
+
+    100 TB shape: pattern projection is pure codegen over the
+    candidate scan; the (host, pattern) rollup partial-aggregates
+    map-side (a mega-host's trap rows collapse to one partial per
+    task before the exchange); the per-host rollup is a single
+    ``min_by`` hash aggregate at host x pattern cardinality — orders
+    of magnitude below the URL stream, with NO per-host window sort
+    (a 10^8-URL trap host never sorts, it folds).  No Python, no
+    window, no join.
+    """
+    per_pat = (
+        candidates
+        .select(
+            F.col(host_col),
+            url_pattern_col(F.col(url_col)).alias("pattern"),
+            F.col(url_col).alias("_u"),
+        )
+        .groupBy(host_col, "pattern")
+        .agg(F.countDistinct("_u").alias("pattern_urls"))
+    )
+    # min_by over (-count, pattern) = the window-free argmax with the
+    # deterministic (count DESC, pattern ASC) tie-break
+    top = F.min_by(
+        F.struct(
+            F.col("pattern").alias("top_pattern"),
+            F.col("pattern_urls").alias("top_pattern_urls"),
+        ),
+        F.struct((-F.col("pattern_urls")).alias("neg_urls"),
+                 F.col("pattern").alias("pat")),
+    )
+    return (
+        per_pat
+        .groupBy(host_col)
+        .agg(
+            F.sum("pattern_urls").cast("long").alias("host_urls"),
+            F.count(F.lit(1)).cast("long").alias("pattern_cnt"),
+            top.alias("_top"),
+        )
+        .select(
+            host_col,
+            "host_urls",
+            "pattern_cnt",
+            F.col("_top.top_pattern").alias("top_pattern"),
+            F.col("_top.top_pattern_urls").alias("top_pattern_urls"),
+            (
+                (F.col("_top.top_pattern_urls")
+                 >= F.lit(int(min_pattern_urls)))
+                & (F.col("_top.top_pattern_urls").cast("double")
+                   >= F.lit(float(min_share))
+                   * F.col("host_urls").cast("double"))
+            ).alias("trap"),
+        )
+    )

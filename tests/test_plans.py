@@ -367,6 +367,17 @@ def test_f07_url_filter_single_pass_over_candidates(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_f20_trap_detection_is_window_free_aggregation(spark):
+    # trap detection is two hash aggregates (host×pattern rollup,
+    # then the min_by argmax per host) — a mega trap host folds
+    # map-side and never sorts; no window, no join, no Python
+    plan = _plan(em.queries()["f20_trap_hosts"](spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+
+
 def test_run_crawl_plans_have_no_unpartitioned_window(spark):
     # VERDICT r3 #8: with_global_order (the one unpartitioned window,
     # parity-test-only) must be unreachable from production rounds —

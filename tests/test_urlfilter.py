@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 from hepcrawl_spark.frontier.fingerprint import with_url_identity
 from hepcrawl_spark.frontier.urlfilter import (
     MAX_LITERAL_DOMAINS,
+    detect_traps,
     host_suffixes,
     url_filter,
     url_filter_df,
+    url_pattern_col,
 )
 
 URLS = [
@@ -91,3 +93,83 @@ def test_url_filter_empty_blocklists_keep_all(spark):
     kept = out.filter("keep").count()
     # only the ftp URL drops when no blocklists are given
     assert kept == len(URLS) - 1
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection
+# ---------------------------------------------------------------------------
+
+PATTERN_CASES = [
+    # calendar digits collapse to ~d per run
+    ("http://h.x/cal/2026/08/19", "/cal/~d/~d/~d"),
+    ("http://h.x/cal/1999/01/02", "/cal/~d/~d/~d"),
+    # >=8 hex chars collapse to ~h BEFORE the digit rule can eat the
+    # leading digits (case-folded first)
+    ("http://h.x/s/00DEADBEEF42", "/s/~h"),
+    ("http://h.x/s/0001869f", "/s/~h"),
+    # an all-digit run >=8 chars is hex too — session-id rule wins
+    ("http://h.x/s/12345678", "/s/~h"),
+    # short runs: digits collapse, 7-char hex does NOT
+    ("http://h.x/s/deadbee", "/s/deadbee"),
+    ("http://h.x/p/42.html", "/p/~d.html"),
+    # no path -> empty pattern
+    ("http://h.x", ""),
+]
+
+
+def test_url_pattern_col(spark):
+    rows = [(u,) for u, _ in PATTERN_CASES]
+    got = (
+        spark.createDataFrame(rows, "url string")
+        .select("url", url_pattern_col(F.col("url")).alias("p"))
+        .collect()
+    )
+    expect = dict(PATTERN_CASES)
+    for r in got:
+        assert r.p == expect[r.url], r.url
+
+
+def test_detect_traps_flags_planted_hosts(spark):
+    rows = []
+    # trap.x: 30 distinct calendar URLs, one pattern, 100% share
+    rows += [(f"http://trap.x/cal/{y}/{m}", "trap.x")
+             for y in range(2016, 2026) for m in (1, 2, 3)]
+    # mixed.x: same 30 calendar URLs diluted by 40 sectioned URLs —
+    # top share 30/70 < 0.5 -> not a trap
+    rows += [(f"http://mixed.x/cal/{y}/{m}", "mixed.x")
+             for y in range(2016, 2026) for m in (1, 2, 3)]
+    rows += [(f"http://mixed.x/{s}/page{i}", "mixed.x")
+             for s in ("a", "b", "c", "d") for i in range(10)]
+    # small.x: one pattern, 100% share, but below min_pattern_urls
+    rows += [(f"http://small.x/cal/{y}/1", "small.x")
+             for y in range(2016, 2021)]
+    # duplicate URLs must not inflate distinct counts
+    rows += rows[:5]
+    df = spark.createDataFrame(rows, "url string, url_host string")
+    out = {r.url_host: r
+           for r in detect_traps(df, min_pattern_urls=20).collect()}
+    assert out["trap.x"].trap
+    assert out["trap.x"].top_pattern == "/cal/~d/~d"
+    assert out["trap.x"].top_pattern_urls == 30
+    assert out["trap.x"].host_urls == 30
+    assert out["trap.x"].pattern_cnt == 1
+    assert not out["mixed.x"].trap
+    assert out["mixed.x"].host_urls == 70
+    assert out["mixed.x"].top_pattern == "/cal/~d/~d"
+    assert not out["small.x"].trap
+    assert out["small.x"].top_pattern_urls == 5
+
+
+def test_detect_traps_tie_break_smallest_pattern(spark):
+    # two patterns at 3 distinct URLs each: argmax must pick the
+    # lexicographically smaller pattern deterministically
+    rows = [(f"http://t.x/a/{i}", "t.x") for i in range(3)]
+    rows += [(f"http://t.x/b/{i}", "t.x") for i in range(3)]
+    out = detect_traps(
+        spark.createDataFrame(rows, "url string, url_host string"),
+        min_pattern_urls=3, min_share=0.5,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].top_pattern == "/a/~d"
+    # both thresholds are inclusive: 3 >= 3 urls, 3/6 >= 0.5 share
+    assert out[0].trap
