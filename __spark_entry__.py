@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f19_robots_gate": _q_robots_gate,
         "t24_dsir_weights": _q_dsir_weights,
         "f20_trap_hosts": _q_trap_hosts,
+        "f21_resolve_redirects": _q_resolve_redirects,
     }
 
 
@@ -1549,6 +1550,36 @@ def _q_url_filter(spark, sf_dir):
 _TRAP_SECTIONS = ("news", "about", "blog", "docs", "shop", "help",
                   "team")
 _TRAP_SECTIONS_SQL = "['" + "','".join(_TRAP_SECTIONS) + "']"
+
+
+def _q_resolve_redirects(spark, sf_dir):
+    # f21: redirect-chain resolution by pointer doubling — per
+    # distinct k=event_id%500 a synthesized chain u(k,s) -> u(k,s-1)
+    # of length k%5 ends at the terminal u(k,0); the oracle states
+    # the closed form (final = step 0, hops = s), so the log-hop
+    # join cascade must land every chain exactly
+    from hepcrawl_spark.frontier.redirects import resolve_redirects
+
+    ks = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 500).alias("k")).distinct()
+        .where(F.col("k") % 5 != 0)
+    )
+    s = ks.select(
+        "k", F.explode(F.sequence(F.lit(1), (F.col("k") % 5).cast("int")))
+        .alias("s"),
+    )
+
+    def _u(step):
+        return F.concat(
+            F.lit("http://r"), (F.col("k") % 13).cast("string"),
+            F.lit(".example.com/u/"), F.col("k").cast("string"),
+            F.lit("/"), step.cast("string"),
+        )
+
+    edges = s.select(_u(F.col("s")).alias("url"),
+                     _u(F.col("s") - 1).alias("redirect_to"))
+    return resolve_redirects(edges, max_hops=8).orderBy("url")
 
 
 def _q_trap_hosts(spark, sf_dir):
@@ -3550,6 +3581,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v = 0 AND hid % 2 = 1 THEN 0
                         ELSE 1 END AS blocked
             FROM c
+        """,
+        # f21: redirect-resolution mirror — NOT the algorithm but the
+        # chains' closed-form ground truth: chain u(k,s)→…→u(k,0) has
+        # final = step 0 and hops = s; every synthesized chain is
+        # acyclic and <= 4 hops, so resolved is uniformly true
+        "f21_resolve_redirects": """
+            WITH ks AS (
+              SELECT DISTINCT (event_id % 500) AS k FROM events
+            ), s AS (
+              SELECT k, unnest(range(1, k % 5 + 1)) AS s
+              FROM ks WHERE k % 5 <> 0
+            )
+            SELECT 'http://r' || (k % 13) || '.example.com/u/'
+                     || k || '/' || s AS url,
+                   'http://r' || (k % 13) || '.example.com/u/'
+                     || k || '/0' AS final_url,
+                   s::BIGINT AS hops,
+                   TRUE AS resolved
+            FROM s ORDER BY url
         """,
         # f20: trap detection mirror — the SAME two collapse regexes
         # (hex first, then digits; constants imported from urlfilter
