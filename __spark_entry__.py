@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_dsir_weights": _q_dsir_weights,
         "f20_trap_hosts": _q_trap_hosts,
         "f21_resolve_redirects": _q_resolve_redirects,
+        "f22_anchor_texts": _q_anchor_texts,
     }
 
 
@@ -1687,6 +1688,69 @@ def _link_pages(docs: DataFrame) -> DataFrame:
         "UTF-8",
     )
     return docs.select(url.alias("url"), html.alias("html"))
+
+
+# f22 anchor-text words — raw forms carry planted whitespace damage
+# (double space, leading space) that the extractor's collapse/trim
+# must repair; the oracle consumes the cleaned forms
+_ANCHOR_WORDS = ("details", "read  more", " home", "source")
+_ANCHOR_WORDS_CLEAN_SQL = "['" + "','".join(
+    " ".join(w.split()) for w in _ANCHOR_WORDS
+) + "']"
+
+
+def _anchor_pages(docs: DataFrame) -> DataFrame:
+    """Pages whose anchors carry closed-form text (f22 input): same
+    target scheme as ``_link_pages``, anchor text =
+    ``_ANCHOR_WORDS[(dd + doc_id) % 4]`` raw (whitespace-damaged),
+    both quote styles, plus one relative anchor the extractor must
+    drop."""
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".docs.example.com"),
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+
+    def _anchor(offset, quote):
+        dd = (F.col("doc_id") * _LINK_MULT + offset) % _LINK_MOD
+        word = F.element_at(
+            F.array(*[F.lit(w) for w in _ANCHOR_WORDS]),
+            ((dd + F.col("doc_id")) % len(_ANCHOR_WORDS) + 1)
+            .cast("int"),
+        )
+        return F.concat(
+            F.lit(f"<a href={quote}http://h"),
+            (dd % _LINK_HOSTS).cast("string"),
+            F.lit(".docs.example.com/d/"), dd.cast("string"),
+            F.lit(f"{quote}>"), word, F.lit("</a>"),
+        )
+
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body>"),
+            _anchor(_LINK_OFFSETS[0], '"'),
+            _anchor(_LINK_OFFSETS[1], "'"),
+            _anchor(_LINK_OFFSETS[2], '"'),
+            F.lit('<a href="/rel/'), F.col("doc_id").cast("string"),
+            F.lit('">rel</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def _q_anchor_texts(spark, sf_dir):
+    # f22: inbound anchor-text profile per target URL — parse both
+    # quote shapes out of the bytes JVM-side, repair the planted
+    # whitespace damage, drop the relative anchor, then the two-level
+    # min_by rollup; the oracle derives the same profile closed-form
+    from hepcrawl_spark.frontier import linkgraph
+
+    anchors = linkgraph.extract_anchors(
+        _anchor_pages(_t(spark, sf_dir, "documents"))
+    )
+    return linkgraph.anchor_text_summary(anchors).orderBy("dst_url")
 
 
 def _q_link_graph(spark, sf_dir):
@@ -3581,6 +3645,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v = 0 AND hid % 2 = 1 THEN 0
                         ELSE 1 END AS blocked
             FROM c
+        """,
+        # f22: anchor-text mirror — the link CTE keeps doc_id so the
+        # text word is closed-form; cleaned word list + the same
+        # (count DESC, text ASC) argmax stated as a window
+        "f22_anchor_texts": f"""
+            WITH l AS (
+              SELECT doc_id, dd,
+                     'http://h' || (dd % {_LINK_HOSTS})
+                       || '.docs.example.com/d/' || dd AS dst_url
+              FROM (SELECT doc_id,
+                           (doc_id * {_LINK_MULT} + o) % {_LINK_MOD}
+                             AS dd
+                    FROM documents,
+                         (SELECT unnest([{
+                             ', '.join(map(str, _LINK_OFFSETS))}])
+                          AS o))
+            ), a AS (
+              SELECT dst_url,
+                     ({_ANCHOR_WORDS_CLEAN_SQL})[
+                       (dd + doc_id) % {len(_ANCHOR_WORDS)} + 1]
+                       AS anchor_text
+              FROM l
+            ), per_text AS (
+              SELECT dst_url, anchor_text,
+                     count(*)::BIGINT AS cnt
+              FROM a GROUP BY dst_url, anchor_text
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY dst_url
+                       ORDER BY cnt DESC, anchor_text ASC) AS rk,
+                     sum(cnt) OVER (PARTITION BY dst_url)::BIGINT
+                       AS anchors,
+                     count(*) OVER (PARTITION BY dst_url)::BIGINT
+                       AS distinct_texts
+              FROM per_text
+            )
+            SELECT dst_url, anchors, distinct_texts,
+                   anchor_text AS top_text, cnt AS top_text_cnt
+            FROM ranked WHERE rk = 1 ORDER BY dst_url
         """,
         # f21: redirect-resolution mirror — NOT the algorithm but the
         # chains' closed-form ground truth: chain u(k,s)→…→u(k,0) has

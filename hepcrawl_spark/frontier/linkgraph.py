@@ -245,3 +245,92 @@ def hop_distance(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation (inbound link text per target URL)
+# ---------------------------------------------------------------------------
+
+# full <a> element with either quote style and a text body free of
+# nested elements; groups: 1/2 = target (per quote style), 3 = text
+_ANCHOR_RE = r'<a href=(?:"([^"]*)"|\'([^\']*)\')>([^<]*)</a>'
+
+
+def extract_anchors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor table: (src_url, src_host, dst_url, dst_host,
+    anchor_text) — one row per absolute-http(s) ``<a>`` element.
+
+    Same pure-JVM shape as :func:`extract_outlinks` (decode ->
+    regexp_extract_all -> explode -> per-group regexp_extract), plus
+    the element's text body.  Anchor text is whitespace-collapsed and
+    edge-trimmed with the explicit contract class (textops.WS_CLASS
+    semantics) so the value is regex-engine-portable.
+    """
+    elems = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit(_ANCHOR_RE), F.lit(0)
+    )
+    g = lambda n: F.regexp_extract(F.col("_a"), _ANCHOR_RE, n)  # noqa: E731
+    dst = F.when(g(1) != "", g(1)).otherwise(g(2))
+    text = F.regexp_replace(
+        F.regexp_replace(g(3), "[ \\t\\n\\f\\r]+", " "),
+        "^ | $", "",
+    )
+    return (
+        pages
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.parse_url(F.col(url_col), F.lit("HOST")).alias("src_host"),
+            F.explode(elems).alias("_a"),
+        )
+        .withColumn("dst_url", dst)
+        .withColumn("anchor_text", text)
+        .where(F.col("dst_url").rlike(r"^https?://"))
+        .withColumn("dst_host", F.parse_url(F.col("dst_url"), F.lit("HOST")))
+        .where(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .drop("_a")
+    )
+
+
+def anchor_text_summary(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: ``dst_url, anchors,
+    distinct_texts, top_text, top_text_cnt``.
+
+    The inbound anchor text of a URL is the web's own description of
+    it — the classic ranking signal and, for an LLM corpus, the
+    document-title surrogate attached at crawl time.  Top text
+    resolves ties (count DESC, text ASC) through the same window-free
+    ``min_by`` argmax as ``urlfilter.detect_traps``: the (dst, text)
+    rollup partial-aggregates map-side, so a URL with 10^7 inbound
+    "click here" anchors folds to one partial per task, and the
+    per-URL pass is a hash aggregate — no window sort, no join, no
+    Python anywhere.
+    """
+    per_text = (
+        anchors
+        .groupBy("dst_url", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = F.min_by(
+        F.struct(F.col("anchor_text").alias("top_text"),
+                 F.col("cnt").alias("top_text_cnt")),
+        F.struct((-F.col("cnt")).alias("neg"),
+                 F.col("anchor_text").alias("t")),
+    )
+    return (
+        per_text
+        .groupBy("dst_url")
+        .agg(
+            F.sum("cnt").cast("long").alias("anchors"),
+            F.count(F.lit(1)).cast("long").alias("distinct_texts"),
+            top.alias("_top"),
+        )
+        .select(
+            "dst_url", "anchors", "distinct_texts",
+            F.col("_top.top_text").alias("top_text"),
+            F.col("_top.top_text_cnt").alias("top_text_cnt"),
+        )
+    )

@@ -167,3 +167,60 @@ def test_f18_registered():
     assert "f18_hop_distance" in q and "f18_hop_distance" in o
     # the oracle unrolls the same relaxation count the query runs
     assert o["f18_hop_distance"].count("UNION ALL") == em._HOP_MAX
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction + aggregation (f22)
+# ---------------------------------------------------------------------------
+
+def test_extract_anchors_text_and_cleanup(spark):
+    pages = _pages(spark, [
+        (
+            "http://a.example.com/p/1",
+            '<a href="http://b.example.com/x">read  me\n now</a>'
+            "<a href='https://c.example.com/y'> padded </a>"
+            '<a href="/rel/z">rel</a>'
+            '<a href="http://b.example.com/x"></a>',
+        ),
+    ])
+    rows = sorted(
+        (r.dst_url, r.anchor_text)
+        for r in linkgraph.extract_anchors(pages).collect()
+    )
+    # relative anchor dropped; whitespace collapsed + trimmed; the
+    # empty-bodied anchor survives with '' text
+    assert rows == [
+        ("http://b.example.com/x", ""),
+        ("http://b.example.com/x", "read me now"),
+        ("https://c.example.com/y", "padded"),
+    ]
+
+
+def test_anchor_text_summary_counts_and_tiebreak(spark):
+    pages = _pages(spark, [
+        ("http://s1.x/a",
+         '<a href="http://t.x/p">beta</a><a href="http://t.x/p">beta</a>'
+         '<a href="http://t.x/p">alpha</a><a href="http://t.x/p">alpha</a>'
+         '<a href="http://t.x/q">only</a>'),
+        ("http://s2.x/b",
+         '<a href="http://t.x/p">gamma</a>'),
+    ])
+    out = {r.dst_url: r for r in linkgraph.anchor_text_summary(
+        linkgraph.extract_anchors(pages)).collect()}
+    p = out["http://t.x/p"]
+    assert p.anchors == 5 and p.distinct_texts == 3
+    # alpha and beta tie at 2 — count DESC, text ASC picks alpha
+    assert p.top_text == "alpha" and p.top_text_cnt == 2
+    q = out["http://t.x/q"]
+    assert (q.anchors, q.distinct_texts, q.top_text, q.top_text_cnt) \
+        == (1, 1, "only", 1)
+
+
+def test_anchor_summary_plan_is_window_free(spark):
+    pages = _pages(spark, [
+        ("http://s1.x/a", '<a href="http://t.x/p">w</a>')])
+    df = linkgraph.anchor_text_summary(linkgraph.extract_anchors(pages))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
