@@ -33,6 +33,7 @@ from hepcrawl_spark.frontier.robots import robots_filter
 from hepcrawl_spark.frontier.seen import filter_unseen
 from hepcrawl_spark.frontier import urlfilter
 from hepcrawl_spark.operators import (
+    boilerplate,
     dedup,
     joins,
     multimodal,
@@ -585,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f20_trap_hosts": _q_trap_hosts,
         "f21_resolve_redirects": _q_resolve_redirects,
         "f22_anchor_texts": _q_anchor_texts,
+        "t25_boilerplate": _q_boilerplate,
     }
 
 
@@ -1688,6 +1690,44 @@ def _link_pages(docs: DataFrame) -> DataFrame:
         "UTF-8",
     )
     return docs.select(url.alias("url"), html.alias("html"))
+
+
+# t25 boilerplate page template — nav (pure links), body-embedded
+# script (with a decoy <p> inside a JS string), tag-cloud list and a
+# linky footer wrap the document text; html = SEG0 + doc_id + SEG1 +
+# doc_id + SEG2 + text + POST, rendered into BOTH engines
+_BP_SEG0 = "<html><head><title>Doc "
+_BP_SEG1 = (
+    "</title><style>p{c:red}</style></head><body>"
+    '<div><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div><script>var p = "<p>'
+    'sneak</p>"; var id = '
+)
+_BP_SEG2 = ";</script><p>"
+_BP_POST = (
+    '</p><ul><li><a href="/t/1">Tag one</a></li><li><a href="/t/2">'
+    'Tag two</a></li></ul><div>(c) 2026 <a href="/tos">Terms</a> '
+    '<a href="/priv">Privacy</a></div></body></html>'
+)
+
+
+def _q_boilerplate(spark, sf_dir):
+    # t25: main-content extraction — the nav/tag/footer blocks must
+    # fall to the link-density and min-length rules, head/script
+    # (including the decoy <p> inside a JS string) to the element
+    # drop, leaving exactly the article text
+    from hepcrawl_spark.operators.boilerplate import main_text
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_BP_SEG0), ids, F.lit(_BP_SEG1), ids, F.lit(_BP_SEG2),
+        F.col("text"), F.lit(_BP_POST),
+    )
+    pages = docs.select("doc_id", html.alias("html_str"))
+    return main_text(pages).select(
+        "doc_id", "main_text", "cand_blocks", "kept_blocks"
+    ).orderBy("doc_id")
 
 
 # f22 anchor-text words — raw forms carry planted whitespace damage
@@ -3645,6 +3685,55 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v = 0 AND hid % 2 = 1 THEN 0
                         ELSE 1 END AS blocked
             FROM c
+        """,
+        # t25: boilerplate mirror — the SAME page template (shared
+        # segment constants) and the SAME five-step pipeline with the
+        # SAME regexes imported from the operator module; integer
+        # cross-multiplied link density so no float can drift
+        "t25_boilerplate": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     '{_BP_SEG0}' || doc_id || '{_BP_SEG1}' || doc_id
+                     || '{_BP_SEG2}' || text || '{_BP_POST}'
+                       AS html_str
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(html_str,
+                         '{boilerplate.DROP_RE}', ' ', 'g'),
+                       '{boilerplate.BLOCK_SPLIT_RE}') AS bl
+              FROM h
+            ), c AS (
+              SELECT doc_id,
+                     list_filter(list_transform(bl,
+                       x -> struct_pack(
+                         txt := regexp_replace(regexp_replace(
+                                  regexp_replace(x,
+                                    '{boilerplate.TAG_RE}', ' ', 'g'),
+                                  '{boilerplate._WS}', ' ', 'g'),
+                                  '{boilerplate._WS_EDGE}', '', 'g'),
+                         ac := list_reduce(list_prepend(0::BIGINT,
+                                 list_transform(regexp_extract_all(x,
+                                   '{boilerplate.ANCHOR_BODY_RE}', 1),
+                                   t -> length(t)::BIGINT)),
+                                 (a, b) -> a + b)
+                       )), s -> s.txt <> '') AS cand
+              FROM b
+            ), k AS (
+              SELECT doc_id, cand,
+                     list_filter(cand,
+                       s -> length(s.txt) >= 30
+                            AND s.ac * 100 <= 33 * length(s.txt))
+                       AS kept
+              FROM c
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(kept, s -> s.txt),
+                                   chr(10)) AS main_text,
+                   len(cand)::BIGINT AS cand_blocks,
+                   len(kept)::BIGINT AS kept_blocks
+            FROM k ORDER BY doc_id
         """,
         # f22: anchor-text mirror — the link CTE keeps doc_id so the
         # text word is closed-form; cleaned word list + the same

@@ -1,0 +1,113 @@
+"""Boilerplate removal: main-content extraction from raw HTML.
+
+jusText/boilerpipe-style block classification reduced to the two
+signals that survive exact cross-engine mirroring: block text length
+and link density.  The reference never needs this — its spiders
+XPath specific record nodes out of publisher markup (e.g.
+/root/reference/hepcrawl/spiders/wsp_spider.py projects only the
+tagged metadata fields) — but a Common-Crawl-scale corpus pipeline
+sees arbitrary pages, where nav bars, tag clouds, footers and
+script/style payloads would otherwise flood every downstream quality
+gate and dedup signal with template mass.
+
+Pipeline per page (one codegen-free-of-Python projection):
+1. drop ``<head>``, ``<script>`` and ``<style>`` elements with their
+   content;
+2. split what remains on block-level tag boundaries;
+3. per block, compute the tag-stripped whitespace-collapsed text and
+   the character mass of anchor bodies;
+4. keep blocks with at least ``min_chars`` of text whose anchor mass
+   stays at or below ``max_link_pct`` percent (integer
+   cross-multiplication — no float compare to drift);
+5. join survivors with newlines.
+
+100 TB shape: everything is higher-order JVM expressions over the
+page scan — no shuffle, no join, no Python, output cardinality =
+input cardinality.  The block arrays live only inside the projection
+(never materialized), so memory per row is bounded by page size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?s) makes . span newlines in Java regex and RE2 alike; non-greedy
+# bodies keep one element from eating the page
+DROP_RE = r"(?s)<head.*?</head>|<script.*?</script>|<style.*?</style>"
+# block-level boundaries; inline markup (<a>, <b>, <span>) stays
+# inside its block
+BLOCK_SPLIT_RE = (
+    r"</?(?:p|div|li|h[1-6]|br|tr|td|th|ul|ol|table|section|article|"
+    r"header|footer|nav|body|html)[^>]*>"
+)
+ANCHOR_BODY_RE = r"<a[^>]*>([^<]*)</a>"
+TAG_RE = r"<[^>]*>"
+# the tokenizer's explicit whitespace contract (textops.WS_CLASS):
+# identical in Java regex, RE2 and Python re
+_WS = r"[ \t\n\f\r]+"
+_WS_EDGE = r"^[ \t\n\f\r]+|[ \t\n\f\r]+$"
+
+
+def _block_struct(b: Column) -> Column:
+    """Per-block (txt, ac): collapsed tag-free text + anchor chars."""
+    txt = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(b, TAG_RE, " "), _WS, " "),
+        _WS_EDGE, "",
+    )
+    ac = F.aggregate(
+        F.regexp_extract_all(b, F.lit(ANCHOR_BODY_RE), F.lit(1)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    return F.struct(txt.alias("txt"), ac.alias("ac"))
+
+
+def main_text(
+    pages: DataFrame,
+    html_col: str = "html_str",
+    min_chars: int = 30,
+    max_link_pct: int = 33,
+    out_col: str = "main_text",
+) -> DataFrame:
+    """Add ``main_text`` + ``cand_blocks``/``kept_blocks`` counters.
+
+    ``cand_blocks`` counts blocks with any text at all (the
+    denominator a boilerplate-share metric wants); ``kept_blocks``
+    counts survivors of both rules.  A page of pure boilerplate
+    yields ``main_text = ''`` — downstream gates (Gopher min tokens)
+    then drop it for free.
+    """
+    from hepcrawl_spark.operators.textops import bind_once
+
+    body = F.regexp_replace(F.col(html_col), DROP_RE, " ")
+    cand = F.filter(
+        F.transform(F.split(body, BLOCK_SPLIT_RE), _block_struct),
+        lambda s: s["txt"] != "",
+    )
+
+    def _keep(s):
+        return (F.length(s["txt"]) >= F.lit(int(min_chars))) & (
+            s["ac"] * 100 <= F.lit(int(max_link_pct))
+            * F.length(s["txt"])
+        )
+
+    # bind the candidate array, then the survivor array, each exactly
+    # once per row (codegen dedupes plain projections but NOT HOF
+    # lambdas — textops.bind_once); every output column reads the
+    # bound variables
+    res = bind_once(cand, lambda c: bind_once(
+        F.filter(c, _keep),
+        lambda k: F.struct(
+            F.array_join(F.transform(k, lambda s: s["txt"]), "\n")
+            .alias("txt"),
+            F.size(c).cast("long").alias("cand"),
+            F.size(k).cast("long").alias("kept"),
+        ),
+    ))
+    return pages.withColumn("_bp", res).select(
+        "*",
+        F.col("_bp.txt").alias(out_col),
+        F.col("_bp.cand").alias("cand_blocks"),
+        F.col("_bp.kept").alias("kept_blocks"),
+    ).drop("_bp")

@@ -1,0 +1,67 @@
+"""Boilerplate removal (t25): element drops, block split, link
+density, min length, counters, and the Python-free plan."""
+
+from hepcrawl_spark.operators.boilerplate import main_text
+
+PROSE = ("This is the real article body with plenty of honest "
+         "prose text for the classifier to keep.")
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)],
+        "doc_id long, html_str string",
+    )
+
+
+def test_main_text_keeps_prose_drops_chrome(spark):
+    html = (
+        "<html><head><title>T</title><style>p{c:red}</style></head>"
+        '<body><div><a href="/">Home</a> <a href="/a">About</a></div>'
+        '<script>var x = "<p>decoy</p>";</script>'
+        f"<p>{PROSE}</p>"
+        '<div>(c) 2026 <a href="/tos">Terms</a>'
+        ' <a href="/p">Privacy</a></div></body></html>'
+    )
+    r = main_text(_pages(spark, [html])).collect()[0]
+    assert r.main_text == PROSE          # decoy <p> in JS never leaks
+    assert r.cand_blocks == 3 and r.kept_blocks == 1
+
+
+def test_link_density_boundary_is_inclusive(spark):
+    # 33 anchor chars in 100 text chars: 33*100 <= 33*100 -> kept
+    anchor = "a" * 33
+    pad = "b" * 66 + " "                  # 67 chars incl. the space
+    html = f'<p><a href="/x">{anchor}</a> {pad[:-1]}</p>'
+    # text = anchor + ' ' + 66 b's = 100 chars, ac = 33
+    r = main_text(_pages(spark, [html])).collect()[0]
+    assert len(r.main_text) == 100
+    assert r.kept_blocks == 1
+    # one more anchor char tips it over
+    html2 = f'<p><a href="/x">{anchor}c</a> {pad[:-2]}</p>'
+    r2 = main_text(_pages(spark, [html2])).collect()[0]
+    assert len(r2.main_text.replace("\n", "")) in (0,)
+    assert r2.kept_blocks == 0
+
+
+def test_short_blocks_drop_and_join_order(spark):
+    long_a = "First honest paragraph with enough length to pass."
+    long_b = "Second honest paragraph, also long enough to stay."
+    html = f"<p>{long_a}</p><p>tiny</p><p>{long_b}</p>"
+    r = main_text(_pages(spark, [html])).collect()[0]
+    assert r.main_text == f"{long_a}\n{long_b}"
+    assert r.cand_blocks == 3 and r.kept_blocks == 2
+
+
+def test_pure_boilerplate_page_yields_empty(spark):
+    html = ('<div><a href="/1">One</a></div>'
+            '<div><a href="/2">Two</a></div>')
+    r = main_text(_pages(spark, [html])).collect()[0]
+    assert r.main_text == "" and r.kept_blocks == 0
+
+
+def test_plan_is_single_python_free_projection(spark):
+    df = main_text(_pages(spark, ["<p>x</p>"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
