@@ -587,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f21_resolve_redirects": _q_resolve_redirects,
         "f22_anchor_texts": _q_anchor_texts,
         "t25_boilerplate": _q_boilerplate,
+        "t26_page_metadata": _q_page_metadata,
+        "t27_fix_mojibake": _q_fix_mojibake,
+        "f23_curate_hosts": _q_curate_hosts,
     }
 
 
@@ -1728,6 +1731,119 @@ def _q_boilerplate(spark, sf_dir):
     return main_text(pages).select(
         "doc_id", "main_text", "cand_blocks", "kept_blocks"
     ).orderBy("doc_id")
+
+
+def _q_page_metadata(spark, sf_dir):
+    # t26: head-metadata extraction — title carries planted
+    # whitespace damage (double space + trailing space) the collapse
+    # must repair; description/canonical are OMITTED on doc_id%4==0 /
+    # %3==0 rows so the no-match '' path is exercised in both engines
+    from hepcrawl_spark.operators.boilerplate import page_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    desc = F.when(
+        F.col("doc_id") % 4 != 0,
+        F.concat(F.lit('<meta name="description" content="'),
+                 F.col("lang"), F.lit(" doc "), ids, F.lit('">')),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit('<link rel="canonical" href="http://h'),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".docs.example.com/d/"), ids, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"),
+        F.lit('"><head><title>Doc  '), ids, F.lit(" </title>"),
+        desc, canon,
+        F.lit('<meta property="og:title" content="OG '), ids,
+        F.lit('">'),
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html_str"))
+    return page_metadata(pages).select(
+        "doc_id", "title", "meta_description", "canonical_url",
+        "og_title", "html_lang",
+    ).orderBy("doc_id")
+
+
+# t27 planted artifacts: prefix repeated 1-3x + one suffix, both
+# picked from the pair table by doc_id arithmetic — rendered into
+# BOTH engines from the same constant
+_MOJI_BADS = [p[0] for p in textops.MOJIBAKE_PAIRS]
+
+# t27 mirror pieces, generated from the SAME pair table the operator
+# folds (no quote chars in any artifact/replacement — SQL-literal
+# safe); the nested-replace chain preserves the operator's order
+_MOJI_LIST_SQL = "['" + "','".join(_MOJI_BADS) + "']"
+_MOJI_FIXED_SQL = "text"
+for _bad, _good in textops.MOJIBAKE_PAIRS:
+    _MOJI_FIXED_SQL = f"replace({_MOJI_FIXED_SQL}, '{_bad}', '{_good}')"
+_MOJI_HITS_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{_bad}', '')))"
+    f" // {len(_bad)}"
+    for _bad, _g in textops.MOJIBAKE_PAIRS
+)
+
+
+def _q_fix_mojibake(spark, sf_dir):
+    # t27: cp1252 mojibake repair — every doc damaged with
+    # deterministic artifacts; the operator must fold them back and
+    # count the hits exactly
+    docs = _t(spark, sf_dir, "documents")
+    k = len(_MOJI_BADS)
+    bads = F.array(*[F.lit(b) for b in _MOJI_BADS])
+    a = F.element_at(bads, (F.col("doc_id") % k + 1).cast("int"))
+    b = F.element_at(
+        bads, ((F.col("doc_id") * 3 + 1) % k + 1).cast("int")
+    )
+    reps = (F.col("doc_id") % 3 + 1).cast("int")
+    damaged = F.concat(
+        F.repeat(a, reps), F.lit(" "), F.col("text"), F.lit(" "), b
+    )
+    return textops.fix_mojibake(
+        docs.select("doc_id", damaged.alias("text"))
+    ).select("doc_id", "text_fixed", "mojibake_hits").orderBy("doc_id")
+
+
+def _q_curate_hosts(spark, sf_dir):
+    # f23: RefinedWeb-style host curation — host keyed by n_chars
+    # bucket (so short-junk hosts really do concentrate Gopher
+    # failures), per-doc bad flag = NOT gopher-pass, then the host
+    # verdict aggregate; kept_docs re-derives through the REAL
+    # broadcast anti-join (the oracle states its closed form)
+    from hepcrawl_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"),
+        F.least(F.floor(F.col("n_chars") / 80), F.lit(12))
+        .cast("long").cast("string"),
+        F.lit(".example.com"),
+    )
+    s = textops.bind_once(
+        textops.tokens_col(F.col("text")),
+        lambda t: textops.gopher_signals(t),
+    )
+    base = docs.select(
+        "doc_id", host.alias("host"),
+        (F.lit(1) - s.getField("passes")).alias("bad"),
+    )
+    verdicts = corpus.curate_hosts(base)
+    kept = corpus.host_filter(base, verdicts).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs")
+    )
+    return (
+        verdicts.join(kept, "host", "left")
+        .select(
+            "host", "docs", "bad_docs", "blocked",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long")
+            .alias("kept_docs"),
+        )
+        .orderBy("host")
+    )
 
 
 # f22 anchor-text words — raw forms carry planted whitespace damage
@@ -3734,6 +3850,101 @@ def oracle_sql() -> dict[str, str]:
                    len(cand)::BIGINT AS cand_blocks,
                    len(kept)::BIGINT AS kept_blocks
             FROM k ORDER BY doc_id
+        """,
+        # t26: head-metadata mirror — the SAME page template (CASE
+        # for the omitted elements) and the SAME regex constants from
+        # the operator module; title repaired with the contract
+        # whitespace class
+        "t26_page_metadata": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html lang="' || lang || '"><head><title>Doc  '
+                     || doc_id || ' </title>'
+                     || CASE WHEN doc_id % 4 != 0 THEN
+                          '<meta name="description" content="' || lang
+                          || ' doc ' || doc_id || '">'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 != 0 THEN
+                          '<link rel="canonical" href="http://h'
+                          || (doc_id % 7) || '.docs.example.com/d/'
+                          || doc_id || '">'
+                        ELSE '' END
+                     || '<meta property="og:title" content="OG '
+                     || doc_id || '">'
+                     || '</head><body><p>' || text
+                     || '</p></body></html>' AS html_str
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                     regexp_extract(html_str,
+                       '{boilerplate.TITLE_RE}', 1),
+                     '{boilerplate._WS}', ' ', 'g'),
+                     '{boilerplate._WS_EDGE}', '', 'g') AS title,
+                   regexp_extract(html_str,
+                     '{boilerplate.META_DESC_RE}', 1)
+                     AS meta_description,
+                   regexp_extract(html_str,
+                     '{boilerplate.CANONICAL_RE}', 1) AS canonical_url,
+                   regexp_extract(html_str,
+                     '{boilerplate.OG_TITLE_RE}', 1) AS og_title,
+                   regexp_extract(html_str,
+                     '{boilerplate.HTML_LANG_RE}', 1) AS html_lang
+            FROM h ORDER BY doc_id
+        """,
+        # t27: mojibake mirror — the damage construction and the
+        # replace chain both render from MOJIBAKE_PAIRS; hit counts
+        # are exact length arithmetic (each diff is a multiple of the
+        # pattern length)
+        "t27_fix_mojibake": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     repeat(({_MOJI_LIST_SQL})
+                              [(doc_id % {len(_MOJI_BADS)}) + 1],
+                            (doc_id % 3 + 1)::INT)
+                     || ' ' || text || ' '
+                     || ({_MOJI_LIST_SQL})
+                          [((doc_id * 3 + 1) % {len(_MOJI_BADS)}) + 1]
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {_MOJI_FIXED_SQL} AS text_fixed,
+                   ({_MOJI_HITS_SQL})::BIGINT AS mojibake_hits
+            FROM d ORDER BY doc_id
+        """,
+        # f23: host-curation mirror — gopher verdict via the shared
+        # CTE constants, host aggregate, integer cross-multiplied
+        # block rule; kept_docs stated closed-form (docs when kept,
+        # 0 when blocked) against the Spark side's real anti-join
+        "f23_curate_hosts": f"""
+            WITH s AS (
+              SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, n_chars,{_GOPHER_M_COLS}
+              FROM s
+            ), g AS (
+              SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
+            ), b AS (
+              SELECT 'h' || least(n_chars // 80, 12)
+                       || '.example.com' AS host,
+                     CASE WHEN {_GOPHER_PASS_SQL}
+                          THEN 0 ELSE 1 END AS bad
+              FROM g
+            ), hh AS (
+              SELECT host, count(*)::BIGINT AS docs,
+                     sum(bad)::BIGINT AS bad_docs
+              FROM b GROUP BY host
+            ), v AS (
+              SELECT host, docs, bad_docs,
+                     CASE WHEN docs >= 5 AND bad_docs * 100 > 50 * docs
+                          THEN 1 ELSE 0 END AS blocked
+              FROM hh
+            )
+            SELECT host, docs, bad_docs, blocked,
+                   CASE WHEN blocked = 1 THEN 0::BIGINT
+                        ELSE docs END AS kept_docs
+            FROM v ORDER BY host
         """,
         # f22: anchor-text mirror — the link CTE keeps doc_id so the
         # text word is closed-form; cleaned word list + the same

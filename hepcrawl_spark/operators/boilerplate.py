@@ -49,6 +49,54 @@ _WS = r"[ \t\n\f\r]+"
 _WS_EDGE = r"^[ \t\n\f\r]+|[ \t\n\f\r]+$"
 
 
+# page-metadata element patterns (t26); attribute order is fixed to
+# the emitted-by-CMS convention the regex targets — a tolerant parser
+# would need lookarounds RE2 lacks, so the contract is the strict form
+TITLE_RE = r"(?s)<title[^>]*>([^<]*)</title>"
+META_DESC_RE = r'<meta name="description" content="([^"]*)"'
+CANONICAL_RE = r'<link rel="canonical" href="([^"]*)"'
+OG_TITLE_RE = r'<meta property="og:title" content="([^"]*)"'
+HTML_LANG_RE = r'<html[^>]*lang="([^"]*)"'
+
+
+def page_metadata(
+    pages: DataFrame,
+    html_col: str = "html_str",
+) -> DataFrame:
+    """Add ``title`` / ``meta_description`` / ``canonical_url`` /
+    ``og_title`` / ``html_lang`` extracted from raw HTML.
+
+    The head-metadata surrogate record a webtext corpus attaches to
+    every page at crawl time (title for display, description +
+    og:title as document-summary candidates, canonical URL for the
+    frontier's dedup identity, lang attribute as the cheap
+    language-ID prior).  The reference extracts title/abstract via
+    per-publisher XPath (e.g. /root/reference/hepcrawl/spiders/
+    wsp_spider.py record projection); over arbitrary crawl pages the
+    generic head elements are the only universally present analog.
+
+    Missing elements yield ``''`` (both engines' regexp_extract
+    no-match value), so downstream coalesce/gates need no NULL
+    branch.  Title text is whitespace-collapsed and edge-trimmed with
+    the contract class.  One Python-free projection over the page
+    scan — no shuffle, no join; first-match semantics bound the work
+    per row even on pathological pages.
+    """
+    h = F.col(html_col)
+    title = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(h, TITLE_RE, 1), _WS, " "),
+        _WS_EDGE, "",
+    )
+    return pages.select(
+        "*",
+        title.alias("title"),
+        F.regexp_extract(h, META_DESC_RE, 1).alias("meta_description"),
+        F.regexp_extract(h, CANONICAL_RE, 1).alias("canonical_url"),
+        F.regexp_extract(h, OG_TITLE_RE, 1).alias("og_title"),
+        F.regexp_extract(h, HTML_LANG_RE, 1).alias("html_lang"),
+    )
+
+
 def _block_struct(b: Column) -> Column:
     """Per-block (txt, ac): collapsed tag-free text + anchor chars."""
     txt = F.regexp_replace(

@@ -451,3 +451,55 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
                          count_col="token_cnt")
     out._caches = caches + [out._cumsum_cache]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Host-level curation (RefinedWeb-style domain filtering)
+# ---------------------------------------------------------------------------
+
+
+def curate_hosts(docs: DataFrame, host_col: str = "host",
+                 bad_col: str = "bad",
+                 min_docs: int = 5,
+                 max_bad_pct: int = 50) -> DataFrame:
+    """Per-host curation verdict from document-level quality flags:
+    ``host, docs, bad_docs, blocked``.
+
+    The host-level pass every public webtext pipeline runs after the
+    per-document gates (RefinedWeb/C4 drop whole domains whose
+    sampled pages are mostly junk): a host is ``blocked`` when it has
+    at least ``min_docs`` judged documents AND its bad share exceeds
+    ``max_bad_pct`` percent.  Hosts below ``min_docs`` are unjudged
+    — never blocked on thin evidence.  The share compare is integer
+    cross-multiplication (``bad*100 > pct*docs``), so the verdict is
+    bit-identical across engines.
+
+    One hash aggregate with map-side partial folding: a host with
+    10^8 pages collapses to one partial per task before the exchange,
+    and the exchange moves host cardinality, not page cardinality.
+    ``bad_col`` is any boolean the caller derived (Gopher verdict,
+    banned-words hit, classifier gate) — curation composes with every
+    existing per-doc signal without re-scanning.
+    """
+    hosts = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.col(bad_col).cast("long")).cast("long").alias("bad_docs"),
+    )
+    blocked = (
+        (F.col("docs") >= F.lit(int(min_docs)))
+        & (F.col("bad_docs") * 100 > F.lit(int(max_bad_pct))
+           * F.col("docs"))
+    )
+    return hosts.withColumn("blocked", blocked.cast("int"))
+
+
+def host_filter(docs: DataFrame, host_verdicts: DataFrame,
+                host_col: str = "host") -> DataFrame:
+    """Drop documents on blocked hosts (broadcast anti-join).
+
+    Host cardinality is millions where document cardinality is
+    trillions, so the verdict side always broadcasts — the filter
+    costs one scan-side hash probe, no shuffle of the corpus.
+    """
+    blocked = host_verdicts.where(F.col("blocked") == 1).select(host_col)
+    return docs.join(F.broadcast(blocked), on=host_col, how="left_anti")

@@ -1303,3 +1303,66 @@ def dsir_weights(docs: DataFrame, text_col: str = "text",
             F.round(F.avg("logratio"), 6).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8-read-as-cp1252 artifact folding)
+# ---------------------------------------------------------------------------
+
+# (artifact, intended) pairs for the classic double-encoding damage:
+# UTF-8 bytes of a punctuation/accent codepoint decoded as cp1252.
+# Ordered so replacements that could MANUFACTURE a later pattern's
+# artifact (the curly-quote fold emits U+201C, the third char of the
+# dash artifacts) run after the patterns they could feed; both
+# engines run the identical chain, so the output is deterministic
+# even on adversarial half-damaged text.  Every character is
+# printable (cp1252-unmapped bytes like 0x9D are excluded — those
+# artifacts are not byte-stable across decoders and cannot be
+# mirrored exactly).
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"),   # â€™  -> right single quote
+    ("â€˜", "‘"),   # â€˜  -> left single quote
+    ("â€“", "–"),   # â€ + U+201C -> en dash
+    ("â€”", "—"),   # â€ + U+201D -> em dash
+    ("â€¦", "…"),   # â€¦  -> ellipsis
+    ("â€¢", "•"),   # â€¢  -> bullet
+    ("â€œ", "“"),   # â€œ  -> left double quote
+    ("Ã©", "é"),         # Ã©   -> e acute
+    ("Ã¨", "è"),         # Ã¨   -> e grave
+    ("Ã¤", "ä"),         # Ã¤   -> a umlaut
+    ("Ã¶", "ö"),         # Ã¶   -> o umlaut
+    ("Ã¼", "ü"),         # Ã¼   -> u umlaut
+    ("Ã±", "ñ"),         # Ã±   -> n tilde
+    ("Ã§", "ç"),         # Ã§   -> c cedilla
+]
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text",
+                 out_col: str = "text_fixed") -> DataFrame:
+    """Repair cp1252 mojibake and meter it: adds ``out_col`` (the
+    text with every :data:`MOJIBAKE_PAIRS` artifact folded back to
+    its intended character) and ``mojibake_hits`` (total artifact
+    occurrences in the ORIGINAL text, the corpus-health signal an
+    encoding dashboard wants — ftfy's core table reduced to the
+    exactly-mirrorable literal substitutions).
+
+    One Python-free projection: a chain of literal ``replace`` calls
+    (codegen dedups the shared input scans) plus per-pattern
+    occurrence counts from length arithmetic — counts are exact
+    because each difference is a multiple of the pattern length.  No
+    shuffle, no join; output cardinality = input cardinality.
+    """
+    t = F.col(text_col)
+    fixed = t
+    for bad, good in MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    hits = None
+    for bad, _ in MOJIBAKE_PAIRS:
+        c = (
+            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        hits = c if hits is None else hits + c
+    return docs.select(
+        "*", fixed.alias(out_col), hits.alias("mojibake_hits")
+    )

@@ -65,3 +65,39 @@ def test_plan_is_single_python_free_projection(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_page_metadata_extracts_head_fields(spark):
+    from hepcrawl_spark.operators.boilerplate import page_metadata
+
+    html = (
+        '<html lang="en"><head><title>My  Page </title>'
+        '<meta name="description" content="a summary here">'
+        '<link rel="canonical" href="http://ex.com/page">'
+        '<meta property="og:title" content="OG Page">'
+        "</head><body><p>body</p></body></html>"
+    )
+    r = page_metadata(_pages(spark, [html])).collect()[0]
+    assert r.title == "My Page"            # collapse + edge trim
+    assert r.meta_description == "a summary here"
+    assert r.canonical_url == "http://ex.com/page"
+    assert r.og_title == "OG Page"
+    assert r.html_lang == "en"
+
+
+def test_page_metadata_missing_elements_yield_empty(spark):
+    from hepcrawl_spark.operators.boilerplate import page_metadata
+
+    r = page_metadata(_pages(spark, ["<html><body>x</body></html>"]))\
+        .collect()[0]
+    assert (r.title, r.meta_description, r.canonical_url,
+            r.og_title, r.html_lang) == ("", "", "", "", "")
+
+
+def test_page_metadata_plan_is_python_free(spark):
+    from hepcrawl_spark.operators.boilerplate import page_metadata
+
+    df = page_metadata(_pages(spark, ["<p>x</p>"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan

@@ -1451,3 +1451,54 @@ def test_dsir_weights_separate_target_from_offtarget(spark):
     tgt_w = {out[i].dsir_weight for i in range(40) if is_tgt(i, bps)}
     off_w = {out[i].dsir_weight for i in range(40) if not is_tgt(i, bps)}
     assert len(tgt_w) == 1 and len(off_w) == 1
+
+
+def test_fix_mojibake_folds_artifacts_and_counts(spark):
+    rows = [
+        (1, "itâ€™s â€œquotedâ€œ and Ã©lÃ©gant â€“ done"),
+        (2, "clean ascii stays clean."),
+        (3, "Ã©Ã©Ã©"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.fix_mojibake(df).collect()}
+    assert out[1].text_fixed == "it’s “quoted“ and élégant – done"
+    # â€™ + 2×â€œ + 2×Ã© + â€“ = 6 artifact occurrences
+    assert out[1].mojibake_hits == 6
+    assert out[2].text_fixed == rows[1][1]
+    assert out[2].mojibake_hits == 0
+    # adjacent repeats each count
+    assert out[3].text_fixed == "ééé" and out[3].mojibake_hits == 3
+
+
+def test_fix_mojibake_plan_is_single_projection(spark):
+    df = textops.fix_mojibake(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curate_hosts_verdicts_and_filter(spark):
+    from hepcrawl_spark.operators import corpus
+
+    rows = (
+        # judged + majority bad -> blocked (4/6 = 66% > 50%)
+        [(i, "a.com", 1 if i < 4 else 0) for i in range(6)]
+        # judged + exactly half bad -> kept (3*100 <= 50*6, strict >)
+        + [(10 + i, "b.com", 1 if i < 3 else 0) for i in range(6)]
+        # all bad but below min_docs -> unjudged, never blocked
+        + [(20 + i, "c.com", 1) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string, bad int")
+    v = {r.host: r for r in corpus.curate_hosts(df).collect()}
+    assert v["a.com"].blocked == 1 and v["a.com"].bad_docs == 4
+    assert v["b.com"].blocked == 0
+    assert v["c.com"].blocked == 0 and v["c.com"].docs == 4
+    kept = corpus.host_filter(df, corpus.curate_hosts(df))
+    hosts = {r.host for r in kept.collect()}
+    assert hosts == {"b.com", "c.com"}
+    assert kept.count() == 10
+    # the verdict side broadcasts — the corpus never shuffles
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
