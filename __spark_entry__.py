@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t26_page_metadata": _q_page_metadata,
         "t27_fix_mojibake": _q_fix_mojibake,
         "f23_curate_hosts": _q_curate_hosts,
+        "f24_linkfarm_hosts": _q_linkfarm_hosts,
+        "p13_host_curated_clean": _q_host_curated_clean,
     }
 
 
@@ -1787,6 +1789,33 @@ _MOJI_HITS_SQL = " + ".join(
     for _bad, _g in textops.MOJIBAKE_PAIRS
 )
 
+# f23/p13 shared host-curation mirror: gopher bad flag per doc (the
+# shared CTE constants), n_chars-bucket host key, host aggregate and
+# the integer cross-multiplied block verdict — defined ONCE so the
+# standalone f23 mirror and the p13 pipeline mirror cannot drift
+_HOSTCUR_CTES = f"""cs AS (
+      SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents
+    ), cm AS (
+      SELECT doc_id, n_chars,{_GOPHER_M_COLS}
+      FROM cs
+    ), cg AS (
+      SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM cm
+    ), cb AS (
+      SELECT doc_id, 'h' || least(n_chars // 80, 12)
+               || '.example.com' AS host,
+             CASE WHEN {_GOPHER_PASS_SQL} THEN 0 ELSE 1 END AS bad
+      FROM cg
+    ), ch AS (
+      SELECT host, count(*)::BIGINT AS docs,
+             sum(bad)::BIGINT AS bad_docs
+      FROM cb GROUP BY host
+    ), cv AS (
+      SELECT host, docs, bad_docs,
+             CASE WHEN docs >= 5 AND bad_docs * 100 > 50 * docs
+                  THEN 1 ELSE 0 END AS blocked
+      FROM ch
+    )"""
+
 
 def _q_fix_mojibake(spark, sf_dir):
     # t27: cp1252 mojibake repair — every doc damaged with
@@ -1844,6 +1873,63 @@ def _q_curate_hosts(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_host_curated_clean(spark, sf_dir):
+    # p13: RefinedWeb order — drop blocked hosts FIRST (f23's verdict
+    # + the real broadcast anti-join), then run the per-doc
+    # clean-corpus pipeline on the survivors; the oracle shares f23's
+    # CTEs and p01's body verbatim
+    from hepcrawl_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"),
+        F.least(F.floor(F.col("n_chars") / 80), F.lit(12))
+        .cast("long").cast("string"),
+        F.lit(".example.com"),
+    )
+    s = textops.bind_once(
+        textops.tokens_col(F.col("text")),
+        lambda t: textops.gopher_signals(t),
+    )
+    base = docs.select(
+        "doc_id", "text", host.alias("host"),
+        (F.lit(1) - s.getField("passes")).alias("bad"),
+    )
+    verdicts = corpus.curate_hosts(base)
+    survivors = corpus.host_filter(base, verdicts).select(
+        "doc_id", "text"
+    )
+    return corpus.clean_corpus(survivors).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
+    )
+
+
+def _q_linkfarm_hosts(spark, sf_dir):
+    # f24: link-farm detection over a planted host graph mod 12 —
+    # hosts 0-3 form reciprocal exchange pairs (0<->1, 2<->3: the
+    # farm), hosts 4-11 a one-way chain; every host also carries a
+    # one-way long-range edge (+5), so farms sit at 50% reciprocity
+    # and organics at 0% — the 40% threshold separates them
+    from hepcrawl_spark.frontier import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _h(c):
+        return F.concat(F.lit("h"), c.cast("string"),
+                        F.lit(".example.com"))
+
+    r = F.col("doc_id") % 12
+    partner = r + 1 - 2 * (r % 2)
+    d1 = F.when(r < 4, partner).otherwise((r + 1) % 12)
+    e1 = docs.select(_h(r).alias("src_host"), _h(d1).alias("dst_host"))
+    e2 = docs.select(_h(r).alias("src_host"),
+                     _h((r + 5) % 12).alias("dst_host"))
+    edges = linkgraph.host_graph(e1.unionAll(e2))
+    return linkgraph.linkfarm_hosts(
+        edges, min_out=2, min_recip_pct=40
+    ).orderBy("host")
 
 
 # f22 anchor-text words — raw forms carry planted whitespace damage
@@ -3918,33 +4004,60 @@ def oracle_sql() -> dict[str, str]:
         # block rule; kept_docs stated closed-form (docs when kept,
         # 0 when blocked) against the Spark side's real anti-join
         "f23_curate_hosts": f"""
-            WITH s AS (
-              SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents
-            ), m AS (
-              SELECT doc_id, n_chars,{_GOPHER_M_COLS}
-              FROM s
-            ), g AS (
-              SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
-            ), b AS (
-              SELECT 'h' || least(n_chars // 80, 12)
-                       || '.example.com' AS host,
-                     CASE WHEN {_GOPHER_PASS_SQL}
-                          THEN 0 ELSE 1 END AS bad
-              FROM g
-            ), hh AS (
-              SELECT host, count(*)::BIGINT AS docs,
-                     sum(bad)::BIGINT AS bad_docs
-              FROM b GROUP BY host
-            ), v AS (
-              SELECT host, docs, bad_docs,
-                     CASE WHEN docs >= 5 AND bad_docs * 100 > 50 * docs
-                          THEN 1 ELSE 0 END AS blocked
-              FROM hh
-            )
+            WITH {_HOSTCUR_CTES}
             SELECT host, docs, bad_docs, blocked,
                    CASE WHEN blocked = 1 THEN 0::BIGINT
                         ELSE docs END AS kept_docs
-            FROM v ORDER BY host
+            FROM cv ORDER BY host
+        """,
+        # p13: host curation composed into the clean-corpus pipeline —
+        # the SAME _HOSTCUR_CTES as f23 (mirrors cannot drift) feed a
+        # `curated` survivor set, and the p01 body runs verbatim with
+        # ONLY its source swapped (the p10 pattern)
+        "p13_host_curated_clean": _P01_SQL_TMPL.format(extra_gate="")
+        .replace("AS toks FROM documents", "AS toks FROM curated", 1)
+        .replace(
+            "WITH s AS (",
+            f"WITH {_HOSTCUR_CTES}, curated AS (\n"
+            "      SELECT d.* FROM documents d\n"
+            "      JOIN cb ON cb.doc_id = d.doc_id\n"
+            "      JOIN cv ON cv.host = cb.host\n"
+            "      WHERE cv.blocked = 0\n"
+            "    ), s AS (",
+            1,
+        ),
+        # f24: link-farm mirror — the functional two-edge host graph
+        # stated closed-form (UNION dedups, self-loops dropped), the
+        # reverse-edge check as a self-join, verdict by the same
+        # integer cross-multiplication
+        "f24_linkfarm_hosts": """
+            WITH base AS (
+              SELECT doc_id % 12 AS r,
+                     CASE WHEN doc_id % 12 < 4
+                          THEN doc_id % 12 + 1 - 2 * (doc_id % 12 % 2)
+                          ELSE (doc_id % 12 + 1) % 12 END AS d1,
+                     (doc_id % 12 + 5) % 12 AS d2
+              FROM documents
+            ), e AS (
+              SELECT DISTINCT r AS s, d1 AS d FROM base WHERE d1 != r
+              UNION
+              SELECT DISTINCT r AS s, d2 AS d FROM base WHERE d2 != r
+            ), o AS (
+              SELECT s, count(*)::BIGINT AS out_deg FROM e GROUP BY s
+            ), rc AS (
+              SELECT e.s, count(*)::BIGINT AS recip_deg
+              FROM e JOIN e e2 ON e2.s = e.d AND e2.d = e.s
+              GROUP BY e.s
+            )
+            SELECT 'h' || o.s || '.example.com' AS host,
+                   out_deg,
+                   coalesce(recip_deg, 0)::BIGINT AS recip_deg,
+                   CASE WHEN out_deg >= 2
+                             AND coalesce(recip_deg, 0) * 100
+                                 > 40 * out_deg
+                        THEN 1 ELSE 0 END AS flagged
+            FROM o LEFT JOIN rc ON rc.s = o.s
+            ORDER BY host
         """,
         # f22: anchor-text mirror — the link CTE keeps doc_id so the
         # text word is closed-form; cleaned word list + the same

@@ -334,3 +334,62 @@ def anchor_text_summary(anchors: DataFrame) -> DataFrame:
             F.col("_top.top_text_cnt").alias("top_text_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-farm detection (reciprocal-edge share per host)
+# ---------------------------------------------------------------------------
+
+
+def linkfarm_hosts(edges: DataFrame, min_out: int = 2,
+                   min_recip_pct: int = 50) -> DataFrame:
+    """Per-host reciprocity verdict: ``host, out_deg, recip_deg,
+    flagged`` — the classic link-exchange/link-farm signal (a spam
+    host's outlinks come straight back; organic hosts link mostly
+    one-way).
+
+    ``out_deg`` counts distinct out-neighbors (self-loops excluded),
+    ``recip_deg`` those whose reverse edge exists, and a host is
+    ``flagged`` when it has at least ``min_out`` out-neighbors AND
+    more than ``min_recip_pct`` percent of them reciprocate (integer
+    cross-multiplication — exact on every engine).
+
+    Scale shape: everything runs at HOST-graph cardinality, orders of
+    magnitude below page cardinality.  The reverse-edge check is a
+    left-semi self-join on the (src, dst) equi-key — one shuffle of
+    the deduped edge list — and both degree counts are hash
+    aggregates with map-side partial folding.  No window, no Python,
+    no per-page work: the page→host rollup already happened in
+    :func:`host_graph`.
+    """
+    e = (
+        edges.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    recip = e.join(rev, ["src_host", "dst_host"], "left_semi")
+    out_deg = e.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    recip_deg = recip.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("recip_deg")
+    )
+    flagged = (
+        (F.col("out_deg") >= F.lit(int(min_out)))
+        & (F.col("recip_deg") * 100 > F.lit(int(min_recip_pct))
+           * F.col("out_deg"))
+    )
+    return (
+        out_deg.join(recip_deg, "src_host", "left")
+        .select(
+            F.col("src_host").alias("host"),
+            "out_deg",
+            F.coalesce(F.col("recip_deg"), F.lit(0)).cast("long")
+            .alias("recip_deg"),
+        )
+        .withColumn("flagged", flagged.cast("int"))
+    )

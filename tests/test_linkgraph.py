@@ -224,3 +224,40 @@ def test_anchor_summary_plan_is_window_free(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_linkfarm_hosts_flags_reciprocal_cluster(spark):
+    edges = spark.createDataFrame(
+        [
+            # a <-> b exchange pair, each with one organic out-edge
+            ("a.com", "b.com", 5), ("b.com", "a.com", 2),
+            ("a.com", "x.com", 1), ("b.com", "y.com", 1),
+            # one-way chain: never flagged
+            ("x.com", "y.com", 3), ("y.com", "z.com", 3),
+            ("x.com", "z.com", 1),
+            # self-loop must be ignored entirely
+            ("z.com", "z.com", 9),
+        ],
+        "src_host string, dst_host string, weight long",
+    )
+    out = {r.host: r for r in
+           linkgraph.linkfarm_hosts(edges, min_out=2,
+                                    min_recip_pct=40).collect()}
+    assert out["a.com"].flagged == 1 and out["a.com"].recip_deg == 1
+    assert out["b.com"].flagged == 1
+    assert out["x.com"].flagged == 0 and out["x.com"].out_deg == 2
+    # y has out_deg 1 < min_out: judged clean even at 0% reciprocity
+    assert out["y.com"].flagged == 0
+    assert "z.com" not in out          # only a self-loop: no degree
+
+
+def test_linkfarm_hosts_min_out_evidence_floor(spark):
+    # a single reciprocated edge is 100% reciprocity but min_out=2
+    # keeps the host unflagged — thin evidence never blocks
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 1), ("b.com", "a.com", 1)],
+        "src_host string, dst_host string, weight long",
+    )
+    out = {r.host: r for r in
+           linkgraph.linkfarm_hosts(edges, min_out=2).collect()}
+    assert out["a.com"].flagged == 0 and out["a.com"].recip_deg == 1

@@ -1502,3 +1502,16 @@ def test_curate_hosts_verdicts_and_filter(spark):
     # the verdict side broadcasts — the corpus never shuffles
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_p13_oracle_shares_hostcur_and_p01_sql():
+    # the p13 mirror must embed f23's host-curation CTEs and the p01
+    # body byte-identically — shared-constant construction, no drift
+    import __spark_entry__ as em
+    o = em.oracle_sql()
+    assert em._HOSTCUR_CTES in o["f23_curate_hosts"]
+    assert em._HOSTCUR_CTES in o["p13_host_curated_clean"]
+    assert "AS toks FROM curated" in o["p13_host_curated_clean"]
+    tail = em._P01_SQL_TMPL.format(extra_gate="").split(
+        "AS toks FROM documents", 1)[1]
+    assert tail in o["p13_host_curated_clean"]
