@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t27_fix_mojibake": _q_fix_mojibake,
         "f23_curate_hosts": _q_curate_hosts,
         "f24_linkfarm_hosts": _q_linkfarm_hosts,
+        "f25_url_spam": _q_url_spam,
+        "m04_sniff_mime": _q_sniff_mime,
         "p13_host_curated_clean": _q_host_curated_clean,
     }
 
@@ -1930,6 +1932,64 @@ def _q_linkfarm_hosts(spark, sf_dir):
     return linkgraph.linkfarm_hosts(
         edges, min_out=2, min_recip_pct=40
     ).orderBy("host")
+
+
+# m04 planted magic table: the 8 real prefixes + one junk entry that
+# must fall through to octet-stream
+_MAGIC_HEXES = [h for h, _ in multimodal.MAGIC_PREFIXES] + ["00FF00FF"]
+
+
+def _q_sniff_mime(spark, sf_dir):
+    # m04: magic-byte MIME sniffing — payload = planted magic prefix
+    # (by doc_id % 9) + the first 8 text chars as UTF-8 bytes; the
+    # oracle states the expected verdict closed-form from the same
+    # table, so a wrong CASE arm or hex slice fails the match
+    docs = _t(spark, sf_dir, "documents")
+    magics = F.array(*[F.lit(h) for h in _MAGIC_HEXES])
+    magic = F.element_at(
+        magics, (F.col("doc_id") % len(_MAGIC_HEXES) + 1).cast("int")
+    )
+    payload = F.unhex(F.concat(
+        magic,
+        F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8")),
+    ))
+    media = docs.select("doc_id", payload.alias("media"))
+    return multimodal.sniff_mime(media).select(
+        "doc_id", "sniffed_type"
+    ).orderBy("doc_id")
+
+
+def _q_url_spam(spark, sf_dir):
+    # f25: lexical URL-spam gate — four path families (hyphen-stuffed
+    # tags, session-id digit runs, deep trees, parameter farms) plus
+    # a pad segment on doc_id%5==0 rows that trips the length + depth
+    # features, so scores span 0..6 and the flag fires on real
+    # combinations only
+    from hepcrawl_spark.frontier import urlfilter
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/tag-x-x-x-x-"), ids))
+        .when(m == 1, F.concat(
+            F.lit("/session/"),
+            (F.col("doc_id") + 1000000).cast("string")))
+        .when(m == 2, F.concat(F.lit("/a/b/c/d/e/f/"), ids))
+        .otherwise(F.concat(F.lit("/q?a=1&b=2&c="), ids))
+    )
+    pad = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("/pad/pad/pad/pad/pad/pad/pad/pad/pad/pad"),
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".docs.example.com"), pad, path,
+    )
+    cand = docs.select("doc_id", url.alias("canon_url"))
+    return urlfilter.url_spam_score(cand).select(
+        "doc_id", "spam_score", "spam_flag"
+    ).orderBy("doc_id")
 
 
 # f22 anchor-text words — raw forms carry planted whitespace damage
@@ -4058,6 +4118,68 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS flagged
             FROM o LEFT JOIN rc ON rc.s = o.s
             ORDER BY host
+        """,
+        # m04: MIME-sniff mirror — the expected verdict stated
+        # closed-form from the SAME magic table the operator compiles
+        # its CASE from (index i plants prefix i, junk 9th falls
+        # through)
+        "m04_sniff_mime": """
+            SELECT doc_id,
+                   CASE doc_id % """ + str(len(_MAGIC_HEXES)) + " "
+        + " ".join(
+            f"WHEN {i} THEN '{mime}'"
+            for i, (_h, mime) in enumerate(multimodal.MAGIC_PREFIXES)
+        ) + """
+                   ELSE 'application/octet-stream' END AS sniffed_type
+            FROM documents ORDER BY doc_id
+        """,
+        # f25: URL-spam mirror — same URL construction, path/query
+        # re-derived by regex (DuckDB has no parse_url), every feature
+        # threshold read from the operator's constants
+        "f25_url_spam": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'http://h' || (doc_id % 7) || '.docs.example.com'
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '/pad/pad/pad/pad/pad/pad/pad/pad/pad/pad'
+                          ELSE '' END
+                     || CASE doc_id % 4
+                          WHEN 0 THEN '/tag-x-x-x-x-' || doc_id
+                          WHEN 1 THEN '/session/' || (doc_id + 1000000)
+                          WHEN 2 THEN '/a/b/c/d/e/f/' || doc_id
+                          ELSE '/q?a=1&b=2&c=' || doc_id END AS url
+              FROM documents
+            ), pq AS (
+              SELECT doc_id, url,
+                     regexp_extract(url,
+                       '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u
+            ), sc AS (
+              SELECT doc_id,
+                     (CASE WHEN length(url) > {urlfilter.SPAM_LONG_URL}
+                           THEN 2 ELSE 0 END
+                      + CASE WHEN regexp_matches(path,
+                               '{urlfilter.SPAM_DIGIT_RUN}')
+                             THEN 3 ELSE 0 END
+                      + CASE WHEN length(path)
+                               - length(replace(path, '-', ''))
+                               >= {urlfilter.SPAM_MIN_HYPHENS}
+                             THEN 2 ELSE 0 END
+                      + CASE WHEN length(path)
+                               - length(replace(path, '/', ''))
+                               >= {urlfilter.SPAM_MIN_DEPTH}
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN length(query)
+                               - length(replace(query, '=', ''))
+                               >= {urlfilter.SPAM_MIN_PARAMS}
+                             THEN 2 ELSE 0 END)::INT AS spam_score
+              FROM pq
+            )
+            SELECT doc_id, spam_score,
+                   (spam_score >= {urlfilter.SPAM_FLAG_AT})::INT
+                     AS spam_flag
+            FROM sc ORDER BY doc_id
         """,
         # f22: anchor-text mirror — the link CTE keeps doc_id so the
         # text word is closed-form; cleaned word list + the same

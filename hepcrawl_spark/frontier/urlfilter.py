@@ -264,3 +264,52 @@ def detect_traps(
             ).alias("trap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL spam scoring (lexical features, UT1/RefinedWeb-style URL gate)
+# ---------------------------------------------------------------------------
+
+# feature thresholds and weights — integer points so the score is
+# exact on every engine; tuned to the public URL-filter heuristics
+# (long URLs, session-id digit runs, keyword-stuffed hyphen paths,
+# deep auto-generated trees, parameter farms)
+SPAM_LONG_URL = 80        # chars
+SPAM_DIGIT_RUN = r"[0-9]{6,}"
+SPAM_MIN_HYPHENS = 4
+SPAM_MIN_DEPTH = 6        # '/' count in path
+SPAM_MIN_PARAMS = 3       # '=' count in query
+SPAM_FLAG_AT = 5          # points
+
+
+def url_spam_score(candidates: DataFrame,
+                   url_col: str = "canon_url") -> DataFrame:
+    """Annotate candidates with a lexical URL-spam score: adds
+    ``spam_score`` (weighted integer points: +2 long URL, +3 digit
+    run >= 6, +2 hyphen-stuffed path, +1 deep path, +2 parameter
+    farm) and ``spam_flag`` (score >= :data:`SPAM_FLAG_AT`).
+
+    The frontier-side cheap gate every public pipeline runs before
+    fetching (the UT1-blocklist family generalized to lexical
+    features): one codegen projection over the candidate scan — no
+    join, no shuffle, no Python — so at 10^10-URL frontier scale it
+    costs the same pass that already computes the URL identity.
+    """
+    url = F.col(url_col)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+
+    def _cnt(c: Column, ch: str) -> Column:
+        return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+    score = (
+        F.when(F.length(url) > SPAM_LONG_URL, 2).otherwise(0)
+        + F.when(path.rlike(SPAM_DIGIT_RUN), 3).otherwise(0)
+        + F.when(_cnt(path, "-") >= SPAM_MIN_HYPHENS, 2).otherwise(0)
+        + F.when(_cnt(path, "/") >= SPAM_MIN_DEPTH, 1).otherwise(0)
+        + F.when(_cnt(query, "=") >= SPAM_MIN_PARAMS, 2).otherwise(0)
+    ).cast("int")
+    return candidates.select(
+        "*", score.alias("spam_score"),
+        (score >= F.lit(SPAM_FLAG_AT)).cast("int").alias("spam_flag"),
+    )

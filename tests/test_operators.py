@@ -1515,3 +1515,37 @@ def test_p13_oracle_shares_hostcur_and_p01_sql():
     tail = em._P01_SQL_TMPL.format(extra_gate="").split(
         "AS toks FROM documents", 1)[1]
     assert tail in o["p13_host_curated_clean"]
+
+
+def test_sniff_mime_magic_table_and_spoof_metering(spark):
+    rows = [
+        (1, bytes.fromhex("89504E47") + b"rest"),       # png
+        (2, bytes.fromhex("FFD8FF") + b"\x01jpeg"),     # 3-byte prefix
+        (3, bytes.fromhex("1F8B") + b"gz"),             # 2-byte prefix
+        (4, b"%PDF-1.7 ..."),                            # ascii magic
+        (5, b"plain text, no magic"),
+        (6, b""),                                        # empty payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r.sniffed_type
+           for r in multimodal.sniff_mime(df).collect()}
+    assert out[1] == "image/png"
+    assert out[2] == "image/jpeg"
+    assert out[3] == "application/gzip"
+    assert out[4] == "application/pdf"
+    assert out[5] == "application/octet-stream"
+    assert out[6] == "application/octet-stream"
+    # spoof metering: claimed type survives next to the sniffed one
+    spoofed = multimodal.sniff_mime(
+        df.withColumn("media_type", F.lit("image/png"))
+    ).where(F.col("media_type") != F.col("sniffed_type"))
+    assert spoofed.count() == 5
+
+
+def test_sniff_mime_plan_is_python_free(spark):
+    df = multimodal.sniff_mime(
+        spark.createDataFrame([(1, b"x")], "doc_id long, media binary")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan

@@ -173,3 +173,36 @@ def test_detect_traps_tie_break_smallest_pattern(spark):
     assert out[0].top_pattern == "/a/~d"
     # both thresholds are inclusive: 3 >= 3 urls, 3/6 >= 0.5 share
     assert out[0].trap
+
+
+def test_url_spam_score_features(spark):
+    from hepcrawl_spark.frontier.urlfilter import url_spam_score
+
+    rows = [
+        (1, "http://a.com/ok"),                          # clean: 0
+        (2, "http://a.com/id/1234567"),                  # digit run: 3
+        (3, "http://a.com/buy-cheap-x-y-z-now"),         # hyphens: 2
+        (4, "http://a.com/a/b/c/d/e/f/g"),               # depth: 1
+        (5, "http://a.com/q?a=1&b=2&c=3"),               # params: 2
+        (6, "http://a.com/id/1234567-x-y-z-w-v/" + "p/" * 30
+            + "f?a=1&b=2&c=3"),                          # everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, canon_url string")
+    out = {r.doc_id: r for r in url_spam_score(df).collect()}
+    assert out[1].spam_score == 0 and out[1].spam_flag == 0
+    assert out[2].spam_score == 3 and out[2].spam_flag == 0
+    assert out[3].spam_score == 2
+    assert out[4].spam_score == 1
+    assert out[5].spam_score == 2
+    # long + digits + hyphens + depth + params = 2+3+2+1+2
+    assert out[6].spam_score == 10 and out[6].spam_flag == 1
+
+
+def test_url_spam_score_plan_is_python_free(spark):
+    from hepcrawl_spark.frontier.urlfilter import url_spam_score
+
+    df = url_spam_score(spark.createDataFrame(
+        [(1, "http://a.com/x")], "doc_id long, canon_url string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
