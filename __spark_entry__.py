@@ -3564,7 +3564,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(ls)::BIGINT AS line_cnt,
                    len(kept)::BIGINT AS kept_cnt,
                    {_C4_PAGE_OK_SQL}::INT AS page_ok,
-                   array_to_string(kept, chr(10)) AS cleaned_text
+                   -- COALESCE: DuckDB array_to_string([]) is NULL
+                   -- where Spark array_join([]) is '' (a zero-kept
+                   -- page must clean to '' on both engines)
+                   COALESCE(array_to_string(kept, chr(10)), '')
+                     AS cleaned_text
             FROM c4k
         """,
         # p11: C4-filtered clean corpus — the shared C4 CTEs produce
@@ -3991,8 +3995,12 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT doc_id,
-                   array_to_string(list_transform(kept, s -> s.txt),
-                                   chr(10)) AS main_text,
+                   -- COALESCE: array_to_string([]) is NULL on DuckDB,
+                   -- '' on Spark — an all-boilerplate page keeps zero
+                   -- blocks and must extract to '' on both engines
+                   COALESCE(array_to_string(
+                     list_transform(kept, s -> s.txt), chr(10)), '')
+                     AS main_text,
                    len(cand)::BIGINT AS cand_blocks,
                    len(kept)::BIGINT AS kept_blocks
             FROM k ORDER BY doc_id

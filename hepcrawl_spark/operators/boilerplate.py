@@ -44,9 +44,13 @@ BLOCK_SPLIT_RE = (
 ANCHOR_BODY_RE = r"<a[^>]*>([^<]*)</a>"
 TAG_RE = r"<[^>]*>"
 # the tokenizer's explicit whitespace contract (textops.WS_CLASS):
-# identical in Java regex, RE2 and Python re
+# identical in Java regex, RE2 and Python re.  _WS_EDGE is the
+# flagless form interpolated into the DuckDB mirrors; Spark-side
+# trims use _WS_EDGE_J (``(?d)`` pins Java's ``$`` to end-of-text /
+# final-\n semantics — see textops.WS_EDGE_J for the NEL/LS/PS seam)
 _WS = r"[ \t\n\f\r]+"
 _WS_EDGE = r"^[ \t\n\f\r]+|[ \t\n\f\r]+$"
+_WS_EDGE_J = "(?d)" + _WS_EDGE
 
 
 # page-metadata element patterns (t26); attribute order is fixed to
@@ -85,7 +89,7 @@ def page_metadata(
     h = F.col(html_col)
     title = F.regexp_replace(
         F.regexp_replace(F.regexp_extract(h, TITLE_RE, 1), _WS, " "),
-        _WS_EDGE, "",
+        _WS_EDGE_J, "",
     )
     return pages.select(
         "*",
@@ -101,7 +105,7 @@ def _block_struct(b: Column) -> Column:
     """Per-block (txt, ac): collapsed tag-free text + anchor chars."""
     txt = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(b, TAG_RE, " "), _WS, " "),
-        _WS_EDGE, "",
+        _WS_EDGE_J, "",
     )
     ac = F.aggregate(
         F.regexp_extract_all(b, F.lit(ANCHOR_BODY_RE), F.lit(1)),

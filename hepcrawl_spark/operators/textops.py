@@ -49,6 +49,19 @@ FP_MOD = 2147483647
 # identically by Java regex, RE2, and Python re.
 WS_CLASS = r"[ \t\n\f\r]+"
 WS_EDGE = r"^[ \t\n\f\r]+|[ \t\n\f\r]+$"
+# Java-side variant of WS_EDGE.  Plain Java ``$`` also matches BEFORE
+# a final line terminator (\n, \r\n, \r, U+0085 NEL, U+2028 LS,
+# U+2029 PS — Pattern's default line-terminator set), so on text
+# ending "<spaces><U+2028 LS>" Java trims the spaces while RE2/DuckDB ``$``
+# (end-of-text only) and Python ``$`` (end or before a final \n only)
+# keep them — a real token-set divergence on NEL/LS/PS-final
+# documents.  ``(?d)`` (UNIX_LINES) shrinks Java's terminator set to
+# \n alone, which makes all three engines agree on every input: for a
+# greedy trailing class-run the before-final-\n position and the
+# end-of-text position yield the same replacement whenever \n is in
+# the class (it is).  RE2 rejects the flag, so SQL mirrors keep the
+# flagless WS_EDGE; Spark expressions must use WS_EDGE_J.
+WS_EDGE_J = "(?d)" + WS_EDGE
 
 
 def tokens_col(text: Column) -> Column:
@@ -68,7 +81,7 @@ def tokens_col(text: Column) -> Column:
     test skips exactly that set.
     """
     return F.split(
-        F.regexp_replace(F.lower(text), WS_EDGE, ""), WS_CLASS
+        F.regexp_replace(F.lower(text), WS_EDGE_J, ""), WS_CLASS
     )
 
 
@@ -1012,7 +1025,7 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
 
     def _keep(l: Column) -> Column:
         words = F.size(F.split(
-            F.regexp_replace(l, WS_EDGE, ""), WS_CLASS
+            F.regexp_replace(l, WS_EDGE_J, ""), WS_CLASS
         ))
         cond = (
             F.substring(l, -1, 1).isin(*term)
@@ -1152,7 +1165,7 @@ def normalize_punct(docs: DataFrame, text_col: str = "text",
         F.lit("…"), F.lit("..."),
     )
     norm = F.regexp_replace(
-        F.regexp_replace(folded, WS_EDGE, ""), WS_CLASS, " "
+        F.regexp_replace(folded, WS_EDGE_J, ""), WS_CLASS, " "
     )
     return docs.select(
         F.col(id_col),

@@ -191,3 +191,52 @@ def test_signal_queries_match_duckdb_on_fuzzed_corpora(spark, tmp_path):
         con.close()
 
     check()
+
+
+
+def test_terminator_final_docs_match_duckdb(spark, tmp_path):
+    """Regression: Java's plain ``$`` matches BEFORE a final NEL / LS /
+    PS line terminator, so the WS_EDGE trailing trim used to eat
+    "<spaces><U+2028>"-style endings on Spark while the RE2 and
+    Python mirrors kept them — a token-set divergence on every
+    token-based signal.  textops.WS_EDGE_J pins Java to UNIX_LINES;
+    this corpus places a class-whitespace run directly before each
+    terminator at end-of-text, the exact shape that diverged.
+    """
+    texts = [
+        "word \u0085",        # space + final NEL
+        "word \u2028",        # space + final LS
+        "word\t\u2029",       # tab + final PS
+        "a b \u2028",         # multi-token prefix
+        "line one\n\u0085",   # newline inside the run
+        "word \u2028 tail",   # terminator NOT final: no divergence
+        "word \n",            # in-class terminator: always trimmed
+        "\u2028",             # terminator-only doc
+        " \u0085 \u2028",    # interleaved runs, terminator final
+    ]
+    sf_dir = str(tmp_path / "term")
+    docs = spark.createDataFrame(
+        [(i, t, "en", "fuzz", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, "
+        "source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    glob = os.path.join(sf_dir, "documents.parquet", "*.parquet")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{glob}')"
+    )
+    oracles = em.oracle_sql()
+    queries = em.queries()
+    for name in ["t01_text_tokens", "t09_text_gopher",
+                 "t20_c4_filter", "t22_normalize_punct",
+                 "t14_dedup_lines"]:
+        df = queries[name](spark, sf_dir)
+        got = _rowset(df.columns, df.collect())
+        cur = con.execute(oracles[name])
+        want = _rowset([d[0] for d in cur.description], cur.fetchall())
+        assert got == want, name
+    con.close()
