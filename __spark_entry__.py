@@ -34,6 +34,7 @@ from hepcrawl_spark.frontier.seen import filter_unseen
 from hepcrawl_spark.frontier import urlfilter
 from hepcrawl_spark.operators import (
     boilerplate,
+    corpus as corpus_ops,
     dedup,
     joins,
     multimodal,
@@ -594,6 +595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f25_url_spam": _q_url_spam,
         "m04_sniff_mime": _q_sniff_mime,
         "p13_host_curated_clean": _q_host_curated_clean,
+        "t28_char_entropy": _q_char_entropy,
+        "t29_assign_splits": _q_assign_splits,
+        "t30_bigram_logprob": _q_bigram_logprob,
+        "t31_dsir_select": _q_dsir_select,
+        "d12_cluster_best": _q_cluster_best,
+        "p14_split_pack": _q_split_pack,
     }
 
 
@@ -834,8 +841,10 @@ _LANG_RATIO_SQL = {
 
 # d06: the d02/d03 exact pair graph, closed transitively (recursive
 # CTE), then every document labeled with its component minimum.
-_CLUSTERS_SQL = """
-WITH RECURSIVE toks AS (
+# Split into the CTE chain + final select so d12 (quality-aware
+# representative selection) can extend the SAME component SQL — the
+# shared-constant drift guard.
+_CLUSTERS_CTES = """toks AS (
   SELECT doc_id, {toks} AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -860,10 +869,57 @@ WITH RECURSIVE toks AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ), comp AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), clusters AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)""".format(toks=_TOKS)
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _CLUSTERS_CTES
+    + "\nSELECT doc_id, cluster_id FROM clusters"
 )
-SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN comp c USING (doc_id)
-""".format(toks=_TOKS)
+
+# t24/t31 shared DSIR mirror: identical md5 target bucket, identical
+# md5 token-hash buckets, add-one smoothing, mean per-token log ratio
+# (round 6, the ln contract of t10).  CTE chain + final select split
+# so t31's Gumbel-top-k selection extends the same SQL.
+_DSIR_CTES = f"""dsirs AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
+                                     1, 4))::BIGINT
+                       < {textops.DSIR_TARGET_BPS} AS is_target,
+                     {_TOKS} AS toks
+              FROM documents
+            ), dsirtok AS (
+              SELECT doc_id, is_target,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT
+                       % {textops.DSIR_BUCKETS} AS bucket
+              FROM dsirs, unnest(toks) AS u(t)
+            ), dsirbc AS (
+              SELECT bucket, count(*)::BIGINT AS raw_cnt,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0
+                         END)::BIGINT AS tgt_cnt
+              FROM dsirtok GROUP BY bucket
+            ), dsirtot AS (
+              SELECT sum(raw_cnt)::BIGINT AS raw_total,
+                     sum(tgt_cnt)::BIGINT AS tgt_total
+              FROM dsirbc
+            ), dsirw AS (
+              SELECT bucket,
+                     ln((tgt_cnt + 1)::DOUBLE
+                        / (tgt_total + {textops.DSIR_BUCKETS})::DOUBLE)
+                     - ln((raw_cnt + 1)::DOUBLE
+                          / (raw_total
+                             + {textops.DSIR_BUCKETS})::DOUBLE)
+                       AS logratio
+              FROM dsirbc, dsirtot
+            )"""
+_DSIR_FINAL = """
+            SELECT doc_id, is_target,
+                   count(*)::BIGINT AS token_cnt,
+                   round(avg(logratio), 6) AS dsir_weight
+            FROM dsirtok JOIN dsirw USING (bucket)
+            GROUP BY doc_id, is_target"""
 
 _JACCARD_SQL = """
 WITH toks AS (
@@ -2726,6 +2782,110 @@ def _q_sample_stratified(spark, sf_dir):
     return samp.select("doc_id", "lang", "source")
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: entropy screen, release splits, bigram LM, DSIR
+# selection, quality-aware cluster representatives
+# ---------------------------------------------------------------------------
+
+# t28: character-entropy gibberish screen — parameters are module
+# constants so the Spark call and the SQL mirror render from the
+# same values
+_ENTROPY_MAX_CHARS = 4096
+_ENTROPY_MIN_CHARS = 64
+_ENTROPY_MIN_BITS = 2.0
+
+# t29/p14: deterministic release-split table; bounds are integers in
+# 1/65536ths rendered by corpus.split_bounds for BOTH engines
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SALT = "split"
+_SPLIT_BOUNDS = corpus_ops.split_bounds(_SPLIT_FRACTIONS)
+_SPLIT_BUCKET_SQL = (
+    f"('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), "
+    "1, 4))::BIGINT"
+)
+_SPLIT_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_SPLIT_BUCKET_SQL} < {b} THEN '{n}'"
+        for n, b in _SPLIT_BOUNDS
+    )
+    + f" ELSE '{list(_SPLIT_FRACTIONS)[-1]}' END"
+)
+_SPLIT_TRAIN_PRED = f"{_SPLIT_BUCKET_SQL} < {_SPLIT_BOUNDS[0][1]}"
+
+# t30: bigram-LM interpolation weight (0.75/0.25 are exact binary
+# doubles, identical literals on both engines)
+_BIGRAM_LAM = 0.75
+
+# t31: DSIR Gumbel-top-k selection size + uniform salt
+_DSIR_SELECT_K = 100
+_DSIR_SELECT_SALT = "dsir-rs"
+
+
+def _q_char_entropy(spark, sf_dir):
+    # t28: Shannon entropy of the code-point distribution — the cheap
+    # gibberish / binary-junk screen (prefix-sampled, low_entropy
+    # verdict with the Gopher-style evidence floor)
+    return textops.char_entropy(
+        _t(spark, sf_dir, "documents"),
+        max_chars=_ENTROPY_MAX_CHARS,
+        min_chars=_ENTROPY_MIN_CHARS,
+        min_entropy=_ENTROPY_MIN_BITS,
+    )
+
+
+def _q_assign_splits(spark, sf_dir):
+    # t29: deterministic train/val/test assignment — md5-bucket CASE
+    # from the shared integer boundary table
+    return corpus_ops.assign_splits(
+        _t(spark, sf_dir, "documents"), _SPLIT_FRACTIONS,
+        salt=_SPLIT_SALT,
+    ).select("doc_id", "split_bucket", "split")
+
+
+def _q_bigram_logprob(spark, sf_dir):
+    # t30: mean bigram log-likelihood with unigram interpolation —
+    # the order-2 CCNet fluency signal (t10 is order 1)
+    return textops.bigram_logprob(
+        _t(spark, sf_dir, "documents"), lam=_BIGRAM_LAM
+    )
+
+
+def _q_dsir_select(spark, sf_dir):
+    # t31: the RESAMPLING half of DSIR — deterministic Gumbel-top-k
+    # over the t24 weights (orderBy+limit = TakeOrderedAndProject)
+    return textops.dsir_select(
+        _t(spark, sf_dir, "documents"), k=_DSIR_SELECT_K,
+        select_salt=_DSIR_SELECT_SALT,
+    )
+
+
+def _q_cluster_best(spark, sf_dir):
+    # d12: quality-aware canonical selection — d06's component graph,
+    # but the KEPT member is the highest-token-count doc (min id on
+    # ties) instead of the arbitrary component minimum
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+    quality = textops.token_stats(docs).select(
+        "doc_id", F.col("token_cnt").alias("quality")
+    )
+    return dedup.cluster_representatives(docs, pairs, quality)
+
+
+def _q_split_pack(spark, sf_dir):
+    # p14: split -> pack composition — the release layout step: the
+    # train split (t29's predicate) packed into training sequences
+    # (p02's layout); the oracle shares both constant tables
+    train = corpus_ops.assign_splits(
+        _t(spark, sf_dir, "documents"), _SPLIT_FRACTIONS,
+        salt=_SPLIT_SALT,
+    ).where(F.col("split") == "train")
+    inner = corpus_ops.pack_sequences(train, capacity=512)
+    out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": f"""
@@ -3785,44 +3945,7 @@ def oracle_sql() -> dict[str, str]:
         # t24: DSIR importance weights — identical md5 target bucket,
         # identical md5 token-hash buckets, add-one smoothing, mean of
         # the per-token log ratio (round 6, the ln contract of t10)
-        "t24_dsir_weights": f"""
-            WITH s AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(doc_id::VARCHAR || ':dsir'),
-                                     1, 4))::BIGINT
-                       < {textops.DSIR_TARGET_BPS} AS is_target,
-                     {_TOKS} AS toks
-              FROM documents
-            ), tok AS (
-              SELECT doc_id, is_target,
-                     ('0x' || substr(md5(t), 1, 15))::BIGINT
-                       % {textops.DSIR_BUCKETS} AS bucket
-              FROM s, unnest(toks) AS u(t)
-            ), bc AS (
-              SELECT bucket, count(*)::BIGINT AS raw_cnt,
-                     sum(CASE WHEN is_target THEN 1 ELSE 0
-                         END)::BIGINT AS tgt_cnt
-              FROM tok GROUP BY bucket
-            ), tot AS (
-              SELECT sum(raw_cnt)::BIGINT AS raw_total,
-                     sum(tgt_cnt)::BIGINT AS tgt_total
-              FROM bc
-            ), w AS (
-              SELECT bucket,
-                     ln((tgt_cnt + 1)::DOUBLE
-                        / (tgt_total + {textops.DSIR_BUCKETS})::DOUBLE)
-                     - ln((raw_cnt + 1)::DOUBLE
-                          / (raw_total
-                             + {textops.DSIR_BUCKETS})::DOUBLE)
-                       AS logratio
-              FROM bc, tot
-            )
-            SELECT doc_id, is_target,
-                   count(*)::BIGINT AS token_cnt,
-                   round(avg(logratio), 6) AS dsir_weight
-            FROM tok JOIN w USING (bucket)
-            GROUP BY doc_id, is_target
-        """,
+        "t24_dsir_weights": "WITH " + _DSIR_CTES + _DSIR_FINAL,
         # t18: C4 banned-word gate — same literal blocklist as the
         # Spark plan
         "t18_badwords": f"""
@@ -4427,5 +4550,130 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS sm_priority
             FROM documents
             ORDER BY url
+        """,
+        # t28: code-point Shannon entropy — explicit [^\n\r] class
+        # (Java's dot excludes NEL/LS/PS, RE2's only \n), prefix
+        # sample, p*ln(p) fold over the distinct alphabet; + 0.0
+        # normalizes DuckDB's -0.0 on one-symbol docs
+        "t28_char_entropy": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     (regexp_extract_all(text,
+                        '[^\\n\\r]'))[1:{_ENTROPY_MAX_CHARS}] AS a
+              FROM documents
+            ), e AS (
+              SELECT doc_id, len(a)::BIGINT AS char_cnt,
+                     len(list_distinct(a))::BIGINT AS distinct_chars,
+                     CASE WHEN len(a) > 0 THEN
+                       round(-list_sum(list_transform(list_distinct(a),
+                         c -> (len(list_filter(a, x -> x = c))::DOUBLE
+                               / len(a))
+                              * ln(len(list_filter(a, x -> x = c))
+                                   ::DOUBLE / len(a)))) / ln(2), 6)
+                       + 0.0
+                     END AS entropy
+              FROM s
+            )
+            SELECT doc_id, char_cnt, distinct_chars, entropy,
+                   (char_cnt >= {_ENTROPY_MIN_CHARS}
+                    AND entropy < {_ENTROPY_MIN_BITS})::INT
+                     AS low_entropy
+            FROM e
+        """,
+        # t29: deterministic release split — the CASE renders from
+        # the SAME split_bounds integers the Spark plan compiles in
+        "t29_assign_splits": f"""
+            SELECT doc_id,
+                   {_SPLIT_BUCKET_SQL} AS split_bucket,
+                   {_SPLIT_CASE_SQL} AS split
+            FROM documents
+        """,
+        # t30: interpolated bigram LM — pair stream from the same
+        # 1-indexed adjacent slices, context counts folded from the
+        # bigram table, unigram/total from the full token stream
+        "t30_bigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), pr AS (
+              SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+              FROM toks, unnest(range(1, len(t))) r(i)
+            ), big AS (
+              SELECT prev, cur, count(*)::BIGINT AS bcnt
+              FROM pr GROUP BY prev, cur
+            ), ctx AS (
+              SELECT prev, sum(bcnt)::BIGINT AS ccnt
+              FROM big GROUP BY prev
+            ), uni AS (
+              SELECT cur, count(*)::BIGINT AS ucnt
+              FROM (SELECT unnest(t) AS cur FROM toks) GROUP BY cur
+            ), tot AS (
+              SELECT sum(ucnt)::BIGINT AS total FROM uni
+            )
+            SELECT doc_id, count(*)::BIGINT AS bigram_cnt,
+                   round(avg(ln(
+                     {_BIGRAM_LAM} * (bcnt::DOUBLE / ccnt::DOUBLE)
+                     + {1.0 - _BIGRAM_LAM}
+                       * (ucnt::DOUBLE / total::DOUBLE))), 6)
+                     AS mean_logprob
+            FROM pr JOIN big USING (prev, cur) JOIN ctx USING (prev)
+                 JOIN uni USING (cur), tot
+            GROUP BY doc_id
+        """,
+        # t31: DSIR Gumbel-top-k — t24's CTEs verbatim, key =
+        # weight - ln(-ln(u)) with u = (bucket+1)/65537 strictly
+        # inside (0,1); ORDER BY key DESC, doc_id LIMIT k is the
+        # same total order TakeOrderedAndProject applies
+        "t31_dsir_select": (
+            "WITH " + _DSIR_CTES + ", dsw AS (" + _DSIR_FINAL + ")"
+            + f"""
+            SELECT doc_id, token_cnt, dsir_weight,
+                   round(dsir_weight - ln(-ln(
+                     (('0x' || substr(md5(doc_id::VARCHAR
+                        || ':{_DSIR_SELECT_SALT}'), 1, 4))::BIGINT
+                      + 1) / 65537.0)), 6) AS gumbel_key
+            FROM dsw
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT {_DSIR_SELECT_K}
+        """),
+        # d12: quality-aware cluster representatives — d06's
+        # component CTEs verbatim, then the window-free
+        # max-quality/min-id argmax the Spark side computes
+        "d12_cluster_best": (
+            "WITH RECURSIVE " + _CLUSTERS_CTES + f""", q AS (
+              SELECT cl.doc_id, cl.cluster_id,
+                     len({_TOKS})::BIGINT AS quality
+              FROM clusters cl JOIN documents USING (doc_id)
+            ), qm AS (
+              SELECT cluster_id, max(quality) AS qmax
+              FROM q GROUP BY cluster_id
+            ), rep AS (
+              SELECT q.cluster_id, min(doc_id) AS rep
+              FROM q JOIN qm ON q.cluster_id = qm.cluster_id
+                            AND q.quality = qm.qmax
+              GROUP BY q.cluster_id
+            )
+            SELECT q.doc_id, q.cluster_id, q.quality,
+                   (q.doc_id = rep.rep)::INT AS kept
+            FROM q JOIN rep USING (cluster_id)
+        """),
+        # p14: split -> pack — t29's train predicate feeds p02's
+        # packed layout (both constant tables shared with the
+        # standalone mirrors)
+        "p14_split_pack": f"""
+            WITH tr AS (
+              SELECT doc_id, len({_TOKS})::BIGINT AS token_cnt
+              FROM documents
+              WHERE {_SPLIT_TRAIN_PRED}
+            ), c AS (
+              SELECT doc_id, token_cnt,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM tr
+            )
+            SELECT doc_id, token_cnt,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
         """,
     }

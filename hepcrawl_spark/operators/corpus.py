@@ -503,3 +503,60 @@ def host_filter(docs: DataFrame, host_verdicts: DataFrame,
     """
     blocked = host_verdicts.where(F.col("blocked") == 1).select(host_col)
     return docs.join(F.broadcast(blocked), on=host_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits (train / validation / test)
+# ---------------------------------------------------------------------------
+
+def split_bounds(fractions: dict) -> list:
+    """Integer 16-bit bucket boundaries for :func:`assign_splits` —
+    cumulative ``round(frac * 0x10000)`` per split in insertion
+    order, last split absorbing the rounding remainder.  Exposed so
+    the SQL mirror renders its CASE from the SAME integers the Spark
+    plan compiles in (the shared-constant drift guard every mixing
+    operator here uses)."""
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    out, acc = [], 0.0
+    for name in names[:-1]:
+        acc += float(fractions[name])
+        out.append((name, int(round(acc * 0x10000))))
+    return out
+
+
+def assign_splits(docs: DataFrame,
+                  fractions: dict,
+                  id_col: str = "doc_id",
+                  salt: str = "split") -> DataFrame:
+    """Deterministic train/validation/test assignment — the release
+    step every public dataset ships with: each document lands in
+    exactly one named split, in expectation at its fraction, stable
+    across runs, engines, cluster sizes AND corpus growth (a doc's
+    split never changes when other docs are added — the property a
+    random shuffle split does not have, and the reason eval
+    contamination survives re-releases that re-shuffle).
+
+    Same RNG-free md5-bucket substrate as ``stratified_sample`` /
+    ``mix_sample``: split = first boundary the doc's 16-bit bucket
+    falls under, boundaries from :func:`split_bounds`.  One codegen
+    projection — no shuffle, no RNG state; at 100 TB the assignment
+    is free metadata on the scan, and any split can be FILTERED with
+    full pushdown (partition the written output by ``split`` and
+    reads prune to one directory).
+    """
+    bucket = None
+    from .textops import sample_bucket_col
+
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    names = list(fractions)
+    expr = None
+    for name, bound in split_bounds(fractions):
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return docs.select(
+        "*", bucket.alias("split_bucket"), expr.alias("split")
+    )

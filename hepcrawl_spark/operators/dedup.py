@@ -977,3 +977,48 @@ def cross_corpus_dedup(new_docs: DataFrame, ref_docs: DataFrame,
              & F.col("near_cnt").isNull()).cast("int").alias("keep"),
         )
     )
+
+
+def cluster_representatives(docs: DataFrame, pairs: DataFrame,
+                            quality: DataFrame,
+                            id_col: str = "doc_id",
+                            quality_col: str = "quality",
+                            max_iters: int = 20) -> DataFrame:
+    """Quality-aware canonical selection over a near-dup pair graph:
+    ``(doc_id, cluster_id, quality, kept)`` where exactly one member
+    per connected component — the highest-``quality`` one, smallest
+    ``doc_id`` on ties — has ``kept = 1``.
+
+    ``dedup_clusters`` (and the ``clean_corpus_full`` pipeline) keep
+    the component MINIMUM id, which is arbitrary; public pipelines
+    that act on near-dup clusters keep the best member instead (most
+    tokens, highest classifier score, best perplexity — any
+    exact-arithmetic column the caller passes as ``quality``).
+    Singletons are their own cluster and are always kept.
+
+    100 TB shape: components come from :func:`dedup_clusters`
+    (hash-to-min on the pair graph only); the argmax is WINDOW-FREE —
+    one partial-agg ``max`` per cluster, a join back on
+    ``cluster_id``, then a partial-agg ``min(doc_id)`` over the
+    per-cluster maxima.  All shuffles key on ``cluster_id``; a
+    pathological mega-cluster folds map-side in both aggregates and
+    is never sorted.
+    """
+    cl = dedup_clusters(docs, pairs, id_col=id_col,
+                        max_iters=max_iters)
+    q = cl.join(
+        quality.select(F.col(id_col).alias("doc_id"),
+                       F.col(quality_col).alias("quality")),
+        on="doc_id",
+    )
+    qmax = q.groupBy("cluster_id").agg(F.max("quality").alias("_qmax"))
+    rep = (
+        q.join(qmax, on="cluster_id")
+        .where(F.col("quality") == F.col("_qmax"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_rep"))
+    )
+    return q.join(rep, on="cluster_id").select(
+        "doc_id", "cluster_id", "quality",
+        (F.col("doc_id") == F.col("_rep")).cast("int").alias("kept"),
+    )

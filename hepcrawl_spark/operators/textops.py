@@ -1379,3 +1379,226 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text",
     return docs.select(
         "*", fixed.alias(out_col), hits.alias("mojibake_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (gibberish / binary-junk screen)
+# ---------------------------------------------------------------------------
+
+# code-point class for the entropy alphabet: everything except \n / \r.
+# NOT ``.`` — Java's dot also excludes NEL/LS/PS (Pattern's
+# line-terminator set) where RE2's excludes only \n, the same
+# terminator-set family of seam WS_EDGE_J pins; the explicit negated
+# class reads identically in Java regex and RE2.  Java regexes are
+# code-point aware, so astral characters (surrogate pairs in the JVM's
+# UTF-16) count as ONE symbol on both engines.
+ENTROPY_CHAR_RE = r"[^\n\r]"
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", max_chars: int = 4096,
+                 min_chars: int = 64,
+                 min_entropy: float = 2.0) -> DataFrame:
+    """Shannon entropy (bits/char) of the code-point distribution —
+    the classic cheap screen for gibberish, binary junk pasted into
+    text fields, and key-mash spam: natural-language text sits around
+    4-5 bits/char, single-symbol runs and low-alphabet junk fall
+    under ~2.  (The compression-ratio screen public pipelines also
+    use is this signal's twin; entropy is the one with an exact
+    cross-engine arithmetic mirror.)
+
+    ``low_entropy`` flags docs at or above ``min_chars`` sampled
+    code points whose entropy falls below ``min_entropy`` — short
+    docs are exempt (no evidence), the same floor idiom as the
+    Gopher rules.
+
+    100 TB shape: one codegen projection over the text scan — no
+    shuffle, no join, no Python.  Per-row cost is
+    O(distinct_alphabet x sampled_chars); ``max_chars`` caps the
+    sample (a prefix sample, the standard treatment for per-doc
+    signals) so one adversarial all-unique-codepoint document is
+    bounded at max_chars^2 comparisons instead of unbounded — the
+    ``dedup_lines`` ``max_lines`` lesson applied from the start.
+
+    Determinism: counts are exact integers; the only doubles are the
+    single p*ln(p) fold (round 6, the ln contract of t10) — and
+    ``+ 0.0`` normalizes the IEEE ``-0.0`` a one-symbol document
+    produces on DuckDB but not on Spark.
+    """
+    raw = F.regexp_extract_all(
+        F.col(text_col), F.lit(ENTROPY_CHAR_RE), 0
+    )
+    sliced = F.slice(raw, 1, int(max_chars))
+
+    def _build(a: Column) -> Column:
+        n = F.size(a)
+        d = F.array_distinct(a)
+        nd = n.cast("double")
+        ent = (
+            F.round(
+                -F.aggregate(
+                    F.transform(
+                        d,
+                        lambda c: (
+                            F.size(F.filter(a, lambda x: x == c))
+                            .cast("double") / nd
+                        ) * F.log(
+                            F.size(F.filter(a, lambda x: x == c))
+                            .cast("double") / nd
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) / F.log(F.lit(2.0)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        return F.struct(
+            n.cast("long").alias("char_cnt"),
+            F.size(d).cast("long").alias("distinct_chars"),
+            F.when(n > 0, ent).alias("entropy"),
+        )
+
+    s = bind_once(sliced, _build)
+    return docs.withColumn("_ce", s).select(
+        F.col(id_col),
+        F.col("_ce.char_cnt").alias("char_cnt"),
+        F.col("_ce.distinct_chars").alias("distinct_chars"),
+        F.col("_ce.entropy").alias("entropy"),
+        (
+            (F.col("_ce.char_cnt") >= F.lit(int(min_chars)))
+            & (F.col("_ce.entropy") < F.lit(float(min_entropy)))
+        ).cast("int").alias("low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring (CCNet perplexity signal, order 2)
+# ---------------------------------------------------------------------------
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    empirical bigram model with unigram interpolation — the order-2
+    step from ``unigram_logprob`` toward the KenLM perplexity filter
+    of CCNet (Wenzek et al. 2020): token-order-scrambled spam that
+    unigram frequency cannot see scores low here, fluent prose high.
+
+        score(d) = mean over adjacent pairs (p, c) of
+                   ln( lam * count(p,c)/count(p,.)
+                       + (1-lam) * count(c)/total_tokens )
+
+    Both components are the corpus's own maximum-likelihood estimates
+    (every scored pair was observed, so the bigram term is never
+    zero; the unigram interpolation is what a held-out corpus swap
+    would rely on).  Documents with fewer than two tokens have no
+    pairs and drop out — the mirror's pair generator does the same.
+
+    100 TB shape: bigram counts are ONE hash groupBy with map-side
+    partial aggregation over the exploded pair stream; context
+    counts fold from the (much smaller) bigram-count table, never
+    from the stream; the unigram table is t10's; the total rides a
+    broadcast 1-row aggregate.  Scoring joins the pair stream to the
+    three count tables on their keys — stop-word contexts are the
+    hot keys and AQE skew-split handles them (never a per-key
+    window).  Pairs are built with ``zip_with`` over two slices of
+    the once-bound token array — no self-join, no positional
+    shuffle.
+    """
+    lam = float(lam)
+
+    def _pairs(t: Column) -> Column:
+        m = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m),
+            lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+        )
+
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(bind_once(tokens_col(F.col(text_col)), _pairs))
+        .alias("_bg"),
+    ).select(
+        id_col,
+        F.col("_bg.p").alias("_prev"),
+        F.col("_bg.c").alias("_cur"),
+    )
+    big = pairs.groupBy("_prev", "_cur").agg(
+        F.count(F.lit(1)).alias("_bcnt")
+    )
+    ctx = big.groupBy("_prev").agg(F.sum("_bcnt").alias("_ccnt"))
+    toks = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("_cur")
+    )
+    uni = toks.groupBy("_cur").agg(F.count(F.lit(1)).alias("_ucnt"))
+    total = uni.agg(F.sum("_ucnt").alias("_total"))
+    d = "double"
+    return (
+        pairs.join(big, on=["_prev", "_cur"])
+        .join(ctx, on="_prev")
+        .join(uni, on="_cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("bigram_cnt"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.lit(lam)
+                        * (F.col("_bcnt").cast(d) / F.col("_ccnt").cast(d))
+                        + F.lit(1.0 - lam)
+                        * (F.col("_ucnt").cast(d) / F.col("_total").cast(d))
+                    )
+                ), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection: Gumbel-top-k importance resampling over dsir_weights
+# ---------------------------------------------------------------------------
+
+def dsir_select(docs: DataFrame, k: int, text_col: str = "text",
+                id_col: str = "doc_id",
+                n_buckets: int = DSIR_BUCKETS,
+                target_bps: int = DSIR_TARGET_BPS,
+                salt: str = "dsir",
+                select_salt: str = "dsir-rs") -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §3): draw ``k``
+    documents without replacement with probability proportional to
+    ``exp(dsir_weight)`` via the Gumbel-top-k identity —
+    ``argtop_k(weight + Gumbel_noise)`` is exactly such a sample.
+    ``dsir_weights`` scores; this selects, closing the
+    score -> select loop the way ``train_nb_weights`` closed
+    train -> gate for the classifier.
+
+    The Gumbel draw is RNG-free and engine-stable: the uniform is the
+    doc's 16-bit md5 bucket mapped to (0, 1) as ``(bucket+1)/65537``
+    (strictly inside the open interval, so neither ``ln`` endpoint
+    can hit 0), the same deterministic-sampling substrate as
+    ``stratified_sample``.  Keys round to 6 (the ln contract);
+    ``doc_id`` breaks ties.
+
+    100 TB shape: ``dsir_weights``'s fixed-size broadcast model plus
+    ONE global top-k — ``orderBy(...).limit(k)`` lowers to
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
+    k-row heads), never a global sort.
+    """
+    w = dsir_weights(docs, text_col, id_col, n_buckets, target_bps,
+                     salt)
+    u = (
+        (sample_bucket_col(F.col(id_col), select_salt) + 1)
+        .cast("double") / F.lit(65537.0)
+    )
+    key = F.round(F.col("dsir_weight") - F.log(-F.log(u)), 6)
+    return (
+        w.select(
+            F.col(id_col), F.col("token_cnt"), F.col("dsir_weight"),
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -33,6 +33,8 @@ FUZZED_QUERIES = [
     "t13_pii_scrub",
     "t14_dedup_lines",
     "t18_badwords",
+    "t28_char_entropy",
+    "t30_bigram_logprob",
 ]
 
 # the tokenizer fuzz's adversarial alphabet: unicode whitespace,

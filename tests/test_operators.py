@@ -1549,3 +1549,134 @@ def test_sniff_mime_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 session additions: entropy, splits, bigram LM, DSIR select,
+# quality-aware cluster representatives
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_values(spark):
+    rows = [
+        (0, "abracadabra"),            # H = 2.040373 over 11 chars
+        (1, "a" * 100),                # zero entropy, above the floor
+        (2, ""),                       # no chars: NULL entropy
+        (3, "ab"),                     # short: low entropy but exempt
+        (4, "the quick brown fox jumps over the lazy dog " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in textops.char_entropy(df).collect()}
+    assert r[0].entropy == pytest.approx(2.040373)
+    assert r[0].char_cnt == 11 and r[0].distinct_chars == 5
+    assert r[1].entropy == 0.0 and r[1].low_entropy == 1
+    assert r[2].entropy is None and r[2].low_entropy == 0
+    assert r[3].low_entropy == 0          # below the evidence floor
+    assert r[4].entropy > 3.0 and r[4].low_entropy == 0
+
+
+def test_char_entropy_prefix_cap(spark):
+    # beyond max_chars the sample stops: a doc whose tail would raise
+    # the entropy scores exactly like its prefix
+    base = "x" * 50
+    df = spark.createDataFrame(
+        [(0, base), (1, base + "completely different tail text")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in
+         textops.char_entropy(df, max_chars=50).collect()}
+    assert r[0].entropy == r[1].entropy == 0.0
+    assert r[1].char_cnt == 50
+
+
+def test_assign_splits_deterministic_and_growth_stable(spark):
+    from hepcrawl_spark.operators.corpus import assign_splits
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    big = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.split
+           for r in assign_splits(big, fr).collect()}
+    # every doc in exactly one named split, all three populated
+    assert set(got.values()) == {"train", "val", "test"}
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert 0.7 * 400 < n_train < 0.9 * 400
+    # growth stability: the assignment of a doc never changes when
+    # the corpus shrinks/grows (the anti-shuffle-split property)
+    small = big.where(F.col("doc_id") < 50)
+    sub = {r.doc_id: r.split
+           for r in assign_splits(small, fr).collect()}
+    assert sub == {k: v for k, v in got.items() if k < 50}
+
+
+def test_assign_splits_rejects_single_split(spark):
+    from hepcrawl_spark.operators.corpus import split_bounds
+    with pytest.raises(ValueError):
+        split_bounds({"train": 1.0})
+
+
+def test_bigram_logprob_hand_values(spark):
+    import math
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.bigram_logprob(df).collect()}
+    # corpus: big (a,b)=3, (b,a)=1; ctx a=3, b=1; uni a=3 b=3 solo=1,
+    # total 7
+    exp1 = math.log(0.75 * (3 / 3) + 0.25 * (3 / 7))
+    assert r[1].bigram_cnt == 1
+    assert r[1].mean_logprob == pytest.approx(round(exp1, 6))
+    exp0 = (2 * math.log(0.75 * (3 / 3) + 0.25 * (3 / 7))
+            + math.log(0.75 * (1 / 1) + 0.25 * (3 / 7))) / 3
+    assert r[0].mean_logprob == pytest.approx(exp0, abs=1e-6)
+    assert 2 not in r                      # one token: no pairs
+
+
+def test_bigram_logprob_separates_scrambled(spark):
+    # fluent repetition scores higher than the same tokens scrambled —
+    # the order sensitivity unigram_logprob cannot see
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on dog sat rug the cat the and on sat the"
+    df = spark.createDataFrame(
+        [(i, fluent) for i in range(6)] + [(6, scrambled)],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.bigram_logprob(df).collect()}
+    assert r[0].mean_logprob > r[6].mean_logprob
+
+
+def test_dsir_select_topk(spark):
+    docs = spark.createDataFrame(
+        [(i, ("the quality corpus prose " * (1 + i % 3)).strip())
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    sel = textops.dsir_select(docs, k=10).collect()
+    assert len(sel) == 10
+    keys = [r.gumbel_key for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    # selected ids are a subset of the scored universe and stable
+    again = textops.dsir_select(docs, k=10).collect()
+    assert [r.doc_id for r in sel] == [r.doc_id for r in again]
+
+
+def test_cluster_representatives_keeps_best(spark):
+    base = "the quick brown fox jumps over the lazy"
+    rows = [
+        (0, base + " dog"),
+        (1, base + " dog indeed and verily with many extra tokens"),
+        (2, base + " dog"),
+        (3, "unrelated text entirely different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    quality = textops.token_stats(docs).select(
+        "doc_id", F.col("token_cnt").alias("quality"))
+    r = {x.doc_id: x for x in dedup.cluster_representatives(
+        docs, pairs, quality).collect()}
+    cluster = {x.cluster_id for i, x in r.items() if i in (0, 1, 2)}
+    assert cluster == {0}                  # one component, min-id label
+    kept = [i for i, x in r.items() if x.kept == 1]
+    # doc 1 (longest) wins its cluster; singleton 3 always kept
+    assert sorted(kept) == [1, 3]

@@ -521,3 +521,66 @@ def test_t24_dsir_broadcast_model_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_t28_t29_single_codegen_scan_no_exchange(spark):
+    # entropy screen and split assignment are pure per-row
+    # projections: one codegen scan, zero shuffles, zero joins,
+    # no Python — free metadata on the scan at 100 TB
+    for q in ("t28_char_entropy", "t29_assign_splits"):
+        plan = _plan(em.queries()[q](spark, SF))
+        assert "Exchange" not in plan, q
+        assert "Join" not in plan, q
+        assert "EvalPython" not in plan, q
+        assert "*(" in plan, q
+
+
+def test_t30_bigram_no_cartesian_no_python(spark):
+    # bigram LM: pair stream joins three count tables — hash joins
+    # only (AQE may pick broadcast for the small count tables), never
+    # a cartesian pair build, never Python
+    plan = _plan(em.queries()["t30_bigram_logprob"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # partial aggregation on the count tables (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_t31_dsir_select_is_take_ordered(spark):
+    # Gumbel-top-k must lower to TakeOrderedAndProject (per-partition
+    # heaps), never a global Sort + Limit over the corpus; the DSIR
+    # model side stays broadcast exactly as in t24
+    plan = _plan(em.queries()["t31_dsir_select"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_d12_cluster_best_no_cartesian_no_row_python(spark):
+    # representative selection: the argmax is two partial aggs + two
+    # hash joins on cluster_id — no window, no cartesian, Arrow-only
+    # Python (the MinHash signature pass)
+    plan = _plan(em.queries()["d12_cluster_best"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            raise AssertionError("window in d12 plan: " + line)
+
+
+def test_p14_split_pack_no_unpartitioned_window(spark):
+    # the packed layout runs through two_phase_cumsum — a corpus-wide
+    # ORDER BY window must never appear, and the split gate must stay
+    # a scan-side filter (no extra exchange before the rank)
+    df = em.queries()["p14_split_pack"](spark, SF)
+    plan = _plan(df)
+    cache = getattr(df, "_cumsum_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    assert "EvalPython" not in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window in p14: " + m.group(0)
+        )
