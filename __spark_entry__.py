@@ -601,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t31_dsir_select": _q_dsir_select,
         "d12_cluster_best": _q_cluster_best,
         "p14_split_pack": _q_split_pack,
+        "m05_media_phash": _q_media_phash,
+        "m06_phash_pairs": _q_phash_pairs,
     }
 
 
@@ -2821,6 +2823,92 @@ _BIGRAM_LAM = 0.75
 _DSIR_SELECT_K = 100
 _DSIR_SELECT_SALT = "dsir-rs"
 
+# m05/m06 shared perceptual-hash mirror: the byte-sampled 60-bit
+# average hash (bit = S*sample > sum, positional acc*2+bit fold —
+# identical on both engines; DuckDB samples via substring over
+# hex(media) since it cannot slice BLOBs, Spark via 1-byte BINARY
+# substr).  _PHASH_HAMMING_MAX <= 3 keeps the 4-band pigeonhole
+# EXACT, which is what lets the full-join oracle check m06.
+_PHASH_S = multimodal.PHASH_SAMPLES
+_PHASH_HAMMING_MAX = 3
+_PHASH_DEFAULT_PM = """pm AS (
+              SELECT doc_id, encode(text) AS media FROM documents
+            )"""
+_PHASH_PLANTED_PM = """pm AS (
+              SELECT d.doc_id,
+                     encode(substring(b.text, 1,
+                              greatest(length(b.text) - 1, 0))
+                            || ['a','b','c','d','e']
+                               [(d.doc_id % 5 + 1)::INT]) AS media
+              FROM documents d
+              JOIN documents b
+                ON b.doc_id = d.doc_id - d.doc_id % 5
+            )"""
+_PHASH_TAIL = f""", ps AS (
+              SELECT doc_id, octet_length(media)::BIGINT AS n,
+                     list_transform(range({_PHASH_S}), i ->
+                       ('0x' || substring(hex(media),
+                          2 * ((i * octet_length(media))
+                               // {_PHASH_S}) + 1, 2))::BIGINT) AS sm
+              FROM pm WHERE octet_length(media) > 0
+            ), ph AS (
+              SELECT doc_id, n AS n_bytes,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(sm, x ->
+                         CASE WHEN {_PHASH_S} * x > list_sum(sm)
+                              THEN 1::BIGINT ELSE 0::BIGINT END)),
+                       (a, x) -> a * 2 + x)::BIGINT AS phash
+              FROM ps
+            )"""
+
+
+def _q_media_phash(spark, sf_dir):
+    # m05: per-payload perceptual average-hash — the aHash image
+    # fingerprint over the byte-sampled payload (codec seam
+    # documented in phash_media)
+    media = multimodal.with_media_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.phash_media(media)
+
+
+def _planted_media(spark, sf_dir):
+    # m06 input: groups of 5 docs share a base text (the group
+    # leader's) with a same-length last-character substitution — the
+    # shape real near-identical images produce (tiny payload deltas),
+    # so the Hamming join has real positives to find.  The natural
+    # corpus has none within radius 3 (its near-dups differ in too
+    # many sampled bytes), which would make the row an empty-set
+    # check.
+    d = _t(spark, sf_dir, "documents").alias("d")
+    b = _t(spark, sf_dir, "documents").alias("b")
+    j = d.join(
+        b,
+        (F.col("d.doc_id") - F.col("d.doc_id") % 5)
+        == F.col("b.doc_id"),
+    )
+    sub = F.element_at(
+        F.array(*[F.lit(c) for c in "abcde"]),
+        (F.col("d.doc_id") % 5 + 1).cast("int"),
+    )
+    text = F.concat(
+        F.col("b.text").substr(
+            F.lit(1),
+            F.greatest(F.length("b.text") - 1, F.lit(0)).cast("int"),
+        ),
+        sub,
+    )
+    return j.select(
+        F.col("d.doc_id").alias("doc_id"),
+        F.encode(text, "UTF-8").alias("media"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _q_phash_pairs(spark, sf_dir):
+    # m06: near-dup media pairs in a Hamming-3 ball — band-pigeonhole
+    # join, EXACT at this radius, so the full-join oracle checks it
+    return multimodal.phash_pairs(_planted_media(spark, sf_dir),
+                                  hamming_max=_PHASH_HAMMING_MAX)
+
 
 def _q_char_entropy(spark, sf_dir):
     # t28: Shannon entropy of the code-point distribution — the cheap
@@ -4676,4 +4764,21 @@ def oracle_sql() -> dict[str, str]:
                    (prev % 512)::BIGINT AS seq_offset
             FROM c
         """,
+        # m05: byte-sampled perceptual average-hash per payload
+        "m05_media_phash": (
+            "WITH " + _PHASH_DEFAULT_PM + _PHASH_TAIL
+            + "\nSELECT doc_id, n_bytes, phash FROM ph"
+        ),
+        # m06: the FULL pair join filtered to the Hamming ball — the
+        # closed form the band-pigeonhole join must reproduce exactly
+        # at radius <= 3; input = the planted near-dup payload groups
+        # (same base text, last char substituted per member)
+        "m06_phash_pairs": (
+            "WITH " + _PHASH_PLANTED_PM + _PHASH_TAIL + f"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.phash, b.phash))::INT AS hamming
+            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash))
+                    <= {_PHASH_HAMMING_MAX}
+        """),
     }

@@ -199,3 +199,109 @@ def sniff_mime(media_df: DataFrame, bin_col: str = "media",
         verdict = F.when(h.startswith(prefix), F.lit(mime)) \
             .otherwise(verdict)
     return media_df.select("*", verdict.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media dedup (average-hash + Hamming band join)
+# ---------------------------------------------------------------------------
+
+PHASH_SAMPLES = 60  # 60-bit hash: 4 x 15-bit bands, sign bit untouched
+
+
+def phash_media(media_df: DataFrame, bin_col: str = "media",
+                id_col: str = "doc_id") -> DataFrame:
+    """60-bit average-hash fingerprint per media payload — the
+    aHash/pHash family every public image-dedup pipeline uses
+    (near-identical images land within a small Hamming ball).
+
+    The "pixel" source here is the payload's raw bytes sampled at 60
+    evenly spaced offsets — the honest sandbox stand-in for the
+    decoded grayscale grid (``real_decode_hook`` is where real pixels
+    would enter; the hash arithmetic, banding and pair join are the
+    real, tested scale path).  bit_i = sample_i > mean, compared by
+    integer cross-multiplication (``S * b_i > sum``), packed by a
+    positional fold (``acc*2 + bit`` — lambda-safe on both engines,
+    where a per-index shift is not).
+
+    100 TB shape: one codegen projection; each sample is a 1-byte
+    BINARY ``substr`` + hex — per-row cost is 60 byte reads no matter
+    how large the payload (the m04 lesson).  Zero-length payloads are
+    excluded (no signal).
+    """
+    n = F.length(F.col(bin_col))
+    S = PHASH_SAMPLES
+    samples = F.array(*[
+        F.conv(
+            F.hex(F.col(bin_col).substr(
+                (F.floor((F.lit(i) * n) / F.lit(S)) + 1).cast("int"),
+                F.lit(1),
+            )), 16, 10
+        ).cast("long")
+        for i in range(S)
+    ])
+
+    def _build(sm):
+        tot = F.aggregate(sm, F.lit(0).cast("long"),
+                          lambda a, x: a + x)
+
+        def _pack(t2):
+            bits = F.transform(
+                sm,
+                lambda x: F.when(F.lit(S) * x > t2,
+                                 F.lit(1).cast("long"))
+                           .otherwise(F.lit(0).cast("long")),
+            )
+            return F.aggregate(bits, F.lit(0).cast("long"),
+                               lambda a, x: a * 2 + x)
+
+        return F.element_at(F.transform(F.array(tot), _pack), 1)
+
+    ph = F.element_at(F.transform(F.array(samples), _build), 1)
+    return media_df.where(n > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_bytes"),
+        ph.alias("phash"),
+    )
+
+
+def phash_pairs(media_df: DataFrame, hamming_max: int = 3,
+                bin_col: str = "media",
+                id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate media pairs within a Hamming ball via band
+    pigeonhole — the media twin of ``dedup.simhash_pairs``: split the
+    60-bit hash into 4 contiguous 15-bit bands; any pair at Hamming
+    distance <= 3 agrees exactly on >= 1 band, so candidates come
+    from an equi-join on (band_id, band_val) and the exact
+    ``bit_count(xor)`` filter keeps the ball.  EXACT for
+    ``hamming_max <= 3`` (pigeonhole over 4 bands), which is why the
+    full-cross-join oracle can check it.
+
+    100 TB shape: the join shuffles (band, value) keys — 4 rows per
+    image, never the payloads; a viral exact-duplicate image makes a
+    hot band bucket that AQE skew-split spreads.
+    """
+    hashes = phash_media(media_df, bin_col, id_col)
+    bands = hashes.select(
+        "doc_id", "phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("phash"), 15 * k)
+                .bitwiseAND(F.lit(0x7FFF))
+                for k in range(4)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+    )

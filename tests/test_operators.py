@@ -1680,3 +1680,51 @@ def test_cluster_representatives_keeps_best(spark):
     kept = [i for i, x in r.items() if x.kept == 1]
     # doc 1 (longest) wins its cluster; singleton 3 always kept
     assert sorted(kept) == [1, 3]
+
+
+def test_phash_media_deterministic_and_exact_dup(spark):
+    rows = [
+        (0, b"the quick brown fox jumps over the lazy dog"),
+        (1, b"the quick brown fox jumps over the lazy dog"),
+        (2, b"completely different byte content right here"),
+        (3, b""),
+    ]
+    media = spark.createDataFrame(
+        [(i, m, "image/fake") for i, m, in
+         [(r[0], r[1]) for r in rows]],
+        "doc_id long, media binary, media_type string",
+    )
+    r = {x.doc_id: x for x in multimodal.phash_media(media).collect()}
+    assert 3 not in r                       # empty payload excluded
+    assert r[0].phash == r[1].phash         # identical bytes
+    assert r[0].phash != r[2].phash
+    assert 0 <= r[0].phash < 2 ** 60        # 60-bit, sign untouched
+
+
+def test_phash_pairs_exact_within_ball(spark):
+    # brute-force ground truth: the band-pigeonhole join must equal
+    # the full O(n^2) Hamming filter at radius <= 3 (pigeonhole over
+    # 4 bands is exact there)
+    import itertools
+    base = b"abcdefghijklmnopqrstuvwxyz0123456789 payload bytes!"
+    payloads = [base]
+    for k in (1, 7, 25, 49):                # few-byte perturbations
+        b2 = bytearray(base)
+        b2[k] = (b2[k] + 3) % 256
+        payloads.append(bytes(b2))
+    payloads.append(b"utterly unrelated content with other bytes....")
+    media = spark.createDataFrame(
+        [(i, p, "image/fake") for i, p in enumerate(payloads)],
+        "doc_id long, media binary, media_type string",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in multimodal.phash_pairs(media, hamming_max=3)
+           .collect()}
+    hashes = {r.doc_id: r.phash
+              for r in multimodal.phash_media(media).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        h = bin(hashes[a] ^ hashes[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want and len(want) > 0

@@ -584,3 +584,19 @@ def test_p14_split_pack_no_unpartitioned_window(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             "unpartitioned window in p14: " + m.group(0)
         )
+
+
+def test_m05_phash_single_codegen_scan(spark):
+    # the 60 byte samples are 1-byte BINARY substrings — per-row cost
+    # independent of payload size; one projection, no shuffle/join
+    plan = _plan(em.queries()["m05_media_phash"](spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_m06_phash_pairs_band_join_no_cartesian(spark):
+    # candidates come from the (band_id, band_val) equi-join — a
+    # cartesian pair build must never appear, and no Python anywhere
+    plan = _plan(em.queries()["m06_phash_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
