@@ -603,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_split_pack": _q_split_pack,
         "m05_media_phash": _q_media_phash,
         "m06_phash_pairs": _q_phash_pairs,
+        "t32_score_sample": _q_score_sample,
+        "p15_clean_entropy": _q_clean_entropy,
     }
 
 
@@ -835,6 +837,22 @@ _CLS_W_SQL = ("[" + ",".join(
     repr(w) for w in textops.default_quality_weights()
 ) + "]")
 _CLS_N = len(textops.default_quality_weights())
+# t12/t32 shared classifier-score mirror (one text for the standalone
+# score row and the score-proportional sampler)
+_CLS_SCORE_CTES = f"""clss AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), clsm AS (
+              SELECT doc_id, len(toks)::BIGINT AS token_cnt,
+                     round(1.0 / (1.0 + exp(-(
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(toks,
+                           t -> ({_CLS_W_SQL})[
+                             (('0x' || substr(md5(t), 1, 15))::BIGINT
+                              % {_CLS_N}) + 1])),
+                         (a, b) -> a + b)
+                       / len(toks)::DOUBLE + 0.0))), 6) AS cls_score
+              FROM clss
+            )"""
 _LANG_RATIO_SQL = {
     lang: (f"len(list_filter({{toks}}, t -> list_contains({lst}, t)))"
            f"::DOUBLE / len({{toks}})::DOUBLE")
@@ -2796,6 +2814,36 @@ _ENTROPY_MAX_CHARS = 4096
 _ENTROPY_MIN_CHARS = 64
 _ENTROPY_MIN_BITS = 2.0
 
+# t28/p15 shared entropy renderer: the p*ln(p) fold over the
+# prefix-sampled code-point array, one text for both the standalone
+# signal and the pipeline gate (mirrors cannot drift)
+_ENTROPY_A_SQL = (
+    f"(regexp_extract_all(text, '[^\\n\\r]'))[1:{_ENTROPY_MAX_CHARS}]"
+)
+
+
+def _entropy_sql(a: str) -> str:
+    return (
+        f"round(-list_sum(list_transform(list_distinct({a}), "
+        f"c -> (len(list_filter({a}, x -> x = c))::DOUBLE / len({a})) "
+        f"* ln(len(list_filter({a}, x -> x = c))::DOUBLE / len({a}))))"
+        " / ln(2), 6) + 0.0"
+    )
+
+
+# p15 extra gate: drop iff enough sampled chars AND entropy below the
+# floor — NULL entropy (no chars) never satisfies the conjunction.
+# The pipeline gate runs at 4.0 bits (natural prose in the synthetic
+# corpus spans ~3.7-4.2, so the composition has real selectivity);
+# the standalone t28 flag keeps the public ~2.0 gibberish bar.
+_P15_MIN_BITS = 4.0
+_P15_ENTROPY_GATE = (
+    f"\n                AND NOT (len({_ENTROPY_A_SQL})"
+    f" >= {_ENTROPY_MIN_CHARS}"
+    f"\n                AND {_entropy_sql(_ENTROPY_A_SQL)}"
+    f" < {_P15_MIN_BITS})"
+)
+
 # t29/p14: deterministic release-split table; bounds are integers in
 # 1/65536ths rendered by corpus.split_bounds for BOTH engines
 _SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -2860,6 +2908,28 @@ _PHASH_TAIL = f""", ps AS (
                        (a, x) -> a * 2 + x)::BIGINT AS phash
               FROM ps
             )"""
+
+
+# t32: score-proportional sampling salt
+_QS_SALT = "qs"
+
+
+def _q_score_sample(spark, sf_dir):
+    # t32: quality-weighted soft sampling — keep probability equals
+    # the t12 logistic score (FineWeb-Edu-style retention curve
+    # instead of a threshold cliff); RNG-free md5 substrate
+    return textops.score_sample(
+        _t(spark, sf_dir, "documents"), salt=_QS_SALT
+    )
+
+
+def _q_clean_entropy(spark, sf_dir):
+    # p15: the p01 pipeline with the t28 entropy screen ANDed into
+    # the gate — same single-scan shape, one more predicate
+    return corpus_ops.clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_entropy=_P15_MIN_BITS,
+    )
 
 
 def _q_media_phash(spark, sf_dir):
@@ -3451,25 +3521,12 @@ def oracle_sql() -> dict[str, str]:
         # literal + portable md5 bucket hash on both engines; rounded
         # to 6 (exp is libm-dependent), verdict compares the ROUNDED
         # score so it is bit-identical
-        "t12_classifier_score": f"""
-            WITH s AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), m AS (
-              SELECT doc_id, len(toks)::BIGINT AS token_cnt,
-                     round(1.0 / (1.0 + exp(-(
-                       list_reduce(list_prepend(0.0::DOUBLE,
-                         list_transform(toks,
-                           t -> ({_CLS_W_SQL})[
-                             (('0x' || substr(md5(t), 1, 15))::BIGINT
-                              % {_CLS_N}) + 1])),
-                         (a, b) -> a + b)
-                       / len(toks)::DOUBLE + 0.0))), 6) AS cls_score
-              FROM s
-            )
+        "t12_classifier_score": (
+            "WITH " + _CLS_SCORE_CTES + """
             SELECT doc_id, token_cnt, cls_score,
                    cls_score >= 0.5 AS cls_pass
-            FROM m
-        """,
+            FROM clsm
+        """),
         # t13: PII scrubbing — same deterministic contact-line
         # augmentation as the Spark wrapper, then identical
         # RE2∩Java-subset patterns count and mask (email → IP →
@@ -4645,20 +4702,12 @@ def oracle_sql() -> dict[str, str]:
         # normalizes DuckDB's -0.0 on one-symbol docs
         "t28_char_entropy": f"""
             WITH s AS (
-              SELECT doc_id,
-                     (regexp_extract_all(text,
-                        '[^\\n\\r]'))[1:{_ENTROPY_MAX_CHARS}] AS a
-              FROM documents
+              SELECT doc_id, {_ENTROPY_A_SQL} AS a FROM documents
             ), e AS (
               SELECT doc_id, len(a)::BIGINT AS char_cnt,
                      len(list_distinct(a))::BIGINT AS distinct_chars,
                      CASE WHEN len(a) > 0 THEN
-                       round(-list_sum(list_transform(list_distinct(a),
-                         c -> (len(list_filter(a, x -> x = c))::DOUBLE
-                               / len(a))
-                              * ln(len(list_filter(a, x -> x = c))
-                                   ::DOUBLE / len(a)))) / ln(2), 6)
-                       + 0.0
+                       {_entropy_sql("a")}
                      END AS entropy
               FROM s
             )
@@ -4781,4 +4830,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.phash, b.phash))
                     <= {_PHASH_HAMMING_MAX}
         """),
+        # t32: score-proportional sampling — t12's score CTEs
+        # verbatim, survivors where the md5 bucket falls under
+        # floor(score * 0x10000)
+        "t32_score_sample": (
+            "WITH " + _CLS_SCORE_CTES + f"""
+            SELECT doc_id, cls_score FROM clsm
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR
+                     || ':{_QS_SALT}'), 1, 4))::BIGINT
+                  < floor(cls_score * 65536.0)
+        """),
+        # p15: the p01 mirror with the t28 entropy screen slotted
+        # into the shared gate WHERE (the p09 extra_gate pattern)
+        "p15_clean_entropy": _P01_SQL_TMPL.format(
+            extra_gate=_P15_ENTROPY_GATE
+        ),
     }

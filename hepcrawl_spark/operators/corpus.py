@@ -249,6 +249,9 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                classifier_threshold: float = 0.5,
                badwords: list[str] | None = None,
                badwords_max_frac: float = 0.0,
+               min_entropy: float | None = None,
+               entropy_max_chars: int = 4096,
+               entropy_min_chars: int = 64,
                **gopher_thresholds) -> DataFrame:
     """The stateless body shared by ``clean_corpus`` (batch) and
     ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
@@ -267,9 +270,17 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
     (``textops.badwords_gate`` semantics: banned-token fraction ≤
     ``badwords_max_frac``, default any-hit-drops) into the gate —
     the count folds inside the same bound token array too.
+
+    Pass ``min_entropy`` to AND the character-entropy screen
+    (``textops.char_entropy`` semantics: drop iff the prefix sample
+    holds at least ``entropy_min_chars`` code points AND its Shannon
+    entropy falls below ``min_entropy`` bits/char) into the gate —
+    the entropy expression reads the text column directly in the
+    same projection, so the screen still costs zero extra scans.
     """
     cls = classifier_weights is not None
     bw = bool(badwords)
+    ent = min_entropy is not None
 
     def _sig(t):
         cols = [
@@ -301,14 +312,30 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                     9),
         ).otherwise(F.lit(0.0))
         gate = gate & (bad_frac <= F.lit(badwords_max_frac))
+    if ent:
+        from .textops import entropy_struct
+
+        low = (
+            (F.col("_e.char_cnt") >= F.lit(int(entropy_min_chars)))
+            & (F.col("_e.entropy") < F.lit(float(min_entropy)))
+        )
+        # NULL entropy (zero sampled chars) never satisfies `low` on
+        # either engine: FALSE AND NULL = FALSE
+        gate = gate & ~low
     ratio = (F.col("_s.g.stopword_cnt").cast("double")
              / F.col("_s.g.token_cnt").cast("double"))
-    return (
-        docs.select(
-            F.col(id_col),
-            F.md5(F.col(text_col)).alias("_md5"),
-            sig.alias("_s"),
+    cols = [
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_md5"),
+        sig.alias("_s"),
+    ]
+    if ent:
+        cols.append(
+            entropy_struct(F.col(text_col), entropy_max_chars)
+            .alias("_e")
         )
+    return (
+        docs.select(*cols)
         .filter(gate)
         .select(
             id_col,
@@ -324,6 +351,7 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  lang_threshold: float = 0.04,
+                 min_entropy: float | None = None,
                  **gopher_thresholds) -> DataFrame:
     """Documents that pass the Gopher rules, exact-deduped by content
     hash (smallest id survives), tagged with language guess, token
@@ -336,6 +364,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     """
     base = gated_docs(docs, text_col=text_col, id_col=id_col,
                       lang_threshold=lang_threshold,
+                      min_entropy=min_entropy,
                       **gopher_thresholds)
     w = Window.partitionBy("_md5").orderBy(F.col(id_col).asc())
     return (

@@ -1395,39 +1395,13 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text",
 ENTROPY_CHAR_RE = r"[^\n\r]"
 
 
-def char_entropy(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", max_chars: int = 4096,
-                 min_chars: int = 64,
-                 min_entropy: float = 2.0) -> DataFrame:
-    """Shannon entropy (bits/char) of the code-point distribution —
-    the classic cheap screen for gibberish, binary junk pasted into
-    text fields, and key-mash spam: natural-language text sits around
-    4-5 bits/char, single-symbol runs and low-alphabet junk fall
-    under ~2.  (The compression-ratio screen public pipelines also
-    use is this signal's twin; entropy is the one with an exact
-    cross-engine arithmetic mirror.)
-
-    ``low_entropy`` flags docs at or above ``min_chars`` sampled
-    code points whose entropy falls below ``min_entropy`` — short
-    docs are exempt (no evidence), the same floor idiom as the
-    Gopher rules.
-
-    100 TB shape: one codegen projection over the text scan — no
-    shuffle, no join, no Python.  Per-row cost is
-    O(distinct_alphabet x sampled_chars); ``max_chars`` caps the
-    sample (a prefix sample, the standard treatment for per-doc
-    signals) so one adversarial all-unique-codepoint document is
-    bounded at max_chars^2 comparisons instead of unbounded — the
-    ``dedup_lines`` ``max_lines`` lesson applied from the start.
-
-    Determinism: counts are exact integers; the only doubles are the
-    single p*ln(p) fold (round 6, the ln contract of t10) — and
-    ``+ 0.0`` normalizes the IEEE ``-0.0`` a one-symbol document
-    produces on DuckDB but not on Spark.
-    """
-    raw = F.regexp_extract_all(
-        F.col(text_col), F.lit(ENTROPY_CHAR_RE), 0
-    )
+def entropy_struct(text: Column, max_chars: int = 4096) -> Column:
+    """Struct ``(char_cnt, distinct_chars, entropy)`` over the
+    prefix-sampled code-point array of ``text`` — the shared body of
+    :func:`char_entropy` and the ``min_entropy`` gate hook in
+    ``corpus.gated_docs`` (one expression, so the gate costs the
+    pipeline zero extra scans)."""
+    raw = F.regexp_extract_all(text, F.lit(ENTROPY_CHAR_RE), 0)
     sliced = F.slice(raw, 1, int(max_chars))
 
     def _build(a: Column) -> Column:
@@ -1460,7 +1434,40 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
             F.when(n > 0, ent).alias("entropy"),
         )
 
-    s = bind_once(sliced, _build)
+    return bind_once(sliced, _build)
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", max_chars: int = 4096,
+                 min_chars: int = 64,
+                 min_entropy: float = 2.0) -> DataFrame:
+    """Shannon entropy (bits/char) of the code-point distribution —
+    the classic cheap screen for gibberish, binary junk pasted into
+    text fields, and key-mash spam: natural-language text sits around
+    4-5 bits/char, single-symbol runs and low-alphabet junk fall
+    under ~2.  (The compression-ratio screen public pipelines also
+    use is this signal's twin; entropy is the one with an exact
+    cross-engine arithmetic mirror.)
+
+    ``low_entropy`` flags docs at or above ``min_chars`` sampled
+    code points whose entropy falls below ``min_entropy`` — short
+    docs are exempt (no evidence), the same floor idiom as the
+    Gopher rules.
+
+    100 TB shape: one codegen projection over the text scan — no
+    shuffle, no join, no Python.  Per-row cost is
+    O(distinct_alphabet x sampled_chars); ``max_chars`` caps the
+    sample (a prefix sample, the standard treatment for per-doc
+    signals) so one adversarial all-unique-codepoint document is
+    bounded at max_chars^2 comparisons instead of unbounded — the
+    ``dedup_lines`` ``max_lines`` lesson applied from the start.
+
+    Determinism: counts are exact integers; the only doubles are the
+    single p*ln(p) fold (round 6, the ln contract of t10) — and
+    ``+ 0.0`` normalizes the IEEE ``-0.0`` a one-symbol document
+    produces on DuckDB but not on Spark.
+    """
+    s = entropy_struct(F.col(text_col), max_chars)
     return docs.withColumn("_ce", s).select(
         F.col(id_col),
         F.col("_ce.char_cnt").alias("char_cnt"),
@@ -1601,4 +1608,52 @@ def dsir_select(docs: DataFrame, k: int, text_col: str = "text",
         )
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(int(k))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted soft sampling (score-proportional keep)
+# ---------------------------------------------------------------------------
+
+def score_sample(docs: DataFrame,
+                 weights: list[float] | None = None,
+                 bias: float = 0.0,
+                 rate_scale: float = 1.0,
+                 text_col: str = "text",
+                 id_col: str = "doc_id",
+                 salt: str = "qs") -> DataFrame:
+    """Score-proportional sampling: keep each document with
+    probability ``classifier_score * rate_scale`` — the soft
+    alternative to the hard ``classifier_threshold`` gate
+    (FineWeb-Edu-style quality-weighted retention: borderline docs
+    survive at reduced rate instead of a cliff at the threshold).
+
+    Deterministic like every sampler here: a doc survives iff its
+    16-bit md5 bucket falls below ``floor(score * rate_scale *
+    0x10000)`` — RNG-free, engine-stable, growth-stable.  The score
+    is the 6-digit-rounded logistic of ``classifier_score``, so the
+    threshold integer is identical on both engines.
+
+    100 TB shape: one codegen scan (score folds in the once-bound
+    token array, the keep test is a map-side filter on the same
+    projection) — composes under the scan's filter pushdown, zero
+    shuffle.
+    """
+    score = bind_once(
+        tokens_col(F.col(text_col)),
+        lambda t: classifier_score_col(t, weights, bias),
+    )
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    out = docs.select(
+        F.col(id_col),
+        score.alias("cls_score"),
+        bucket.alias("_bucket"),
+    )
+    return (
+        out.filter(
+            F.col("_bucket")
+            < F.floor(F.col("cls_score") * F.lit(float(rate_scale))
+                      * F.lit(65536.0))
+        )
+        .select(id_col, "cls_score")
     )

@@ -1728,3 +1728,44 @@ def test_phash_pairs_exact_within_ball(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_score_sample_rate_follows_score(spark):
+    # high-scoring prose survives at ~its score rate; the sampler is
+    # deterministic and survivor scores are the t12 scores
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the story was good")
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    kept = textops.score_sample(docs).collect()
+    score = kept[0].cls_score
+    assert all(r.cls_score == score for r in kept)
+    # binomial(300, score): expect within ~5 sigma
+    import math
+    exp, sd = 300 * score, math.sqrt(300 * score * (1 - score))
+    assert abs(len(kept) - exp) < 5 * max(sd, 1.0)
+    again = textops.score_sample(docs).collect()
+    assert sorted(r.doc_id for r in kept) == \
+        sorted(r.doc_id for r in again)
+
+
+def test_clean_corpus_entropy_gate_drops_gibberish(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus
+    prose = ("the house by the river was quiet in the morning and "
+             "a pale light crossed the garden where the last words "
+             "of the story settled against the window while data "
+             "engines turned somewhere far away and winter letters "
+             "arrived from the stone field carrying news of clouds "
+             "and of the slow bright water under the old bridge")
+    docs = spark.createDataFrame(
+        [(0, prose), (1, "ab " * 80), (2, prose + " extra tail")],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id for r in clean_corpus(docs).collect()}
+    assert {0, 2} <= base, base     # prose passes the Gopher gate
+    gated = {r.doc_id
+             for r in clean_corpus(docs, min_entropy=2.0).collect()}
+    assert {0, 2} <= gated
+    assert 1 not in gated           # entropy kills the gibberish
+    assert gated == base - {1} or gated == base

@@ -600,3 +600,23 @@ def test_m06_phash_pairs_band_join_no_cartesian(spark):
     plan = _plan(em.queries()["m06_phash_pairs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_t32_score_sample_single_scan_no_exchange(spark):
+    # the score folds in the bound token array and the keep test is a
+    # map-side filter on the same projection — composes under filter
+    # pushdown, zero shuffle
+    plan = _plan(em.queries()["t32_score_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_p15_clean_entropy_keeps_p01_shape(spark):
+    # the entropy screen must ride p01's single scan: still exactly
+    # one scan, one exchange (the content-hash dedup), no Python —
+    # the same pin p01 carries
+    plan = _plan(em.queries()["p15_clean_entropy"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+    assert "EvalPython" not in plan
