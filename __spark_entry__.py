@@ -605,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m06_phash_pairs": _q_phash_pairs,
         "t32_score_sample": _q_score_sample,
         "p15_clean_entropy": _q_clean_entropy,
+        "p16_clean_full_best": _q_clean_full_best,
     }
 
 
@@ -706,7 +707,7 @@ _P09_BADWORDS_GATE = (
 # to the `kept` set — then packed-sequence layout (p02's running
 # count) over `{src}`.  p04/p05 pack `kept` directly;
 # p06 inserts the span-rewrite CTEs between the two.
-_CLEAN_FULL_KEPT_SQL = """
+_CLEAN_FULL_COMP_SQL = """
             toks2 AS (
               SELECT d.doc_id, {toks} AS t
               FROM documents d JOIN cleaned c ON c.doc_id = d.doc_id
@@ -737,10 +738,33 @@ _CLEAN_FULL_KEPT_SQL = """
             ), comp AS (
               SELECT u AS doc_id, least(u, min(v)) AS cluster_id
               FROM reach GROUP BY u
-            ), kept AS (
+            )"""
+
+# the two cluster-representative rules over the shared component
+# CTEs: MIN (p04/p05/p06/p08 — keep the smallest id) and BEST
+# (p16 — keep the highest-token-count member, min id on ties, the
+# d12 rule composed into the flagship pipeline)
+_KEPT_MIN_SQL = """, kept AS (
               SELECT c.* FROM cleaned c
               LEFT JOIN comp ON comp.doc_id = c.doc_id
               WHERE coalesce(comp.cluster_id, c.doc_id) = c.doc_id
+            )"""
+_KEPT_BEST_SQL = """, clsq AS (
+              SELECT c.doc_id,
+                     coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+                     c.token_cnt
+              FROM cleaned c LEFT JOIN comp ON comp.doc_id = c.doc_id
+            ), kqm AS (
+              SELECT cluster_id, max(token_cnt) AS qmax
+              FROM clsq GROUP BY cluster_id
+            ), krep AS (
+              SELECT clsq.cluster_id, min(doc_id) AS rep
+              FROM clsq JOIN kqm ON clsq.cluster_id = kqm.cluster_id
+                               AND clsq.token_cnt = kqm.qmax
+              GROUP BY clsq.cluster_id
+            ), kept AS (
+              SELECT c.* FROM cleaned c
+              JOIN krep ON krep.rep = c.doc_id
             )"""
 
 _PACK_TAIL_SQL = """, laid AS (
@@ -755,6 +779,9 @@ _PACK_TAIL_SQL = """, laid AS (
                    (prev % 512)::BIGINT AS seq_offset
             FROM laid
 """
+
+_CLEAN_FULL_KEPT_SQL = _CLEAN_FULL_COMP_SQL + _KEPT_MIN_SQL
+_CLEAN_FULL_KEPT_BEST_SQL = _CLEAN_FULL_COMP_SQL + _KEPT_BEST_SQL
 
 _CLEAN_FULL_TAIL_SQL = (
     _CLEAN_FULL_KEPT_SQL + _PACK_TAIL_SQL.format(src="kept", extra="")
@@ -2932,6 +2959,21 @@ def _q_clean_entropy(spark, sf_dir):
     )
 
 
+def _q_clean_full_best(spark, sf_dir):
+    # p16: the p04 flagship with the d12 representative rule — each
+    # near-dup cluster keeps its highest-token-count member (min id
+    # on ties) instead of the arbitrary smallest id
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+
+    inner = clean_corpus_full(_t(spark, sf_dir, "documents"),
+                              capacity=512, keep_best=True)
+    out = inner.select("doc_id", "guessed_lang", "token_cnt",
+                       "fingerprint", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    out._caches = inner._caches
+    return out
+
+
 def _q_media_phash(spark, sf_dir):
     # m05: per-payload perceptual average-hash — the aHash image
     # fingerprint over the byte-sampled payload (codec seam
@@ -4844,5 +4886,14 @@ def oracle_sql() -> dict[str, str]:
         # into the shared gate WHERE (the p09 extra_gate pattern)
         "p15_clean_entropy": _P01_SQL_TMPL.format(
             extra_gate=_P15_ENTROPY_GATE
+        ),
+        # p16: p04 with the BEST-member representative rule — the
+        # shared component CTEs verbatim, only the kept rule swapped
+        # (argmax token_cnt, min id on ties = the d12 mirror)
+        "p16_clean_full_best": (
+            f"WITH RECURSIVE cleaned AS ({_P01_SQL}),"
+            + (_CLEAN_FULL_KEPT_BEST_SQL
+               + _PACK_TAIL_SQL.format(src="kept", extra="")
+               ).format(toks=_TOKS)
         ),
     }

@@ -384,6 +384,7 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
                       span_rewrite_w: int | None = None,
                       span_min_count: int = 2,
                       span_max_df: int | None = None,
+                      keep_best: bool = False,
                       **gopher_thresholds) -> DataFrame:
     """The full production cleaning pipeline over a raw crawled
     corpus — every stage the public web-scale recipes chain, in one
@@ -455,9 +456,28 @@ def clean_corpus_full(docs: DataFrame, capacity: int = 512,
                               text_col=text_col, id_col=id_col)
     caches.append(pairs._lsh_cache)
     clusters = dedup_clusters(surv_docs, pairs, id_col=id_col)
-    keep = clusters.filter(
-        F.col("cluster_id") == F.col(id_col)
-    ).select(id_col)
+    if keep_best:
+        # the d12 rule composed into the flagship: keep each
+        # component's highest-token-count member (min id on ties)
+        # instead of the arbitrary smallest id — same window-free
+        # two-agg argmax as dedup.cluster_representatives, quality =
+        # the gate's already-computed token_cnt (no extra scan)
+        q = clusters.join(
+            cleaned.select(id_col, F.col("token_cnt").alias("_q")),
+            on=id_col,
+        )
+        qmax = q.groupBy("cluster_id").agg(F.max("_q").alias("_qmax"))
+        keep = (
+            q.join(qmax, on="cluster_id")
+            .where(F.col("_q") == F.col("_qmax"))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+    else:
+        keep = clusters.filter(
+            F.col("cluster_id") == F.col(id_col)
+        ).select(id_col)
     kept = cleaned.join(keep, on=id_col, how="leftsemi")
     if span_rewrite_w is not None:
         kept_text = docs.select(id_col, text_col).join(

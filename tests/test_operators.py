@@ -1769,3 +1769,36 @@ def test_clean_corpus_entropy_gate_drops_gibberish(spark):
     assert {0, 2} <= gated
     assert 1 not in gated           # entropy kills the gibberish
     assert gated == base - {1} or gated == base
+
+
+def test_clean_corpus_full_keep_best_rule(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus_full
+    prose = ("the house by the river was quiet in the morning and "
+             "a pale light crossed the garden where the last words "
+             "of the story settled against the window while data "
+             "engines turned somewhere far away and winter letters "
+             "arrived from the stone field carrying news of clouds")
+    rows = [
+        (0, prose),                          # near-dup cluster min id
+        (1, prose + " over the bright water"),  # longest member
+                                             # (small tail keeps the
+                                             # 3-gram jaccard >= 0.8)
+        (2, prose),                          # exact dup of 0 (drops
+                                             # at the exact stage)
+        (3, "an entirely different account of the city spoke of "
+            "markets and trains and the iron sound of evening bells "
+            "over the harbor while sailors counted their quiet coins "
+            "beneath the lamps and wrote long letters home about "
+            "storms they had not seen and roads they had not taken"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p04 = clean_corpus_full(docs, capacity=512)
+    kept_min = {r.doc_id for r in p04.collect()}
+    for c in p04._caches:
+        c.unpersist()
+    p16 = clean_corpus_full(docs, capacity=512, keep_best=True)
+    kept_best = {r.doc_id for r in p16.collect()}
+    for c in p16._caches:
+        c.unpersist()
+    assert kept_min == {0, 3}        # min-id rule keeps doc 0
+    assert kept_best == {1, 3}       # best rule keeps the longest

@@ -620,3 +620,21 @@ def test_p15_clean_entropy_keeps_p01_shape(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("FileScan") == 1
     assert "EvalPython" not in plan
+
+
+def test_p16_keep_best_no_window_no_row_python(spark):
+    # the best-member argmax must stay window-free (two partial aggs
+    # + joins on cluster_id) and the pipeline keeps p04's no-
+    # cartesian / Arrow-only-Python shape
+    df = em.queries()["p16_clean_full_best"](spark, SF)
+    plan = _plan(df)
+    for c in getattr(df, "_caches", []):
+        c.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window in p16: " + m.group(0)
+        )
