@@ -690,3 +690,60 @@ def test_read_warc_stream_parses_members(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_stream_clean_corpus_entropy_gate_parity(spark, tmp_path):
+    """The entropy screen (p15's gate hook) is stateless codegen in
+    the shared gated_docs body, so a gibberish document gets the SAME
+    drop verdict in any micro-batch — streamed output equals the
+    batch clean_corpus(min_entropy=...) on the pooled input, and the
+    planted low-entropy doc is gone from both."""
+    from hepcrawl_spark.operators.corpus import clean_corpus
+    from hepcrawl_spark.streaming.pipeline import stream_clean_corpus
+
+    def prose(i):
+        return " ".join(
+            ("the" if j % 9 == 0 else f"w{i}x{j}") for j in range(50)
+        )
+
+    rows = [(i, prose(i), "s0", "en") for i in range(20)]
+    # planted low-entropy doc that PASSES the Gopher gate (unique
+    # {a,b}-alphabet words, no bigram dups, stopwords present): the
+    # drop must come from the entropy screen, not from Gopher
+    lowent = " ".join(
+        "the" if j % 9 == 0 else format(j + 16, "06b")
+        .replace("0", "a").replace("1", "b")
+        for j in range(50)
+    )
+    rows.append((20, lowent, "s0", "en"))
+    schema = "doc_id long, text string, source string, lang string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(rows[:10], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[10:], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+
+    sink = []
+    q = (
+        stream_clean_corpus(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            num_shards=4, min_entropy=3.0,
+        )
+        .writeStream
+        .foreachBatch(lambda df, epoch: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pooled = spark.createDataFrame(rows, schema)
+    # the plant passes Gopher (it survives the entropy-less batch
+    # gate) — so its absence below is the entropy screen's doing
+    assert 20 in {r.doc_id for r in clean_corpus(pooled).collect()}
+    batch = clean_corpus(pooled, min_entropy=3.0)
+    want = sorted(r.doc_id for r in batch.collect())
+    assert sorted(r.doc_id for r in sink) == want
+    assert 20 not in {r.doc_id for r in sink}
+    assert 0 in {r.doc_id for r in sink}      # prose survives
