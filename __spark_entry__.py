@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t32_score_sample": _q_score_sample,
         "p15_clean_entropy": _q_clean_entropy,
         "p16_clean_full_best": _q_clean_full_best,
+        "f26_autothrottle": _q_autothrottle,
     }
 
 
@@ -2959,6 +2960,29 @@ def _q_clean_entropy(spark, sf_dir):
     )
 
 
+def _q_autothrottle(spark, sf_dir):
+    # f26: adaptive per-host politeness (AutoThrottle, batch form) —
+    # the fetch log is synthesized closed-form from doc_id (the
+    # f24/f25 pattern): 7 hosts, integer-ms latencies, every 11th
+    # fetch a 503 so the don't-lower-on-error rule has work, host 6
+    # all-errors so the no-OK fallback has work
+    from hepcrawl_spark.frontier.politeness import autothrottle_delays
+
+    d = _t(spark, sf_dir, "documents")
+    log = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".docs.example.com")).alias("url_host"),
+        (F.lit(400) + (F.col("doc_id") % 7) * 900
+         + (F.col("doc_id") % 13) * 37).cast("long").alias("latency_ms"),
+        F.when((F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 7 == 6),
+               F.lit(503)).otherwise(F.lit(200)).alias("status"),
+    )
+    return autothrottle_delays(log).select(
+        "url_host", "n_ok", "n_err", "mean_ok_ms", "delay_ms",
+        "download_delay",
+    )
+
+
 def _q_clean_full_best(spark, sf_dir):
     # p16: the p04 flagship with the d12 representative rule — each
     # near-dup cluster keeps its highest-token-count member (min id
@@ -4887,6 +4911,45 @@ def oracle_sql() -> dict[str, str]:
         "p15_clean_entropy": _P01_SQL_TMPL.format(
             extra_gate=_P15_ENTROPY_GATE
         ),
+        # f26: AutoThrottle mirror — same synthesized fetch log, same
+        # integer arithmetic (// where Spark floors a double divide),
+        # same clamp and error/no-OK rules
+        "f26_autothrottle": """
+            WITH log AS (
+              SELECT 'h' || (doc_id % 7) || '.docs.example.com'
+                       AS url_host,
+                     (400 + (doc_id % 7) * 900
+                      + (doc_id % 13) * 37)::BIGINT AS latency_ms,
+                     CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 6
+                          THEN 503 ELSE 200 END AS status
+              FROM documents
+            ), agg AS (
+              SELECT url_host,
+                     sum(CASE WHEN status BETWEEN 200 AND 299
+                         THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+                     sum(CASE WHEN status BETWEEN 200 AND 299
+                         THEN 0 ELSE 1 END)::BIGINT AS n_err,
+                     sum(CASE WHEN status BETWEEN 200 AND 299
+                         THEN latency_ms ELSE 0 END)::BIGINT AS ok_sum
+              FROM log GROUP BY url_host
+            ), d AS (
+              SELECT *,
+                     least(60000, greatest(250,
+                       ok_sum // (n_ok * 2))) AS clamped
+              FROM agg
+            )
+            SELECT url_host, n_ok, n_err,
+                   CASE WHEN n_ok > 0 THEN ok_sum // n_ok
+                   END AS mean_ok_ms,
+                   CASE WHEN n_ok = 0 THEN 5000
+                        WHEN n_err > 0 THEN greatest(5000, clamped)
+                        ELSE clamped END AS delay_ms,
+                   (CASE WHEN n_ok = 0 THEN 5000
+                         WHEN n_err > 0 THEN greatest(5000, clamped)
+                         ELSE clamped END)::DOUBLE / 1000.0
+                     AS download_delay
+            FROM d
+        """,
         # p16: p04 with the BEST-member representative rule — the
         # shared component CTEs verbatim, only the kept rule swapped
         # (argmax token_cnt, min id on ties = the d12 mirror)

@@ -1802,3 +1802,42 @@ def test_clean_corpus_full_keep_best_rule(spark):
         c.unpersist()
     assert kept_min == {0, 3}        # min-id rule keeps doc 0
     assert kept_best == {1, 3}       # best rule keeps the longest
+
+
+def test_autothrottle_delays_rules_and_schedule_integration(spark):
+    from hepcrawl_spark.frontier.politeness import (
+        autothrottle_delays,
+        schedule,
+    )
+    rows = [
+        # fast healthy host: mean 400ms / tc 2 = 200 -> min clamp 250
+        ("fast.org", 400, 200), ("fast.org", 400, 200),
+        # slow healthy host: mean 8000 / 2 = 4000
+        ("slow.org", 8000, 200), ("slow.org", 8000, 200),
+        # erroring host: computed 300 but errors hold >= start 5000
+        ("err.org", 600, 200), ("err.org", 700, 503),
+        # dead host: no OK fetch at all -> start delay
+        ("dead.org", 100, 500),
+    ]
+    log = spark.createDataFrame(
+        rows, "url_host string, latency_ms long, status int")
+    d = {r.url_host: r for r in autothrottle_delays(log).collect()}
+    assert d["fast.org"].delay_ms == 250
+    assert d["slow.org"].delay_ms == 4000
+    assert d["err.org"].delay_ms == 5000 and d["err.org"].n_err == 1
+    assert d["dead.org"].delay_ms == 5000
+    assert d["dead.org"].mean_ok_ms is None
+    # the seconds column drops straight into the scheduler's
+    # politeness table (conservative per-host delay)
+    pol = autothrottle_delays(log).select(
+        "url_host", "download_delay"
+    ).withColumn("max_per_host", F.lit(1))
+    cand = spark.createDataFrame(
+        [(f"http://slow.org/p{i}", "slow.org", 0, i, 0, "t",
+          "html-generic") for i in range(3)],
+        "url string, url_host string, priority long, seq long, "
+        "depth int, source string, format string",
+    )
+    scheduled, deferred, _ = schedule(cand, politeness=pol)
+    ts = sorted(r.fetch_ts for r in scheduled.collect())
+    assert ts == [0.0, 4.0, 8.0]      # 4000 ms spacing applied

@@ -638,3 +638,15 @@ def test_p16_keep_best_no_window_no_row_python(spark):
         assert " ASC" not in first_arg and " DESC" not in first_arg, (
             "unpartitioned window in p16: " + m.group(0)
         )
+
+
+def test_f26_autothrottle_single_hash_agg_no_window(spark):
+    # one hash aggregate at host cardinality with map-side partials —
+    # no window, no join, no Python; nothing at fetch-log cardinality
+    # leaves the scan stage
+    plan = _plan(em.queries()["f26_autothrottle"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2      # partial -> final
+    assert plan.count("Exchange hashpartitioning") == 1
