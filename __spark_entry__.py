@@ -607,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p15_clean_entropy": _q_clean_entropy,
         "p16_clean_full_best": _q_clean_full_best,
         "f26_autothrottle": _q_autothrottle,
+        "t33_source_drift": _q_source_drift,
+        "d13_media_cluster_best": _q_media_cluster_best,
     }
 
 
@@ -2960,6 +2962,30 @@ def _q_clean_entropy(spark, sf_dir):
     )
 
 
+def _q_media_cluster_best(spark, sf_dir):
+    # d13: the media dedup loop closed — phash fingerprints (m05) →
+    # Hamming-ball pairs (m06) → connected components → ONE kept
+    # member per cluster by quality score (the best-resolution pick
+    # of an image pipeline; the deterministic md5 bucket stands in
+    # for the resolution/quality column, same RNG-free idiom as t07)
+    media = _planted_media(spark, sf_dir)
+    hashes = multimodal.phash_media(media)
+    pairs = multimodal.phash_pairs(media,
+                                   hamming_max=_PHASH_HAMMING_MAX)
+    quality = media.select(
+        "doc_id",
+        textops.sample_bucket_col(F.col("doc_id"), "mq")
+        .alias("quality"),
+    )
+    return dedup.cluster_representatives(hashes, pairs, quality)
+
+
+def _q_source_drift(spark, sf_dir):
+    # t33: per-source unigram KL drift vs the pooled corpus — the
+    # dump-over-dump distribution-monitoring signal
+    return textops.source_drift(_t(spark, sf_dir, "documents"))
+
+
 def _q_autothrottle(spark, sf_dir):
     # f26: adaptive per-host politeness (AutoThrottle, batch form) —
     # the fetch log is synthesized closed-form from doc_id (the
@@ -4911,6 +4937,78 @@ def oracle_sql() -> dict[str, str]:
         "p15_clean_entropy": _P01_SQL_TMPL.format(
             extra_gate=_P15_ENTROPY_GATE
         ),
+        # d13: media cluster dedup — the m06 Hamming-ball pair graph
+        # closed transitively (recursive CTE), then the d12 argmax
+        # with the md5-bucket quality stand-in
+        "d13_media_cluster_best": (
+            "WITH RECURSIVE " + _PHASH_PLANTED_PM + _PHASH_TAIL
+            + f""", prs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.phash, b.phash))
+                      <= {_PHASH_HAMMING_MAX}
+            ), edges AS (
+              SELECT da AS u, db AS v FROM prs
+              UNION SELECT db, da FROM prs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              FROM reach GROUP BY u
+            ), q AS (
+              SELECT ph.doc_id,
+                     coalesce(comp.cluster_id, ph.doc_id)
+                       AS cluster_id,
+                     ('0x' || substr(md5(ph.doc_id::VARCHAR
+                        || ':mq'), 1, 4))::BIGINT AS quality
+              FROM ph LEFT JOIN comp USING (doc_id)
+            ), qm AS (
+              SELECT cluster_id, max(quality) AS qmax
+              FROM q GROUP BY cluster_id
+            ), rep AS (
+              SELECT q.cluster_id, min(doc_id) AS rep
+              FROM q JOIN qm ON q.cluster_id = qm.cluster_id
+                            AND q.quality = qm.qmax
+              GROUP BY q.cluster_id
+            )
+            SELECT q.doc_id, q.cluster_id, q.quality,
+                   (q.doc_id = rep.rep)::INT AS kept
+            FROM q JOIN rep USING (cluster_id)
+        """),
+        # t33: per-source smoothed unigram KL vs the pooled corpus —
+        # zero-count completion via vocab x shard cross join, add-one
+        # smoothing over the corpus vocabulary
+        "t33_source_drift": f"""
+            WITH tok AS (
+              SELECT source AS grp, unnest({_TOKS}) AS t
+              FROM documents
+            ), cs AS (
+              SELECT grp, t, count(*)::BIGINT AS cnt
+              FROM tok GROUP BY grp, t
+            ), vocab AS (
+              SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t
+            ), tot AS (
+              SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v
+              FROM vocab
+            ), st AS (
+              SELECT grp, sum(cnt)::BIGINT AS ns FROM cs GROUP BY grp
+            ), fl AS (
+              SELECT st.grp, vocab.t, vocab.c, st.ns,
+                     coalesce(cs.cnt, 0) AS cnt
+              FROM vocab CROSS JOIN st
+              LEFT JOIN cs ON cs.grp = st.grp AND cs.t = vocab.t
+            )
+            SELECT grp AS source, max(ns)::BIGINT AS shard_tokens,
+                   round(sum(
+                     ((cnt + 1)::DOUBLE / (ns + v)::DOUBLE)
+                     * ln(((cnt + 1)::DOUBLE / (ns + v)::DOUBLE)
+                          / ((c + 1)::DOUBLE / (n + v)::DOUBLE))
+                   ), 6) AS kl_drift
+            FROM fl, tot
+            GROUP BY grp
+        """,
         # f26: AutoThrottle mirror — same synthesized fetch log, same
         # integer arithmetic (// where Spark floors a double divide),
         # same clamp and error/no-OK rules

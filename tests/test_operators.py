@@ -1841,3 +1841,21 @@ def test_autothrottle_delays_rules_and_schedule_integration(spark):
     scheduled, deferred, _ = schedule(cand, politeness=pol)
     ts = sorted(r.fetch_ts for r in scheduled.collect())
     assert ts == [0.0, 4.0, 8.0]      # 4000 ms spacing applied
+
+
+def test_source_drift_orders_shifted_distributions(spark):
+    common = "the cat sat on the mat near the old door"
+    rows = (
+        [(i, common, "steady") for i in range(12)]
+        + [(200 + i, "zxq vvw qqj zxq vvw qqj kkp kkp wrt wrt",
+            "shifted") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    r = {x.source: x for x in textops.source_drift(docs).collect()}
+    # the steady source dominates the pool (it IS ~the pool), the
+    # shifted source is an alien vocabulary: its divergence from the
+    # pooled corpus must be far larger
+    assert r["shifted"].kl_drift > 3 * r["steady"].kl_drift
+    assert r["steady"].kl_drift >= 0.0
+    assert r["steady"].shard_tokens == 12 * 10

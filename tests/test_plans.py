@@ -650,3 +650,26 @@ def test_f26_autothrottle_single_hash_agg_no_window(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2      # partial -> final
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_t33_source_drift_no_python_partial_aggs(spark):
+    # one explode feeding two map-side-combining aggregates; the
+    # zero-count completion cross-joins the vocab against the
+    # BROADCAST shard list — nothing at token-stream cardinality
+    # joins, and no Python anywhere
+    plan = _plan(em.queries()["t33_source_drift"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d13_media_cluster_best_no_cartesian_no_row_python(spark):
+    # fingerprint -> band pairs -> components -> argmax: the whole
+    # media dedup loop stays window-free and cartesian-free
+    plan = _plan(em.queries()["d13_media_cluster_best"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            raise AssertionError("window in d13 plan: " + line)
