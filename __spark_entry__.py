@@ -609,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f26_autothrottle": _q_autothrottle,
         "t33_source_drift": _q_source_drift,
         "d13_media_cluster_best": _q_media_cluster_best,
+        "t34_bm25": _q_bm25,
+        "f27_hits": _q_hits,
+        "t35_winnow": _q_winnow,
     }
 
 
@@ -1746,6 +1749,7 @@ _LINK_MOD = 9973
 _LINK_HOSTS = 11
 _PR_DAMPING = 0.85
 _PR_ITERATIONS = 5
+_HITS_ITERATIONS = 5
 
 # closed-form link table: (src_host, dst_host, dst_url) per anchor —
 # the oracle derives what the Spark side must PARSE out of the html
@@ -2198,6 +2202,24 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_hits(spark, sf_dir):
+    # f27: HITS hub/authority over the same host graph as f09 —
+    # authority ranks hosts worth FETCHING, hub ranks hosts worth
+    # re-crawling for DISCOVERY (their outlinks surface new
+    # authorities); complements PageRank's endorsement-only signal
+    from hepcrawl_spark.frontier import linkgraph
+
+    edges = linkgraph.host_graph(linkgraph.extract_outlinks(
+        _link_pages(_t(spark, sf_dir, "documents"))
+    ))
+    return (
+        linkgraph.hits_hosts(edges, iterations=_HITS_ITERATIONS)
+        .select("host", F.round("hub", 9).alias("hub"),
+                F.round("authority", 9).alias("authority"))
+        .orderBy("host")
+    )
+
+
 def _q_sitemap_scan(spark, sf_dir):
     # f10: two-hop sitemap source — a <sitemapindex> page fans out to
     # per-host <urlset> sitemaps, whose entries (incl. OPTIONAL
@@ -2600,6 +2622,62 @@ def _pr_oracle_sql() -> str:
     )
 
 
+def _hits_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of hits_hosts — the SAME iteration
+    count and update/normalize expressions as the Spark loop,
+    generated from the same constants."""
+    ctes = [
+        f"l AS ({_LINK_SQL})",
+        """edges AS (
+              SELECT src_host, dst_host, count(*)::BIGINT AS weight
+              FROM l GROUP BY src_host, dst_host)""",
+        """hosts AS (
+              SELECT src_host AS host FROM edges
+              UNION
+              SELECT dst_host FROM edges)""",
+        "h0 AS (SELECT host, 1.0 AS hub FROM hosts)",
+    ]
+    for k in range(_HITS_ITERATIONS):
+        # MATERIALIZED: DuckDB inlines CTEs by default and each
+        # iteration references its predecessors twice, so the
+        # unmaterialized 5-iteration unroll expands ~4^5 plans
+        # (observed: minutes of CPU); materializing keeps the oracle
+        # linear in iterations
+        ctes.append(f"""araw{k} AS MATERIALIZED (
+              SELECT e.dst_host, sum(h.hub * e.weight) AS a
+              FROM edges e JOIN h{k} h ON h.host = e.src_host
+              GROUP BY e.dst_host)""")
+        ctes.append(
+            f"asum{k} AS (SELECT sum(a) AS s FROM araw{k})")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+              SELECT hs.host,
+                     coalesce(ar.a, 0.0) / (SELECT s FROM asum{k})
+                       AS authority
+              FROM hosts hs LEFT JOIN araw{k} ar
+                ON ar.dst_host = hs.host)""")
+        ctes.append(f"""hraw{k} AS MATERIALIZED (
+              SELECT e.src_host, sum(a.authority * e.weight) AS h
+              FROM edges e JOIN a{k} a ON a.host = e.dst_host
+              GROUP BY e.src_host)""")
+        ctes.append(
+            f"hsum{k} AS (SELECT sum(h) AS s FROM hraw{k})")
+        ctes.append(f"""h{k + 1} AS MATERIALIZED (
+              SELECT hs.host,
+                     coalesce(hr.h, 0.0) / (SELECT s FROM hsum{k})
+                       AS hub
+              FROM hosts hs LEFT JOIN hraw{k} hr
+                ON hr.src_host = hs.host)""")
+    last = _HITS_ITERATIONS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+            SELECT h.host, round(h.hub, 9) AS hub,
+                   round(a.authority, 9) AS authority
+            FROM h{last} h JOIN a{last - 1} a ON a.host = h.host
+            ORDER BY h.host"""
+    )
+
+
 # t20/p11 shared C4 mirror: the constructed input (re-chunk +
 # terminal '.' + injected javascript line) and the line-rule filter
 # as CTEs, so the standalone t20 oracle and the p11 composition use
@@ -2984,6 +3062,38 @@ def _q_source_drift(spark, sf_dir):
     # t33: per-source unigram KL drift vs the pooled corpus — the
     # dump-over-dump distribution-monitoring signal
     return textops.source_drift(_t(spark, sf_dir, "documents"))
+
+
+# t34 query set — module constant so the Spark side and the oracle
+# VALUES table render from one place and cannot drift
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["window", "sort", "merge"]),
+    (3, ["stream", "batch", "vector"]),
+]
+_BM25_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
+)
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for _, ts in _BM25_QUERIES for t in ts})
+)
+
+
+def _q_bm25(spark, sf_dir):
+    # t34: BM25 top-k retrieval for a fixed query set — the
+    # inverted-index pattern restricted to the query vocabulary
+    # (map-side token filter, postings shuffle = O(hits))
+    return textops.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10
+    )
+
+
+def _q_winnow(spark, sf_dir):
+    # t35: winnowing fingerprints (MOSS) — per-window rightmost-min
+    # k-gram hash selection, all inside the row (HOFs, zero shuffle)
+    return textops.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4
+    )
 
 
 def _q_autothrottle(spark, sf_dir):
@@ -4262,6 +4372,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_host
         """,
         "f09_host_rank": _pr_oracle_sql(),
+        # f27: HITS mirror — unrolled CTEs generated from the same
+        # iteration count; hub/authority rounded to 9 (cross-engine
+        # sum-order noise ~1e-14)
+        "f27_hits": _hits_oracle_sql(),
         # f18: BFS seed distance — unrolled relaxation mirror, same
         # constants as the Spark loop
         "f18_hop_distance": _hop_oracle_sql(),
@@ -5047,6 +5161,77 @@ def oracle_sql() -> dict[str, str]:
                          ELSE clamped END)::DOUBLE / 1000.0
                      AS download_delay
             FROM d
+        """,
+        # t34: BM25 mirror — same query VALUES table rendered from
+        # _BM25_QUERIES, same k1/b literals from textops constants,
+        # score rounded to 9 BEFORE ranking (tie-break doc_id) so both
+        # engines rank identically
+        "t34_bm25": f"""
+            WITH qt(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
+            tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            base AS (
+              SELECT doc_id, len(t)::BIGINT AS dl,
+                     list_filter(t, x -> list_contains(
+                       [{_BM25_TERMS_SQL}], x)) AS hits
+              FROM tk
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM base
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+              GROUP BY doc_id, dl, term
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf * {textops.BM25_K1 + 1!r}
+                       / (tf + {textops.BM25_K1!r}
+                          * ({1 - textops.BM25_B!r}
+                             + {textops.BM25_B!r} * dl / avgdl))
+                     ), 9) AS score
+              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
+              GROUP BY qt.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   )::BIGINT AS rank
+            FROM sc
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) <= 10
+        """,
+        # t35: winnowing mirror — identical key packing (hash*2^21 +
+        # (2^20 - pos)) and identical window math; DuckDB list slices
+        # are 1-based inclusive, matching F.slice(arr, start, len)
+        # with len = least(w, m)
+        "t35_winnow": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id, len(t) - 2 AS m, t FROM tk
+                  WHERE len(t) - 2 >= 1),
+            ky AS (
+              SELECT doc_id, m,
+                     list_transform(range(1, m + 1), i ->
+                       (('0x' || substr(md5(
+                          array_to_string(t[i:i+2], ' ')), 1, 15)
+                        )::BIGINT % 1073741824) * 2097152
+                       + (1048576 - i)) AS keys
+              FROM g
+            ), sel AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(m - 3, 1) + 1),
+                       j -> list_min(keys[j : j + least(4, m) - 1])
+                     )) AS picks
+              FROM ky
+            )
+            SELECT doc_id,
+                   (1048576 - (key % 2097152) - 1)::BIGINT AS pos,
+                   (key // 2097152)::BIGINT AS fp
+            FROM (SELECT doc_id, unnest(picks) AS key FROM sel)
+            ORDER BY doc_id, pos
         """,
         # p16: p04 with the BEST-member representative rule — the
         # shared component CTEs verbatim, only the kept rule swapped

@@ -393,3 +393,84 @@ def linkfarm_hosts(edges: DataFrame, min_out: int = 2,
         )
         .withColumn("flagged", flagged.cast("int"))
     )
+
+
+def hits_hosts(
+    edges: DataFrame,
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """HITS (Kleinberg) over a weighted host graph ->
+    ``(host, hub, authority)``.
+
+    Per iteration:
+
+        auth_{k+1}(h) = sum_{s->h} w(s,h) * hub_k(s)      then L1-norm
+        hub_{k+1}(s)  = sum_{s->h} w(s,h) * auth_{k+1}(h) then L1-norm
+
+    The frontier use: ``authority`` prioritizes hosts worth fetching
+    (content endorsed by many good hubs), ``hub`` prioritizes hosts
+    worth re-crawling for DISCOVERY (their outlinks find new
+    authorities fast) — the complementary signal to f09's PageRank,
+    which only measures endorsement.
+
+    Scale shape mirrors ``pagerank_hosts``: the edge table is
+    repartitioned on its join side ONCE and kept resident, so each
+    iteration shuffles only the host-cardinality score frame; the L1
+    norms ride broadcast 1-row aggregates.  Deterministic given the
+    edge table (integer weights, fixed iteration count, same fold the
+    DuckDB mirror unrolls; cross-engine float noise is ~1e-14, far
+    below the 9-decimal publication rounding).
+    """
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    # one resident copy per join direction: authority sums group by
+    # dst_host but join on src_host; hub sums join on dst_host
+    by_src = edges.repartition("src_host").persist()
+    by_dst = edges.repartition("dst_host").persist()
+
+    scores = hosts.select("host", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iterations):
+        araw = (
+            by_src.join(
+                scores.select(F.col("host").alias("src_host"), "hub"),
+                "src_host")
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("hub") * F.col("weight")).alias("_a"))
+        )
+        asum = araw.agg(F.sum("_a").alias("_as"))
+        auth = (
+            hosts.join(araw, hosts["host"] == araw["dst_host"], "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                hosts["host"],
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_as"))
+                .alias("authority"),
+            )
+        )
+        hraw = (
+            by_dst.join(
+                auth.select(F.col("host").alias("dst_host"), "authority"),
+                "dst_host")
+            .groupBy("src_host")
+            .agg(F.sum(F.col("authority") * F.col("weight")).alias("_h"))
+        )
+        hsum = hraw.agg(F.sum("_h").alias("_hs"))
+        scores = (
+            hosts.join(hraw, hosts["host"] == hraw["src_host"], "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                hosts["host"],
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_hs"))
+                .alias("hub"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return scores.join(auth, "host").select("host", "hub", "authority")

@@ -1716,3 +1716,173 @@ def source_drift(docs: DataFrame, group_col: str = "source",
         )
         .withColumn("shard_tokens", F.col("shard_tokens").cast("long"))
     )
+
+
+# BM25 constants (the standard Robertson/Spärck-Jones defaults) —
+# module-level so the Spark plan and the DuckDB oracle render the
+# same literals from one place.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k retrieval for a fixed query set over a document
+    corpus -> ``(query_id, doc_id, score, rank)``.
+
+    The training-data-pipeline use: targeted corpus search (find the
+    documents most relevant to a benchmark prompt / audit query)
+    without building a serving index — one batch pass produces the
+    per-query ranked hit lists.
+
+    Scale shape (the inverted-index pattern, restricted to the query
+    vocabulary): tokens are filtered to the query-term set INSIDE the
+    per-row projection (higher-order ``filter``, whole-stage codegen),
+    so only matching tokens are ever exploded — the shuffle that
+    builds the postings table carries O(matches), not O(corpus
+    tokens).  Document frequency is a second map-side-combined
+    aggregate over that small postings table; ``(N, avgdl)`` is a
+    one-row aggregate broadcast via ``crossJoin``; the query-term
+    table is broadcast.  Nothing materializes at corpus-token
+    cardinality, so the plan survives a 100x scale-up: its cost is
+    one codegen scan + shuffles proportional to query-term hits.
+
+    Determinism contract: ``score`` is rounded to 9 decimals BEFORE
+    ranking and ties break by ``doc_id``, so Spark and the DuckDB
+    oracle rank identically (sum-order float noise is ~1e-15, far
+    below the rounding grain).
+    """
+    terms = sorted({t for _, ts in queries for t in ts})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in queries for t in sorted(set(ts))],
+        "query_id long, term string",
+    )
+
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda x: x.isin(*terms)).alias("_hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        base.select(id_col, "_dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+
+    d = "double"
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_d = F.col("_tf").cast(d)
+    contrib = idf * tf_d * (k1 + 1) / (
+        tf_d + k1 * (1 - b + b * F.col("_dl").cast(d) / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 9).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+# Winnowing layout constants: 30-bit k-gram hash packed above a
+# 21-bit position field -> one BIGINT sort key per k-gram, so the
+# rightmost-minimal-hash rule of the winnowing paper becomes a plain
+# ``array_min``.  POS_CAP bounds the token count a single document
+# may contribute (2^20 k-grams); longer documents should be chunked
+# first (``chunk_documents``), which is the 100-TB-pipeline shape
+# anyway.
+WINNOW_HASH_MOD = 1 << 30
+WINNOW_POS_FIELD = 1 << 21
+WINNOW_POS_CAP = 1 << 20
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm) -> ``(doc_id, pos, fp)``.
+
+    From the sequence of k-gram hashes, every window of ``w``
+    consecutive hashes selects its minimum (rightmost occurrence on
+    ties); the distinct selected (position, hash) pairs are the
+    document's fingerprints.  Guarantees: any shared substring of
+    length >= w + k - 1 tokens produces a shared fingerprint, so the
+    output feeds span-level near-dup / plagiarism detection at a
+    fraction of full-shingle cost.
+
+    Scale shape: the whole selection runs INSIDE the row as
+    higher-order functions (transform/slice/array_min) — one codegen
+    scan, zero shuffle, no window functions, no per-doc repartition.
+    Only the selected fingerprints (a ~2/(w+1) fraction of k-grams)
+    are exploded.  The tie rule is encoded arithmetically: key =
+    hash * 2^21 + (2^20 - pos), so ``array_min`` picks the smallest
+    hash and, among equals, the LARGEST position — exactly the
+    paper's rightmost rule — with no struct comparisons (portable to
+    the DuckDB mirror verbatim).
+
+    Documents with fewer than ``w`` k-grams yield one fingerprint
+    (the minimum over all of them), matching the paper's treatment
+    of short inputs; documents with fewer than ``k`` tokens yield
+    none.
+    """
+    if not (1 <= k and 1 <= w):
+        raise ValueError("k and w must be >= 1")
+
+    def _selected(t: Column) -> Column:
+        m = F.size(t) - F.lit(k - 1)
+
+        def _keys(mm: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), mm),
+                lambda i: (
+                    token_hash(F.concat_ws(" ", F.slice(t, i, k)))
+                    % F.lit(WINNOW_HASH_MOD)
+                ) * F.lit(WINNOW_POS_FIELD)
+                + (F.lit(WINNOW_POS_CAP) - i),
+            )
+
+        def _mins(keys: Column, mm: Column) -> Column:
+            nwin = F.greatest(mm - F.lit(w - 1), F.lit(1))
+            wlen = F.least(F.lit(w), mm)
+            return F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nwin),
+                    lambda j: F.array_min(F.slice(keys, j, wlen)),
+                )
+            )
+
+        return F.when(
+            m >= 1, bind_once(_keys(m), lambda ks: _mins(ks, m))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    key = F.explode(_selected(tokens_col(F.col(text_col)))).alias("_key")
+    out = docs.select(F.col(id_col), key)
+    # no orderBy: the fingerprint set is unordered by contract (the
+    # oracle compare is order-insensitive) and adding one would cost a
+    # range-partition exchange on an otherwise shuffle-free plan
+    return out.select(
+        id_col,
+        (F.lit(WINNOW_POS_CAP)
+         - F.col("_key") % F.lit(WINNOW_POS_FIELD) - 1).alias("pos"),
+        F.shiftright(F.col("_key"), 21).alias("fp"),
+    )

@@ -261,3 +261,23 @@ def test_linkfarm_hosts_min_out_evidence_floor(spark):
     out = {r.host: r for r in
            linkgraph.linkfarm_hosts(edges, min_out=2).collect()}
     assert out["a.com"].flagged == 0 and out["a.com"].recip_deg == 1
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    from hepcrawl_spark.frontier import linkgraph
+
+    # star: hub host "s" links to 3 targets; "t1" also gets a link
+    # from "u" — t1 is the top authority, s the top hub
+    edges = spark.createDataFrame(
+        [("s", "t1", 2), ("s", "t2", 1), ("s", "t3", 1), ("u", "t1", 1)],
+        "src_host string, dst_host string, weight long",
+    )
+    r = {x.host: x for x in linkgraph.hits_hosts(edges, iterations=5)
+         .collect()}
+    assert r["s"].hub == max(v.hub for v in r.values())
+    assert r["t1"].authority == max(v.authority for v in r.values())
+    # pure targets are not hubs; pure sources are not authorities
+    assert r["t2"].hub == 0.0 and r["s"].authority == 0.0
+    # L1 normalization: both score vectors sum to 1
+    assert abs(sum(v.hub for v in r.values()) - 1.0) < 1e-9
+    assert abs(sum(v.authority for v in r.values()) - 1.0) < 1e-9

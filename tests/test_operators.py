@@ -1859,3 +1859,88 @@ def test_source_drift_orders_shifted_distributions(spark):
     assert r["shifted"].kl_drift > 3 * r["steady"].kl_drift
     assert r["steady"].kl_drift >= 0.0
     assert r["steady"].shard_tokens == 12 * 10
+
+
+def test_bm25_ranks_by_relevance_and_rank_contiguous(spark):
+    rows = [
+        (0, "hash join hash join hash join"),       # dense in q1 terms
+        (1, "hash join and other words here too"),  # both terms, once
+        (2, "join only appears in this document"),  # one term
+        (3, "nothing relevant at all over here"),   # no terms
+        (4, "hash hash hash hash hash hash hash"),  # one term, high tf
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.bm25_topk(docs, [(1, ["hash", "join"])], k=10).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert 3 not in by_doc                  # zero-match docs never score
+    assert by_doc[0].rank == 1              # both terms, highest tf wins
+    # rank is contiguous 1..n within the query
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+    # two-term doc beats the single-term docs
+    assert by_doc[0].score > by_doc[2].score
+
+
+def test_bm25_topk_caps_and_orders(spark):
+    docs = spark.createDataFrame(
+        [(i, "hash " * (i + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = textops.bm25_topk(docs, [(7, ["hash"])], k=5).collect()
+    assert len(out) == 5
+    assert all(r.query_id == 7 for r in out)
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def _py_winnow(text, k=3, w=4):
+    """Reference winnowing in plain Python — same hash, same rules."""
+    import hashlib
+
+    toks = text.lower().split()
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return set()
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+          % textops.WINNOW_HASH_MOD for g in grams]
+    picks = set()
+    nwin = max(len(hs) - w + 1, 1)
+    for j in range(nwin):
+        window = hs[j:j + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        picks.add((pos, m))
+    return picks
+
+
+def test_winnow_matches_python_reference(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and more"),
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "short doc"),                    # < k tokens: no k-grams
+        (3, "one two three"),                # exactly one k-gram
+        (4, "one two three four five"),      # fewer k-grams than w
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.winnow_fingerprints(docs, k=3, w=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _py_winnow(text), doc_id
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # the paper's guarantee: a shared run of >= w + k - 1 tokens
+    # (6 here) forces at least one common selected fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, "xx yy " + shared + " zz"),
+        (1, shared + " qq rr ss tt uu vv"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.winnow_fingerprints(docs, k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]

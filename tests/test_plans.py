@@ -673,3 +673,36 @@ def test_d13_media_cluster_best_no_cartesian_no_row_python(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             raise AssertionError("window in d13 plan: " + line)
+
+
+def test_t34_bm25_broadcast_postings_topk_pushdown(spark):
+    # inverted-index shape: tokens filtered to the query vocabulary
+    # inside the scan projection, df/stats/query-table all broadcast,
+    # and the per-query top-k runs as a PARTIAL WindowGroupLimit
+    # before the rank shuffle — nothing at corpus-token cardinality
+    # ever shuffles
+    plan = _plan(em.queries()["t34_bm25"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") == 2     # partial + final
+
+
+def test_t35_winnow_single_scan_zero_shuffle(spark):
+    # the whole selection is higher-order functions inside the row:
+    # one codegen scan, no exchange, no window, no join, no Python
+    plan = _plan(em.queries()["t35_winnow"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window " not in plan and "windowspecdefinition" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_f27_hits_no_cartesian_no_python(spark):
+    # pagerank's iteration shape: score-frame joins + broadcast 1-row
+    # norm divisors — no cartesian blowup, no Python anywhere
+    plan = _plan(em.queries()["f27_hits"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
