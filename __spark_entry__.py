@@ -406,6 +406,20 @@ def _q_dedup_jaccard(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _q_containment(spark, sf_dir):
+    # d14: asymmetric shingle containment (Broder) — catches subset /
+    # quote duplication resemblance misses; same inverted index as d02
+    pairs = dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.round("cont_a", 9).alias("cont_a"),
+        F.round("cont_b", 9).alias("cont_b"),
+        F.round("containment", 9).alias("containment"),
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.8
@@ -612,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t34_bm25": _q_bm25,
         "f27_hits": _q_hits,
         "t35_winnow": _q_winnow,
+        "d14_containment": _q_containment,
     }
 
 
@@ -994,6 +1009,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = da
 JOIN sizes sb ON sb.doc_id = db
 WHERE ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE >= 0.8
+""".format(toks=_TOKS)
+
+# d14 mirror: same inverted shingle index as d02 but the asymmetric
+# containment ratios |A∩B|/|A| and |A∩B|/|B| (Broder containment)
+# instead of resemblance; flagged when the larger direction >= 0.8
+_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(ni::DOUBLE / sa.n::DOUBLE, 9) AS cont_a,
+       round(ni::DOUBLE / sb.n::DOUBLE, 9) AS cont_b,
+       round(greatest(ni::DOUBLE / sa.n::DOUBLE,
+                      ni::DOUBLE / sb.n::DOUBLE), 9) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE greatest(ni::DOUBLE / sa.n::DOUBLE,
+               ni::DOUBLE / sb.n::DOUBLE) >= 0.8
 """.format(toks=_TOKS)
 
 # d05 mirror: identical to d02 but shingles with document frequency
@@ -3452,6 +3496,7 @@ def oracle_sql() -> dict[str, str]:
         "d03_dedup_minhash": _JACCARD_SQL,
         "d04_dedup_simhash": _SIMHASH_SQL,
         "d05_dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
+        "d14_containment": _CONTAINMENT_SQL,
         "s01_ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -495,6 +495,72 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+def ngram_containment_pairs(docs: DataFrame, n: int = 3,
+                            threshold: float = 0.8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_shingle_df: int | None = None) -> DataFrame:
+    """Asymmetric shingle containment pairs (Broder's *containment*,
+    the resemblance companion measure): C(A,B) = |A∩B| / |A|.
+
+    Jaccard misses subset duplication — a short doc fully quoted
+    inside a long one has |A∩B| = |A| but union ≈ |B|, so resemblance
+    ≈ |A|/|B| → 0 while containment = 1.  This is the measure public
+    pipelines use to catch quote/excerpt/wrapper duplication (e.g. a
+    press release embedded in a longer article), per Broder 1997 "On
+    the resemblance and containment of documents".
+
+    Returns (doc_a, doc_b, cont_a, cont_b, containment) for pairs with
+    ``containment = max(cont_a, cont_b) >= threshold`` where
+    ``cont_a = |A∩B|/|A|`` (how much of A lies inside B) and vice
+    versa.  All three are small-int ratios → bit-exact cross-engine.
+
+    Scale shape: identical inverted-index join as
+    :func:`ngram_jaccard_pairs` (same posting-list quadratic, same
+    ``max_shingle_df`` stop-shingle cap; at corpus scale run it on
+    LSH candidates or capped).  Reference analog: none — this is a
+    training-data-pipeline operator beyond the reference crawler.
+    """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_a")),
+                   inter.doc_a == F.col("doc_id")).drop("doc_id")
+        .join(F.broadcast(sizes.withColumnRenamed("n_sh", "n_b")),
+              inter.doc_b == F.col("doc_id")).drop("doc_id")
+        .withColumn("cont_a",
+                    F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+        .withColumn("cont_b",
+                    F.col("n_inter").cast("double") / F.col("n_b").cast("double"))
+        .withColumn("containment", F.greatest("cont_a", "cont_b"))
+    )
+    return c.filter(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "cont_a", "cont_b", "containment"
+    )
+
+
 def minhash_signature_udf(n: int = 3, perms: int = MINHASH_PERMS):
     """Arrow-vectorized MinHash signatures (the scale path).
 

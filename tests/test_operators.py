@@ -64,6 +64,28 @@ def test_ngram_jaccard_and_minhash_agree(docs):
     assert (0, 2) not in exact
 
 
+def test_containment_catches_subset_duplication(spark):
+    # a short doc fully quoted inside a long one: resemblance ~ |A|/|B|
+    # stays tiny but containment hits 1.0 — the d14 measure's reason
+    # to exist (Broder 1997)
+    long_words = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(10, 18))
+    rows = [(0, long_words), (1, quote),
+            (2, "completely different words here now indeed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r.doc_a, r.doc_b): (r.cont_a, r.cont_b, r.containment)
+            for r in dedup.ngram_containment_pairs(
+                df, threshold=0.9).collect()}
+    jac = {(r.doc_a, r.doc_b)
+           for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in cont
+    ca, cb, c = cont[(0, 1)]
+    assert cb == 1.0 and c == 1.0          # quote fully inside the long doc
+    assert ca == pytest.approx(6 / 38)     # 6 of the long doc's 38 shingles
+    assert (0, 1) not in jac               # resemblance misses the quote
+    assert all(p == (0, 1) for p in cont)  # unrelated doc 2 untouched
+
+
 def test_unicode_whitespace_tokenization_agrees(spark):
     # NBSP (\xa0) is whitespace to Python's str.split() but NOT to the
     # JVM/RE2 ASCII \s used by the exact paths; the UDF paths must
