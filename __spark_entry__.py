@@ -455,6 +455,16 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ann_int8(spark, sf_dir):
+    # s06: SQ8-quantized top-k — exact given the quantized codes (the
+    # per-vector scale cancels in cosine), so FULL oracle, unlike the
+    # rows-only LSH/IVF variants
+    res = similarity.ann_topk_int8(_t(spark, sf_dir, "embeddings"), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     res = similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=10)
     return res.select(
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f27_hits": _q_hits,
         "t35_winnow": _q_winnow,
         "d14_containment": _q_containment,
+        "s06_ann_int8": _q_ann_int8,
     }
 
 
@@ -3518,6 +3529,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # s02_ann_lsh: SRP-bucketed approximate — recall < 1 by design
         # (rows-only check).
+        # s06: SQ8 int8 quantization replayed exactly — scale = max|x|
+        # (cancels in cosine), round-half-up via explicit floor(+0.5)
+        # (DuckDB's double→int cast ROUNDS, Spark's truncates — floor
+        # is the one portable spelling), integer dot / integer norms,
+        # -2.0 sentinel for zero-norm codes
+        "s06_ann_int8": """
+            WITH sc AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE))) AS s
+              FROM embeddings
+            ), q8 AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CASE WHEN s = 0 THEN 0
+                            ELSE greatest(-127, least(127,
+                              floor(x::DOUBLE / s * 127 + 0.5)))::BIGINT
+                            END) AS qc
+              FROM sc
+            ), n AS (
+              SELECT vec_id, qc,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(range(1, 65),
+                         i -> qc[i] * qc[i])), (x, y) -> x + y) AS n2
+              FROM q8
+            ), s AS (
+              SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN -2.0
+                     ELSE list_reduce(list_prepend(0::BIGINT,
+                            list_transform(range(1, 65),
+                              i -> a.qc[i] * b.qc[i])),
+                            (x, y) -> x + y)::DOUBLE
+                          / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE))
+                     END AS qcos
+              FROM n a, n b
+              WHERE a.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+            )
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY qcos DESC, nid ASC
+                   )::BIGINT AS rank
+            FROM s
+            QUALIFY row_number() OVER (
+              PARTITION BY qid ORDER BY qcos DESC, nid ASC
+            ) <= 10
+        """,
         "s03_emb_neardup": f"""
             WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
                  b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)

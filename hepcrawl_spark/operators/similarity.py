@@ -177,6 +177,111 @@ def ann_topk(embeddings: DataFrame, k: int = 10,
     )
 
 
+def quantize_int8_col(vec: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization (the faiss-SQ8
+    pattern): scale = max|x| over dims, q_d = floor(x_d/scale*127+0.5)
+    clamped to ±127 (round-half-up — explicit ``floor(+0.5)`` because
+    DuckDB's double→int cast rounds while Spark's truncates).
+
+    The per-vector scale cancels in cosine, so the quantized cosine
+    needs NO float scale at all — integer dot over integer norms —
+    which is what makes s06 exactly SQL-mirrorable (integer arithmetic
+    + one IEEE sqrt/divide in the same order on both engines).
+
+    Zero vectors quantize to all-zero (scale guard, not a divide).
+    """
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        vec,
+        lambda x: F.when(scale == 0.0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(127).cast("long"),
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.floor(x.cast("double") / scale * 127 + F.lit(0.5)),
+                ),
+            )
+        ),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (order-independent, no float fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_topk_int8(embeddings: DataFrame, k: int = 10,
+                  query_filter: Column | None = None,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the memory-bound
+    scale variant of :func:`ann_topk`.
+
+    100 TB story: a float32 embedding corpus is usually broadcast- and
+    bandwidth-bound; SQ8 cuts the vector bytes 4× (64 dims: 256 B →
+    64 B + nothing else, the scale cancels — see
+    :func:`quantize_int8_col`), so the broadcast query block, the scan
+    and the per-pair arithmetic all shrink 4×, and the dot becomes
+    exact integer math (no float accumulation order to worry about).
+    Ranking error vs exact cosine is the SQ8 quantization noise
+    (≤ ~1/127 per normalized component); the pytest pins recall@k vs
+    :func:`ann_topk` on the test corpus.
+
+    Unlike the LSH/IVF variants this is deterministically exact *given
+    the quantized vectors*, so it carries a full DuckDB oracle (s06),
+    not a rows-only check: quantization, integer dot, integer norms
+    and the final divide are replayed bit-for-bit in SQL.
+
+    Returns (query_id, neighbor_id, rank) like :func:`ann_topk`.
+    """
+    if query_filter is None:
+        query_filter = F.col(id_col) % 50 == 0
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    # quantize once per ROW; norms are integer folds over the int8
+    # codes (exact), computed before the pair join like ann_topk's
+    quant = embeddings.select(
+        F.col(id_col), quantize_int8_col(F.col(vec_col)).alias("qcode"),
+    )
+    quant = quant.withColumn("qn2", _int_dot(F.col("qcode"), F.col("qcode")))
+    queries = quant.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col("qcode").alias("qa"),
+        F.col("qn2").alias("na2"),
+    )
+    cands = quant.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qcode").alias("qb"),
+        F.col("qn2").alias("nb2"),
+    )
+    # -2.0 sentinel (below any cosine) for zero-norm codes on BOTH
+    # engines, so degenerate vectors rank last deterministically
+    scored = (
+        cands.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qcos",
+            F.when((F.col("na2") == 0) | (F.col("nb2") == 0), F.lit(-2.0))
+            .otherwise(
+                _int_dot(F.col("qa"), F.col("qb")).cast("double")
+                / (F.sqrt(F.col("na2").cast("double"))
+                   * F.sqrt(F.col("nb2").cast("double")))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def srp_bucket(vec: Column, planes: int = 12, dim: int = 64) -> Column:
     """Signed-random-projection bucket id (LSH for cosine).
 

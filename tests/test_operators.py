@@ -168,6 +168,31 @@ def test_ann_topk_exact(emb):
     assert top[0].neighbor_id == 10  # same direction as query 0
 
 
+def test_ann_int8_quantization_and_recall(spark, emb):
+    # quantization arithmetic: max|x| scales to ±127, round-half-up
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0, 0.25]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = {r.vec_id: r.q for r in df.select(
+        "vec_id",
+        similarity.quantize_int8_col(F.col("embedding")).alias("q"),
+    ).collect()}
+    # floor(-0.5/1*127+0.5) = floor(-63.0) = -63; 0.25 → floor(32.25)=32
+    assert q[0] == [127, -63, 0, 32]
+    assert q[1] == [0, 0, 0, 0]          # zero vector: scale guard
+
+    # SQ8 ranks must agree with exact cosine on the well-separated
+    # test corpus (quantization noise ≪ the 0.3-rad angular gaps);
+    # the aligned twin (i, i+10) stays rank 1 in particular
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.ann_topk(emb, k=5).collect()}
+    q8 = {(r.query_id, r.rank): r.neighbor_id
+          for r in similarity.ann_topk_int8(emb, k=5).collect()}
+    assert q8[(0, 1)] == 10
+    overlap = sum(exact[k] == q8[k] for k in exact) / len(exact)
+    assert overlap >= 0.8
+
+
 def test_ann_lsh_subset_of_exact(emb):
     exact = {(r.query_id, r.neighbor_id)
              for r in similarity.ann_topk(emb, k=20).collect()}

@@ -430,6 +430,26 @@ def test_run_crawl_plans_have_no_unpartitioned_window(spark):
             )
 
 
+def test_s06_int8_ann_jvm_only_broadcast_queries(spark):
+    # SQ8 top-k: the query side broadcasts against the streamed corpus
+    # (brute force is all-pairs by definition, so the nested-loop join
+    # IS the intended shape — what matters is that the small side is
+    # the broadcast one) and the whole quantize→int-dot→rank path is
+    # JVM column expressions: no Python boundary of any kind
+    plan = _plan(em.queries()["s06_ann_int8"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_d14_containment_shares_d02_join_shape(spark):
+    # containment rides d02's inverted-index equi-join: shuffle on the
+    # shingle key, never a cartesian pair enumeration
+    plan = _plan(em.queries()["d14_containment"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_query_uses_row_at_a_time_python(spark):
     # global guard over the WHOLE driver contract: no query's plan may
     # contain a row-at-a-time Python eval (BatchEvalPython) — every
