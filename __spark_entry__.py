@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t35_winnow": _q_winnow,
         "d14_containment": _q_containment,
         "s06_ann_int8": _q_ann_int8,
+        "f28_mirror_hosts": _q_mirror_hosts,
     }
 
 
@@ -2097,6 +2098,34 @@ def _q_linkfarm_hosts(spark, sf_dir):
     return linkgraph.linkfarm_hosts(
         edges, min_out=2, min_recip_pct=40
     ).orderBy("host")
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    # f28: mirror-host detection over a planted content layout mod 10
+    # — host 1 serves host 0's content verbatim (the full mirror,
+    # 100% overlap), host 3 mirrors host 2 on even slots only (50%,
+    # below the 80% bar → reported but not flagged), hosts 4-9 unique
+    from hepcrawl_spark.frontier import mirrors
+
+    docs = _t(spark, sf_dir, "documents")
+    slot = F.floor(F.col("doc_id") / 10).cast("long")
+    h = (F.col("doc_id") % 10).cast("long")
+    eff = (
+        F.when(h == 1, F.lit(0))
+        .when((h == 3) & (slot % 2 == 0), F.lit(2))
+        .otherwise(h)
+    ).cast("long")
+    pages = docs.select(
+        F.concat(F.lit("h"), h.cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("c-"), slot.cast("string"), F.lit("-"),
+                 eff.cast("string")).alias("text"),
+    )
+    res = mirrors.mirror_host_pairs(pages, min_shared=3, min_overlap_pct=80)
+    return res.select(
+        "host_a", "host_b", "shared", "n_a", "n_b",
+        F.round("overlap_pct", 9).alias("overlap_pct"), "flagged",
+    ).orderBy("host_a", "host_b")
 
 
 # m04 planted magic table: the 8 real prefixes + one junk entry that
@@ -4702,6 +4731,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS flagged
             FROM o LEFT JOIN rc ON rc.s = o.s
             ORDER BY host
+        """,
+        # f28: mirror-host mirror — same planted content layout
+        # (host 1 = full mirror of 0, host 3 = half mirror of 2),
+        # same md5 content identity, integral flag arithmetic
+        "f28_mirror_hosts": """
+            WITH p AS (
+              SELECT DISTINCT
+                'h' || (doc_id % 10) || '.example.com' AS host,
+                md5('c-' || floor(doc_id / 10)::BIGINT || '-' ||
+                    (CASE WHEN doc_id % 10 = 1 THEN 0
+                          WHEN doc_id % 10 = 3
+                               AND floor(doc_id / 10)::BIGINT % 2 = 0
+                          THEN 2
+                          ELSE doc_id % 10 END)) AS content
+              FROM documents
+            ), sizes AS (
+              SELECT host, count(*)::BIGINT AS n FROM p GROUP BY host
+            ), pr AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*)::BIGINT AS shared
+              FROM p a JOIN p b
+                ON a.content = b.content AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT host_a, host_b, shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   round(shared * 100.0 / least(sa.n, sb.n), 9)
+                     AS overlap_pct,
+                   (shared * 100 >= 80 * least(sa.n, sb.n))::INT
+                     AS flagged
+            FROM pr
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            ORDER BY host_a, host_b
         """,
         # m04: MIME-sniff mirror — the expected verdict stated
         # closed-form from the SAME magic table the operator compiles
