@@ -639,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_containment": _q_containment,
         "s06_ann_int8": _q_ann_int8,
         "f28_mirror_hosts": _q_mirror_hosts,
+        "f29_soft404": _q_soft404,
     }
 
 
@@ -2126,6 +2127,32 @@ def _q_mirror_hosts(spark, sf_dir):
         "host_a", "host_b", "shared", "n_a", "n_b",
         F.round("overlap_pct", 9).alias("overlap_pct"), "flagged",
     ).orderBy("host_a", "host_b")
+
+
+def _q_soft404(spark, sf_dir):
+    # f29: soft-404 gate over planted fetch results — every 17th doc
+    # is a full error page (title + thin not-found body → flagged),
+    # every 23rd a long article QUOTING "page not found" (phrase hit
+    # without the thin corroboration → reported, not flagged)
+    docs = _t(spark, sf_dir, "documents")
+    f17 = F.col("doc_id") % 17 == 0
+    q23 = (F.col("doc_id") % 23 == 0) & ~f17
+    title = F.when(f17, F.lit("404 Not Found")).otherwise(
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+    text = (
+        F.when(f17, F.lit(
+            "The page you requested was not found on this server."))
+        .when(q23, F.concat(
+            F.lit("Review: the phrase page not found appears in this "
+                  "long discussion. "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(
+        F.col("doc_id"), title.alias("title"), text.alias("text"))
+    res = boilerplate.soft404_flag(pages, min_chars=200)
+    return res.select(
+        "doc_id", "nf_title", "nf_phrase", "thin", "soft404"
+    ).orderBy("doc_id")
 
 
 # m04 planted magic table: the 8 real prefixes + one junk entry that
@@ -4765,6 +4792,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.host = host_a
             JOIN sizes sb ON sb.host = host_b
             ORDER BY host_a, host_b
+        """,
+        # f29: soft-404 mirror — same planted page synthesis, the
+        # detector's own regex constants rendered in, lower() (not
+        # (?i)) as the portable case fold, integral verdict algebra
+        "f29_soft404": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN '404 Not Found'
+                          ELSE 'Doc ' || doc_id END AS title,
+                     CASE WHEN doc_id % 17 = 0
+                          THEN 'The page you requested was not found'
+                               || ' on this server.'
+                          WHEN doc_id % 23 = 0
+                          THEN 'Review: the phrase page not found'
+                               || ' appears in this long discussion. '
+                               || text
+                          ELSE text END AS body
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     regexp_matches(lower(title), '"""
+        + boilerplate.SOFT404_TITLE_RE + """')::INT AS nf_title,
+                     regexp_matches(lower(body), '"""
+        + boilerplate.SOFT404_PHRASE_RE + """')::INT AS nf_phrase,
+                     (length(body) < 200)::INT AS thin
+              FROM p
+            )
+            SELECT doc_id, nf_title, nf_phrase, thin,
+                   greatest(nf_title, least(nf_phrase, thin)) AS soft404
+            FROM s ORDER BY doc_id
         """,
         # m04: MIME-sniff mirror — the expected verdict stated
         # closed-form from the SAME magic table the operator compiles

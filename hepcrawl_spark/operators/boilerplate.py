@@ -163,3 +163,55 @@ def main_text(
         F.col("_bp.cand").alias("cand_blocks"),
         F.col("_bp.kept").alias("kept_blocks"),
     ).drop("_bp")
+
+
+# soft-404 detection patterns (f29).  Case-insensitivity is done by
+# lowercasing the column (NOT (?i): Java's (?i) is ASCII-only unless
+# UNICODE_CASE while DuckDB/RE2's folds Unicode — lower() on both
+# sides is the one portable spelling).  The phrase gap [^.]{0,40}
+# tolerates "the page you requested was not found" phrasings while
+# the sentence-bounded window keeps a long article that merely
+# *mentions* page ... not found from matching across sentences.
+SOFT404_TITLE_RE = r"404|not +found|page +unavailable"
+SOFT404_PHRASE_RE = (
+    r"(?:page|document|file|url)[^.]{0,40}?not (?:be )?found"
+    r"|does not exist|no longer available|could not be found|error 404"
+)
+
+
+def soft404_flag(pages: DataFrame,
+                 title_col: str = "title",
+                 text_col: str = "text",
+                 min_chars: int = 200) -> DataFrame:
+    """Flag soft-404s: pages served with HTTP 200 whose CONTENT is an
+    error page (Bar-Yossef et al., WWW 2004 "Sic transit gloria
+    telae" — the dead-link half of web decay that status codes miss).
+
+    Signals: ``nf_title`` (error-page title), ``nf_phrase``
+    (not-found phrasing in the body), ``thin`` (body under
+    ``min_chars``).  Verdict ``soft404 = nf_title OR (nf_phrase AND
+    thin)`` — a title is authoritative; a body phrase alone needs the
+    thin-page corroboration so a long article *discussing* 404s
+    doesn't flag.
+
+    Crawl role: soft-404 survivors poison both the link graph (they
+    collect inlinks forever) and the corpus (thousands of identical
+    "not found" bodies per host); the frontier drops them before
+    extraction, the recrawl scheduler treats them as dead.  One
+    codegen projection — no shuffle, no join, no Python.
+
+    Reference analog: none (hepcrawl's publishers return real 4xx);
+    this is the web-scale fetch-health gate.
+    """
+    lt = F.lower(F.col(title_col))
+    lb = F.lower(F.col(text_col))
+    nf_title = lt.rlike(SOFT404_TITLE_RE)
+    nf_phrase = lb.rlike(SOFT404_PHRASE_RE)
+    thin = F.length(F.col(text_col)) < min_chars
+    return pages.select(
+        "*",
+        nf_title.cast("int").alias("nf_title"),
+        nf_phrase.cast("int").alias("nf_phrase"),
+        thin.cast("int").alias("thin"),
+        (nf_title | (nf_phrase & thin)).cast("int").alias("soft404"),
+    )

@@ -1,6 +1,7 @@
 """Boilerplate removal (t25): element drops, block split, link
 density, min length, counters, and the Python-free plan."""
 
+from hepcrawl_spark.operators import boilerplate
 from hepcrawl_spark.operators.boilerplate import main_text
 
 PROSE = ("This is the real article body with plenty of honest "
@@ -101,3 +102,30 @@ def test_page_metadata_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_soft404_title_authoritative_phrase_needs_thin(spark):
+    long_pad = " The discussion continues at length." * 10
+    rows = [
+        # real error page: title + thin body → flagged
+        (0, "404 Not Found", "The page was not found."),
+        # long article QUOTING the phrase → reported, not flagged
+        (1, "On link rot", "Browsers show page not found daily." + long_pad),
+        # thin but benign → not flagged
+        (2, "Stub", "Short note."),
+        # error title alone flags even with a long body (title wins)
+        (3, "Page Unavailable", "Padding text." + long_pad),
+        # healthy page
+        (4, "A fine read", "Plenty of healthy content here." + long_pad),
+        # phrase must not match ACROSS sentences: 'page' and 'not
+        # found' in different sentences stay unflagged
+        (5, "Notes", "This page is fine. The cat was not found."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    r = {x.doc_id: x for x in boilerplate.soft404_flag(df).collect()}
+    assert (r[0].nf_title, r[0].nf_phrase, r[0].thin, r[0].soft404) == (1, 1, 1, 1)
+    assert (r[1].nf_phrase, r[1].soft404) == (1, 0)
+    assert (r[2].nf_phrase, r[2].soft404) == (0, 0)
+    assert (r[3].nf_title, r[3].thin, r[3].soft404) == (1, 0, 1)
+    assert r[4].soft404 == 0
+    assert (r[5].nf_phrase, r[5].soft404) == (0, 0)
