@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s06_ann_int8": _q_ann_int8,
         "f28_mirror_hosts": _q_mirror_hosts,
         "f29_soft404": _q_soft404,
+        "p17_clean_mirror_dedup": _q_clean_mirror_dedup,
     }
 
 
@@ -726,6 +727,56 @@ _P01_SQL_TMPL = f"""
     FROM k WHERE rn = 1
 """
 _P01_SQL = _P01_SQL_TMPL.format(extra_gate="")
+
+# f28/p17 shared mirror-host CTEs: planted content layout mod 10
+# (host 1 = full mirror of host 0, host 3 mirrors host 2 on even
+# slots only), md5 content identity, pair counts with the smaller-
+# host coverage — rendered into BOTH the f28 oracle and the p17
+# composition so the two mirrors cannot drift
+_MIRROR_CTES = """mp AS (
+              SELECT DISTINCT
+                'h' || (doc_id % 10) || '.example.com' AS host,
+                md5('c-' || floor(doc_id / 10)::BIGINT || '-' ||
+                    (CASE WHEN doc_id % 10 = 1 THEN 0
+                          WHEN doc_id % 10 = 3
+                               AND floor(doc_id / 10)::BIGINT % 2 = 0
+                          THEN 2
+                          ELSE doc_id % 10 END)) AS content
+              FROM documents
+            ), msz AS (
+              SELECT host, count(*)::BIGINT AS n FROM mp GROUP BY host
+            ), mpr AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*)::BIGINT AS shared
+              FROM mp a JOIN mp b
+                ON a.content = b.content AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )"""
+
+_MIRROR_PAIRS_SQL = (
+    "WITH " + _MIRROR_CTES + """
+            SELECT host_a, host_b, shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   round(shared * 100.0 / least(sa.n, sb.n), 9)
+                     AS overlap_pct,
+                   (shared * 100 >= 80 * least(sa.n, sb.n))::INT
+                     AS flagged
+            FROM mpr
+            JOIN msz sa ON sa.host = host_a
+            JOIN msz sb ON sb.host = host_b
+            ORDER BY host_a, host_b
+        """
+)
+
+# p17: the f28 keep-one rule (drop the lexicographically larger member
+# of every flagged pair) applied BEFORE the p01 cleaning pipeline
+_MIRROR_LOSERS_CTE = """, losers AS (
+              SELECT DISTINCT mpr.host_b AS host
+              FROM mpr
+              JOIN msz sa ON sa.host = mpr.host_a
+              JOIN msz sb ON sb.host = mpr.host_b
+              WHERE mpr.shared * 100 >= 80 * least(sa.n, sb.n)
+            )"""
 # p09 extra gate: the t18 banned-word predicate ANDed into the p01
 # gate (any-hit-drops); re-derives the tokens from the in-scope text
 # column — the oracle's correctness mirror of the Spark side's
@@ -2101,14 +2152,13 @@ def _q_linkfarm_hosts(spark, sf_dir):
     ).orderBy("host")
 
 
-def _q_mirror_hosts(spark, sf_dir):
-    # f28: mirror-host detection over a planted content layout mod 10
-    # — host 1 serves host 0's content verbatim (the full mirror,
-    # 100% overlap), host 3 mirrors host 2 on even slots only (50%,
-    # below the 80% bar → reported but not flagged), hosts 4-9 unique
-    from hepcrawl_spark.frontier import mirrors
-
-    docs = _t(spark, sf_dir, "documents")
+def _mirror_pages(docs):
+    """f28/p17 shared planted mirror layout mod 10: host 1 serves host
+    0's content verbatim (full mirror, 100% overlap), host 3 mirrors
+    host 2 on even slots only (50% — below the 80% bar → reported,
+    not flagged), hosts 4-9 unique.  `content` is the page-content
+    identity the detector hashes; `text` stays the real document text
+    for the downstream cleaning composition."""
     slot = F.floor(F.col("doc_id") / 10).cast("long")
     h = (F.col("doc_id") % 10).cast("long")
     eff = (
@@ -2116,17 +2166,46 @@ def _q_mirror_hosts(spark, sf_dir):
         .when((h == 3) & (slot % 2 == 0), F.lit(2))
         .otherwise(h)
     ).cast("long")
-    pages = docs.select(
+    return docs.select(
+        "doc_id", "text",
         F.concat(F.lit("h"), h.cast("string"),
                  F.lit(".example.com")).alias("host"),
         F.concat(F.lit("c-"), slot.cast("string"), F.lit("-"),
-                 eff.cast("string")).alias("text"),
+                 eff.cast("string")).alias("content"),
     )
-    res = mirrors.mirror_host_pairs(pages, min_shared=3, min_overlap_pct=80)
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    # f28: mirror-host detection over the planted layout (see
+    # _mirror_pages); oracle shares its CTEs with p17
+    from hepcrawl_spark.frontier import mirrors
+
+    pages = _mirror_pages(_t(spark, sf_dir, "documents"))
+    res = mirrors.mirror_host_pairs(
+        pages, min_shared=3, min_overlap_pct=80, text_col="content")
     return res.select(
         "host_a", "host_b", "shared", "n_a", "n_b",
         F.round("overlap_pct", 9).alias("overlap_pct"), "flagged",
     ).orderBy("host_a", "host_b")
+
+
+def _q_clean_mirror_dedup(spark, sf_dir):
+    # p17: crawl-side mirror elimination composed into the cleaning
+    # pipeline — detect mirror hosts (f28), drop every page of the
+    # losing member (keep-one anti-join), then run p01's gate→dedup
+    # on the survivors; the oracle shares f28's CTEs and p01's body
+    from hepcrawl_spark.frontier import mirrors
+    from hepcrawl_spark.operators import corpus
+
+    pages = _mirror_pages(_t(spark, sf_dir, "documents"))
+    pairs = mirrors.mirror_host_pairs(
+        pages, min_shared=3, min_overlap_pct=80, text_col="content")
+    survivors = pages.join(
+        mirrors.mirror_losers(pairs), on="host", how="left_anti"
+    ).select("doc_id", "text")
+    return corpus.clean_corpus(survivors).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
+    )
 
 
 def _q_soft404(spark, sf_dir):
@@ -4762,37 +4841,23 @@ def oracle_sql() -> dict[str, str]:
         # f28: mirror-host mirror — same planted content layout
         # (host 1 = full mirror of 0, host 3 = half mirror of 2),
         # same md5 content identity, integral flag arithmetic
-        "f28_mirror_hosts": """
-            WITH p AS (
-              SELECT DISTINCT
-                'h' || (doc_id % 10) || '.example.com' AS host,
-                md5('c-' || floor(doc_id / 10)::BIGINT || '-' ||
-                    (CASE WHEN doc_id % 10 = 1 THEN 0
-                          WHEN doc_id % 10 = 3
-                               AND floor(doc_id / 10)::BIGINT % 2 = 0
-                          THEN 2
-                          ELSE doc_id % 10 END)) AS content
-              FROM documents
-            ), sizes AS (
-              SELECT host, count(*)::BIGINT AS n FROM p GROUP BY host
-            ), pr AS (
-              SELECT a.host AS host_a, b.host AS host_b,
-                     count(*)::BIGINT AS shared
-              FROM p a JOIN p b
-                ON a.content = b.content AND a.host < b.host
-              GROUP BY 1, 2 HAVING count(*) >= 3
-            )
-            SELECT host_a, host_b, shared,
-                   sa.n AS n_a, sb.n AS n_b,
-                   round(shared * 100.0 / least(sa.n, sb.n), 9)
-                     AS overlap_pct,
-                   (shared * 100 >= 80 * least(sa.n, sb.n))::INT
-                     AS flagged
-            FROM pr
-            JOIN sizes sa ON sa.host = host_a
-            JOIN sizes sb ON sb.host = host_b
-            ORDER BY host_a, host_b
-        """,
+        # (shared CTEs in _MIRROR_CTES so the p17 composition cannot
+        # drift from this oracle)
+        "f28_mirror_hosts": _MIRROR_PAIRS_SQL,
+        # p17: f28's CTEs + the keep-one losers rule prepended to
+        # p01's body verbatim (the p13 composition pattern)
+        "p17_clean_mirror_dedup": _P01_SQL_TMPL.format(extra_gate="")
+        .replace("AS toks FROM documents", "AS toks FROM kept_docs", 1)
+        .replace(
+            "WITH s AS (",
+            "WITH " + _MIRROR_CTES + _MIRROR_LOSERS_CTE
+            + """, kept_docs AS (
+              SELECT d.* FROM documents d
+              WHERE 'h' || (d.doc_id % 10) || '.example.com'
+                    NOT IN (SELECT host FROM losers)
+            ), s AS (""",
+            1,
+        ),
         # f29: soft-404 mirror — same planted page synthesis, the
         # detector's own regex constants rendered in, lower() (not
         # (?i)) as the portable case fold, integral verdict algebra

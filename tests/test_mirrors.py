@@ -61,6 +61,19 @@ def test_boilerplate_cap_prunes_universal_content(spark):
     assert len(uncapped) == 10                     # all C(5,2) pairs
 
 
+def test_p17_drops_only_the_losing_mirror_host(spark):
+    # the composition keeps host h3 (half mirror, below the bar) and
+    # removes every page of h1 (the flagged pair's larger member)
+    import __spark_entry__ as em
+
+    out = em.queries()["p17_clean_mirror_dedup"](
+        spark, "/root/testdata/sf0.001")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids
+    assert all(i % 10 != 1 for i in ids)           # h1 fully dropped
+    assert any(i % 10 == 3 for i in ids)           # h3 survives
+
+
 def test_duplicate_urls_within_host_count_once(spark):
     # distinct (host, content): re-crawled duplicates of the same page
     # must not inflate shared counts

@@ -450,6 +450,15 @@ def test_d14_containment_shares_d02_join_shape(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_p17_mirror_filter_is_broadcast_anti_join(spark):
+    # the loser-host set is tiny (host cardinality); dropping its
+    # pages must ride a broadcast anti-join in front of p01's single
+    # scan, never a shuffle of the corpus on host
+    plan = _plan(em.queries()["p17_clean_mirror_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_query_uses_row_at_a_time_python(spark):
     # global guard over the WHOLE driver contract: no query's plan may
     # contain a row-at-a-time Python eval (BatchEvalPython) — every
