@@ -641,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f28_mirror_hosts": _q_mirror_hosts,
         "f29_soft404": _q_soft404,
         "p17_clean_mirror_dedup": _q_clean_mirror_dedup,
+        "p18_clean_soft404": _q_clean_soft404,
     }
 
 
@@ -767,6 +768,33 @@ _MIRROR_PAIRS_SQL = (
             ORDER BY host_a, host_b
         """
 )
+
+# f29/p18 shared soft-404 CTEs: planted page synthesis (every 17th
+# doc a full error page, every 23rd a long article quoting the
+# phrase) + the detector's regex constants — rendered into BOTH the
+# f29 oracle and the p18 composition so the mirrors cannot drift
+_SOFT404_CTES = ("""sp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN '404 Not Found'
+                          ELSE 'Doc ' || doc_id END AS title,
+                     CASE WHEN doc_id % 17 = 0
+                          THEN 'The page you requested was not found'
+                               || ' on this server.'
+                          WHEN doc_id % 23 = 0
+                          THEN 'Review: the phrase page not found'
+                               || ' appears in this long discussion. '
+                               || text
+                          ELSE text END AS body
+              FROM documents
+            ), sfl AS (
+              SELECT doc_id, body,
+                     regexp_matches(lower(title), '"""
+                 + boilerplate.SOFT404_TITLE_RE + """')::INT AS nf_title,
+                     regexp_matches(lower(body), '"""
+                 + boilerplate.SOFT404_PHRASE_RE + """')::INT AS nf_phrase,
+                     (length(body) < 200)::INT AS thin
+              FROM sp
+            )""")
 
 # p17: the f28 keep-one rule (drop the lexicographically larger member
 # of every flagged pair) applied BEFORE the p01 cleaning pipeline
@@ -2208,12 +2236,11 @@ def _q_clean_mirror_dedup(spark, sf_dir):
     )
 
 
-def _q_soft404(spark, sf_dir):
-    # f29: soft-404 gate over planted fetch results — every 17th doc
-    # is a full error page (title + thin not-found body → flagged),
-    # every 23rd a long article QUOTING "page not found" (phrase hit
-    # without the thin corroboration → reported, not flagged)
-    docs = _t(spark, sf_dir, "documents")
+def _soft404_pages(docs):
+    """f29/p18 shared planted fetch results — every 17th doc a full
+    error page (title + thin not-found body → flagged), every 23rd a
+    long article QUOTING "page not found" (phrase hit without the
+    thin corroboration → reported, not flagged)."""
     f17 = F.col("doc_id") % 17 == 0
     q23 = (F.col("doc_id") % 23 == 0) & ~f17
     title = F.when(f17, F.lit("404 Not Found")).otherwise(
@@ -2226,12 +2253,34 @@ def _q_soft404(spark, sf_dir):
                   "long discussion. "), F.col("text")))
         .otherwise(F.col("text"))
     )
-    pages = docs.select(
+    return docs.select(
         F.col("doc_id"), title.alias("title"), text.alias("text"))
+
+
+def _q_soft404(spark, sf_dir):
+    # f29: soft-404 gate over the planted layout (see _soft404_pages)
+    pages = _soft404_pages(_t(spark, sf_dir, "documents"))
     res = boilerplate.soft404_flag(pages, min_chars=200)
     return res.select(
         "doc_id", "nf_title", "nf_phrase", "thin", "soft404"
     ).orderBy("doc_id")
+
+
+def _q_clean_soft404(spark, sf_dir):
+    # p18: fetch-health order — drop soft-404 bodies FIRST, then run
+    # the p01 gate→dedup pipeline on the surviving (synthesized)
+    # bodies; the oracle shares f29's CTEs and p01's body verbatim
+    from hepcrawl_spark.operators import corpus
+
+    pages = _soft404_pages(_t(spark, sf_dir, "documents"))
+    survivors = (
+        boilerplate.soft404_flag(pages, min_chars=200)
+        .filter(F.col("soft404") == 0)
+        .select("doc_id", "text")
+    )
+    return corpus.clean_corpus(survivors).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
+    )
 
 
 # m04 planted magic table: the 8 real prefixes + one junk entry that
@@ -4861,33 +4910,26 @@ def oracle_sql() -> dict[str, str]:
         # f29: soft-404 mirror — same planted page synthesis, the
         # detector's own regex constants rendered in, lower() (not
         # (?i)) as the portable case fold, integral verdict algebra
+        # (CTEs shared with the p18 composition via _SOFT404_CTES)
         "f29_soft404": """
-            WITH p AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 17 = 0 THEN '404 Not Found'
-                          ELSE 'Doc ' || doc_id END AS title,
-                     CASE WHEN doc_id % 17 = 0
-                          THEN 'The page you requested was not found'
-                               || ' on this server.'
-                          WHEN doc_id % 23 = 0
-                          THEN 'Review: the phrase page not found'
-                               || ' appears in this long discussion. '
-                               || text
-                          ELSE text END AS body
-              FROM documents
-            ), s AS (
-              SELECT doc_id,
-                     regexp_matches(lower(title), '"""
-        + boilerplate.SOFT404_TITLE_RE + """')::INT AS nf_title,
-                     regexp_matches(lower(body), '"""
-        + boilerplate.SOFT404_PHRASE_RE + """')::INT AS nf_phrase,
-                     (length(body) < 200)::INT AS thin
-              FROM p
-            )
+            WITH """ + _SOFT404_CTES + """
             SELECT doc_id, nf_title, nf_phrase, thin,
                    greatest(nf_title, least(nf_phrase, thin)) AS soft404
-            FROM s ORDER BY doc_id
+            FROM sfl ORDER BY doc_id
         """,
+        # p18: the f29 verdict as a pre-gate on p01's body — survivors
+        # keep the SYNTHESIZED body (the q23 quote prefix included),
+        # so the mirrors share both the synthesis and the pipeline
+        "p18_clean_soft404": _P01_SQL_TMPL.format(extra_gate="")
+        .replace("AS toks FROM documents", "AS toks FROM kept404", 1)
+        .replace(
+            "WITH s AS (",
+            "WITH " + _SOFT404_CTES + """, kept404 AS (
+              SELECT doc_id, body AS text FROM sfl
+              WHERE greatest(nf_title, least(nf_phrase, thin)) = 0
+            ), s AS (""",
+            1,
+        ),
         # m04: MIME-sniff mirror — the expected verdict stated
         # closed-form from the SAME magic table the operator compiles
         # its CASE from (index i plants prefix i, junk 9th falls

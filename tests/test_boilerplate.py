@@ -129,3 +129,15 @@ def test_soft404_title_authoritative_phrase_needs_thin(spark):
     assert (r[3].nf_title, r[3].thin, r[3].soft404) == (1, 0, 1)
     assert r[4].soft404 == 0
     assert (r[5].nf_phrase, r[5].soft404) == (0, 0)
+
+
+def test_p18_drops_planted_error_pages(spark):
+    # the composition removes every %17 error page before cleaning;
+    # the %23 quote articles survive the gate (not thin)
+    import __spark_entry__ as em
+
+    out = em.queries()["p18_clean_soft404"](spark, "/root/testdata/sf0.001")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids
+    assert all(i % 17 != 0 for i in ids)
+    assert any(i % 23 == 0 for i in ids)
