@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f29_soft404": _q_soft404,
         "p17_clean_mirror_dedup": _q_clean_mirror_dedup,
         "p18_clean_soft404": _q_clean_soft404,
+        "f30_sitemap_gap": _q_sitemap_gap,
     }
 
 
@@ -2281,6 +2282,31 @@ def _q_clean_soft404(spark, sf_dir):
     return corpus.clean_corpus(survivors).select(
         "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
+
+
+def _q_sitemap_gap(spark, sf_dir):
+    # f30: sitemap-vs-crawl coverage — the sitemap publishes every
+    # /d/ page; the crawl has fetched 3/4 of them (doc_id%4!=0) plus
+    # orphan /x/ pages the sitemap never listed (doc_id%6==0), so
+    # every host shows both a discovery backlog and orphans
+    from hepcrawl_spark.sources import sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".docs.example.com"))
+    d_url = F.concat(F.lit("http://"), host, F.lit("/d/"),
+                     F.col("doc_id").cast("string"))
+    x_url = F.concat(F.lit("http://"), host, F.lit("/x/"),
+                     F.col("doc_id").cast("string"))
+    smap = docs.select(d_url.alias("url"), host.alias("url_host"))
+    crawled = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(d_url.alias("url"), host.alias("url_host"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 6 == 0)
+            .select(x_url.alias("url"), host.alias("url_host")))
+    )
+    return sitemap.sitemap_coverage(smap, crawled).orderBy("host")
 
 
 # m04 planted magic table: the 8 real prefixes + one junk entry that
@@ -4893,6 +4919,42 @@ def oracle_sql() -> dict[str, str]:
         # (shared CTEs in _MIRROR_CTES so the p17 composition cannot
         # drift from this oracle)
         "f28_mirror_hosts": _MIRROR_PAIRS_SQL,
+        # f30: coverage mirror — same planted sitemap/crawl split,
+        # presence flags via FULL OUTER JOIN, integral sums
+        "f30_sitemap_gap": """
+            WITH h AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 7) || '.docs.example.com' AS host
+              FROM documents
+            ), sm AS (
+              SELECT DISTINCT 'http://' || host || '/d/' || doc_id
+                       AS url, host
+              FROM h
+            ), cr AS (
+              SELECT DISTINCT url, host FROM (
+                SELECT 'http://' || host || '/d/' || doc_id AS url,
+                       host
+                FROM h WHERE doc_id % 4 != 0
+                UNION ALL
+                SELECT 'http://' || host || '/x/' || doc_id AS url,
+                       host
+                FROM h WHERE doc_id % 6 = 0
+              )
+            ), j AS (
+              SELECT coalesce(sm.host, cr.host) AS host,
+                     CASE WHEN sm.url IS NULL THEN 0 ELSE 1 END AS in_s,
+                     CASE WHEN cr.url IS NULL THEN 0 ELSE 1 END AS in_c
+              FROM sm FULL OUTER JOIN cr
+                ON sm.url = cr.url AND sm.host = cr.host
+            )
+            SELECT host,
+                   sum(in_s)::BIGINT AS n_sitemap,
+                   sum(in_c)::BIGINT AS n_crawled,
+                   sum(in_s * in_c)::BIGINT AS n_both,
+                   sum(in_s * (1 - in_c))::BIGINT AS sitemap_only,
+                   sum(in_c * (1 - in_s))::BIGINT AS crawl_only
+            FROM j GROUP BY host ORDER BY host
+        """,
         # p17: f28's CTEs + the keep-one losers rule prepended to
         # p01's body verbatim (the p13 composition pattern)
         "p17_clean_mirror_dedup": _P01_SQL_TMPL.format(extra_gate="")

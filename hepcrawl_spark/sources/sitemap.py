@@ -90,3 +90,45 @@ def sitemap_entries(
         .where(F.col("url").rlike(r"^https?://"))
         .withColumn("url_host", F.parse_url(F.col("url"), F.lit("HOST")))
     )
+
+
+def sitemap_coverage(sitemap_urls: DataFrame, crawled_urls: DataFrame,
+                     url_col: str = "url",
+                     host_col: str = "url_host") -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage: the crawl-ops dashboard
+    that tells the frontier where its discovery backlog is.
+
+    ``sitemap_only`` = published in the sitemap but never fetched
+    (seed these next round — the site OWNER says they exist);
+    ``crawl_only`` = fetched but absent from the sitemap (orphan /
+    link-discovered pages — a freshness signal the recrawl scheduler
+    deprioritizes).  Returns one row per host:
+    (host, n_sitemap, n_crawled, n_both, sitemap_only, crawl_only).
+
+    100 TB shape: both sides dedupe map-side (distinct on the url
+    key), meet in ONE equi-join shuffle on url, and collapse to host
+    cardinality through partial-agg sums — no window, no Python, no
+    skew beyond the url key's natural spread (hosts never key a
+    shuffle).  Reference analog: none (fixed publisher lists); this
+    is Common-Crawl-style seed-list hygiene.
+    """
+    s = (sitemap_urls.select(F.col(url_col).alias("url"),
+                             F.col(host_col).alias("host"))
+         .distinct().withColumn("in_s", F.lit(1)))
+    c = (crawled_urls.select(F.col(url_col).alias("url"),
+                             F.col(host_col).alias("host"))
+         .distinct().withColumn("in_c", F.lit(1)))
+    j = s.join(c, on=["url", "host"], how="full_outer").select(
+        "host",
+        F.coalesce("in_s", F.lit(0)).alias("in_s"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    return j.groupBy("host").agg(
+        F.sum("in_s").cast("long").alias("n_sitemap"),
+        F.sum("in_c").cast("long").alias("n_crawled"),
+        F.sum(F.col("in_s") * F.col("in_c")).cast("long").alias("n_both"),
+        F.sum(F.col("in_s") * (1 - F.col("in_c")))
+        .cast("long").alias("sitemap_only"),
+        F.sum(F.col("in_c") * (1 - F.col("in_s")))
+        .cast("long").alias("crawl_only"),
+    )

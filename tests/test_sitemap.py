@@ -62,3 +62,22 @@ def test_f10_registered():
     import __spark_entry__ as em
     assert "f10_sitemap_scan" in em.queries()
     assert "f10_sitemap_scan" in em.oracle_sql()
+
+
+def test_sitemap_coverage_counts(spark):
+    from hepcrawl_spark.sources.sitemap import sitemap_coverage
+    sm = spark.createDataFrame(
+        [("http://a/1", "a"), ("http://a/2", "a"), ("http://a/2", "a"),
+         ("http://b/1", "b")],
+        "url string, url_host string")
+    cr = spark.createDataFrame(
+        [("http://a/1", "a"), ("http://a/9", "a"),   # 9 = orphan
+         ("http://c/1", "c")],                       # crawl-only host
+        "url string, url_host string")
+    r = {x.host: x for x in sitemap_coverage(sm, cr).collect()}
+    a = r["a"]
+    # sitemap dupes collapse: n_sitemap counts distinct urls
+    assert (a.n_sitemap, a.n_crawled, a.n_both,
+            a.sitemap_only, a.crawl_only) == (2, 2, 1, 1, 1)
+    assert (r["b"].n_sitemap, r["b"].n_crawled) == (1, 0)
+    assert (r["c"].n_sitemap, r["c"].crawl_only) == (0, 1)
