@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_clean_mirror_dedup": _q_clean_mirror_dedup,
         "p18_clean_soft404": _q_clean_soft404,
         "f30_sitemap_gap": _q_sitemap_gap,
+        "t36_readability": _q_readability,
     }
 
 
@@ -2282,6 +2283,18 @@ def _q_clean_soft404(spark, sf_dir):
     return corpus.clean_corpus(survivors).select(
         "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
+
+
+def _q_readability(spark, sf_dir):
+    # t36: Flesch reading-ease + FK grade (vowel-group syllable
+    # surrogate; all-integral counts so the double arithmetic is the
+    # identical IEEE expression cross-engine)
+    res = textops.readability(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "token_cnt", "sentence_cnt", "syllable_cnt",
+        F.round("fre", 9).alias("fre"),
+        F.round("fk_grade", 9).alias("fk_grade"),
+    ).orderBy("doc_id")
 
 
 def _q_sitemap_gap(spark, sf_dir):
@@ -4919,6 +4932,42 @@ def oracle_sql() -> dict[str, str]:
         # (shared CTEs in _MIRROR_CTES so the p17 composition cannot
         # drift from this oracle)
         "f28_mirror_hosts": _MIRROR_PAIRS_SQL,
+        # t36: readability mirror — same vowel-group syllable
+        # surrogate over the SAME lowercased token array, same
+        # Flesch constants rendered from the operator's module
+        # constants, NULL on token-free docs
+        "t36_readability": f"""
+            WITH s AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS token_cnt,
+                     greatest(1, len(regexp_extract_all(text,
+                       '{textops.SENTENCE_RE}')))::BIGINT
+                       AS sentence_cnt,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(toks,
+                         t -> greatest(1, len(regexp_extract_all(t,
+                           '{textops.VOWEL_GROUP_RE}')))::BIGINT)),
+                       (a, b) -> a + b) AS syllable_cnt
+              FROM s
+            )
+            SELECT doc_id, token_cnt, sentence_cnt, syllable_cnt,
+                   CASE WHEN token_cnt = 0 THEN NULL ELSE
+                     round({textops.FRE_BASE}
+                       - {textops.FRE_WPS}
+                         * (token_cnt::DOUBLE / sentence_cnt::DOUBLE)
+                       - {textops.FRE_SPW}
+                         * (syllable_cnt::DOUBLE / token_cnt::DOUBLE),
+                       9) END AS fre,
+                   CASE WHEN token_cnt = 0 THEN NULL ELSE
+                     round({textops.FK_WPS}
+                         * (token_cnt::DOUBLE / sentence_cnt::DOUBLE)
+                       + {textops.FK_SPW}
+                         * (syllable_cnt::DOUBLE / token_cnt::DOUBLE)
+                       - {textops.FK_BASE}, 9) END AS fk_grade
+            FROM c ORDER BY doc_id
+        """,
         # f30: coverage mirror — same planted sitemap/crawl split,
         # presence flags via FULL OUTER JOIN, integral sums
         "f30_sitemap_gap": """

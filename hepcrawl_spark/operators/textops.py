@@ -1886,3 +1886,68 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
          - F.col("_key") % F.lit(WINNOW_POS_FIELD) - 1).alias("pos"),
         F.shiftright(F.col("_key"), 21).alias("fp"),
     )
+
+
+# readability (t36): deterministic syllable surrogate = count of
+# vowel GROUPS per token (min 1 — "rhythm", numbers), the standard
+# dictionary-free approximation; sentences = terminal-punctuation
+# runs (min 1).  All counts integral, so the Flesch arithmetic is the
+# identical IEEE expression on both engines.
+VOWEL_GROUP_RE = "[aeiouy]+"
+SENTENCE_RE = "[.!?]+"
+FRE_BASE, FRE_WPS, FRE_SPW = 206.835, 1.015, 84.6
+FK_WPS, FK_SPW, FK_BASE = 0.39, 11.8, 15.59
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document.
+
+    The classic prose-difficulty pair (Flesch 1948; Kincaid et al.
+    1975) — used by webtext pipelines as a quality-mix *diagnostic*
+    (a corpus whose FRE collapses toward 0 is legal/boilerplate-heavy;
+    toward 100+ is listicle sludge) and as a gate band alongside the
+    Gopher rules.  Syllables are approximated by vowel-group runs
+    (``[aeiouy]+``, floor 1/token): dictionary-free, deterministic,
+    and within ~5% of true counts on running English prose — the
+    portable trade every large-scale implementation makes.
+
+    Returns (id, token_cnt, sentence_cnt, syllable_cnt, fre,
+    fk_grade); ``fre``/``fk_grade`` are NULL when the text has no
+    tokens.  One codegen scan — no shuffle, no join, no Python; the
+    token array binds once and both counts fold inside it.
+    """
+    def _counts(t):
+        syl = F.aggregate(
+            F.transform(t, lambda x: F.greatest(
+                F.lit(1).cast("long"),
+                F.regexp_count(x, F.lit(VOWEL_GROUP_RE)).cast("long"))),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+        return F.struct(F.size(t).cast("long").alias("w"),
+                        syl.alias("syl"))
+
+    m = bind_once(tokens_col(F.col(text_col)), _counts)
+    sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(SENTENCE_RE)).cast("long"))
+    w = F.col("_rd.w")
+    syl = F.col("_rd.syl")
+    wps = w.cast("double") / F.col("sentence_cnt").cast("double")
+    spw = syl.cast("double") / w.cast("double")
+    empty = w == 0
+    return (
+        docs.select(F.col(id_col), F.col(text_col), m.alias("_rd"))
+        .withColumn("sentence_cnt", sent)
+        .select(
+            id_col,
+            w.alias("token_cnt"),
+            F.col("sentence_cnt"),
+            syl.alias("syllable_cnt"),
+            F.when(empty, F.lit(None).cast("double")).otherwise(
+                F.lit(FRE_BASE) - F.lit(FRE_WPS) * wps
+                - F.lit(FRE_SPW) * spw).alias("fre"),
+            F.when(empty, F.lit(None).cast("double")).otherwise(
+                F.lit(FK_WPS) * wps + F.lit(FK_SPW) * spw
+                - F.lit(FK_BASE)).alias("fk_grade"),
+        )
+    )

@@ -1991,3 +1991,25 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     for r in out:
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[0] & fps[1]
+
+
+def test_readability_flesch_arithmetic(spark):
+    rows = [
+        # "the cat sat." → 3 tokens, 1 sentence, 3 syllables:
+        # FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19; FK = 0.39*3
+        # + 11.8*1 - 15.59 = -2.62
+        (0, "the cat sat."),
+        # vowel groups: "reading" → ea+i = 2, "easy" → ea+y = 2;
+        # two sentences
+        (1, "reading is easy. yes!"),
+        (2, ""),           # token-free edge → NULL scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in textops.readability(df).collect()}
+    assert (r[0].token_cnt, r[0].sentence_cnt, r[0].syllable_cnt) == (3, 1, 3)
+    assert r[0].fre == pytest.approx(119.19)
+    assert r[0].fk_grade == pytest.approx(-2.62)
+    assert (r[1].token_cnt, r[1].sentence_cnt, r[1].syllable_cnt) == (4, 2, 6)
+    # empty text tokenizes to [''] (one zero-vowel token, floor 1)
+    assert (r[2].token_cnt, r[2].syllable_cnt) == (1, 1)
+    assert r[2].fre is not None
