@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p18_clean_soft404": _q_clean_soft404,
         "f30_sitemap_gap": _q_sitemap_gap,
         "t36_readability": _q_readability,
+        "f31_focused_priority": _q_focused_priority,
     }
 
 
@@ -3356,6 +3357,70 @@ _BM25_TERMS_SQL = ", ".join(
     f"'{t}'" for t in sorted({t for _, ts in _BM25_QUERIES for t in ts})
 )
 
+# t34/f31 shared BM25 SQL body — one template so the retrieval oracle
+# and the focused-crawl-priority oracle cannot drift; {src} is the
+# corpus (table name or derived table), {final} the output clause
+_BM25_SQL_TMPL = """
+            WITH qt(query_id, term) AS (VALUES {qvalues}),
+            tk AS (SELECT {id_expr} AS doc_id, {toks} AS t FROM {src}),
+            base AS (
+              SELECT doc_id, len(t)::BIGINT AS dl,
+                     list_filter(t, x -> list_contains(
+                       [{terms}], x)) AS hits
+              FROM tk
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM base
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
+              GROUP BY doc_id, dl, term
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf * {k1p1}
+                       / (tf + {k1}
+                          * ({omb}
+                             + {b} * dl / avgdl))
+                     ), 9) AS score
+              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
+              GROUP BY qt.query_id, tf.doc_id
+            )
+            {final}
+        """
+
+# f31 planted anchor vocabulary + topic — module constants shared by
+# the Spark profile synthesis and the oracle's derived table
+_F31_WORDS = ("neutrino", "detector", "physics", "recipe",
+              "football", "camera", "weather")
+_F31_TOPIC = ["neutrino", "detector"]
+_F31_WORDS_SQL = "['" + "','".join(_F31_WORDS) + "']"
+
+
+def _q_focused_priority(spark, sf_dir):
+    # f31: focused-crawl frontier priority — BM25 relevance of each
+    # candidate's (planted) inbound anchor-text profile to the topic
+    # query, ranked into fetch order; the oracle shares t34's SQL
+    # body via _BM25_SQL_TMPL
+    from hepcrawl_spark.frontier import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in _F31_WORDS])
+    w1 = F.element_at(warr, (F.col("doc_id") % 7 + 1).cast("int"))
+    w2 = F.element_at(
+        warr, ((F.col("doc_id") * 3 + 1) % 7 + 1).cast("int"))
+    profiles = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".docs.example.com/d/"),
+                 F.col("doc_id").cast("string")).alias("dst_url"),
+        F.concat(w1, F.lit(" "), w2, F.lit(" page about "), w1)
+        .alias("anchor_text"),
+    )
+    return linkgraph.focused_priority(
+        profiles, _F31_TOPIC).orderBy("priority")
+
 
 def _q_bm25(spark, sf_dir):
     # t34: BM25 top-k retrieval for a fixed query set — the
@@ -5606,43 +5671,49 @@ def oracle_sql() -> dict[str, str]:
         # _BM25_QUERIES, same k1/b literals from textops constants,
         # score rounded to 9 BEFORE ranking (tie-break doc_id) so both
         # engines rank identically
-        "t34_bm25": f"""
-            WITH qt(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
-            tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            base AS (
-              SELECT doc_id, len(t)::BIGINT AS dl,
-                     list_filter(t, x -> list_contains(
-                       [{_BM25_TERMS_SQL}], x)) AS hits
-              FROM tk
-            ), stats AS (
-              SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM base
-            ), tf AS (
-              SELECT doc_id, dl, term, count(*)::BIGINT AS tf
-              FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base)
-              GROUP BY doc_id, dl, term
-            ), dfreq AS (
-              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
-            ), sc AS (
-              SELECT qt.query_id, tf.doc_id,
-                     round(sum(
-                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
-                       * tf * {textops.BM25_K1 + 1!r}
-                       / (tf + {textops.BM25_K1!r}
-                          * ({1 - textops.BM25_B!r}
-                             + {textops.BM25_B!r} * dl / avgdl))
-                     ), 9) AS score
-              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
-              GROUP BY qt.query_id, tf.doc_id
-            )
-            SELECT query_id, doc_id, score,
+        "t34_bm25": _BM25_SQL_TMPL.format(
+            qvalues=_BM25_VALUES_SQL, id_expr="doc_id", toks=_TOKS,
+            src="documents", terms=_BM25_TERMS_SQL,
+            k1p1=repr(textops.BM25_K1 + 1), k1=repr(textops.BM25_K1),
+            omb=repr(1 - textops.BM25_B), b=repr(textops.BM25_B),
+            final="""SELECT query_id, doc_id, score,
                    row_number() OVER (
                      PARTITION BY query_id ORDER BY score DESC, doc_id
                    )::BIGINT AS rank
             FROM sc
             QUALIFY row_number() OVER (
               PARTITION BY query_id ORDER BY score DESC, doc_id
-            ) <= 10
-        """,
+            ) <= 10""",
+        ),
+        # f31: focused-crawl priority — the SAME BM25 body over the
+        # planted anchor-text profiles (src is a derived table, the
+        # word rotation rendered from _F31_WORDS), ranked without a
+        # top-k cap: priority 1 = fetch first
+        "f31_focused_priority": _BM25_SQL_TMPL.format(
+            qvalues=", ".join(
+                f"(0, '{t}')" for t in sorted(set(_F31_TOPIC))),
+            id_expr="dst_url",
+            toks=_TOKS.replace("lower(text)", "lower(anchor_text)"),
+            src=f"""(
+              SELECT 'http://h' || (doc_id % 7)
+                       || '.docs.example.com/d/' || doc_id AS dst_url,
+                     w1 || ' ' || w2 || ' page about ' || w1
+                       AS anchor_text
+              FROM (SELECT doc_id,
+                           {_F31_WORDS_SQL}[(doc_id % 7) + 1] AS w1,
+                           {_F31_WORDS_SQL}[((doc_id * 3 + 1) % 7) + 1]
+                             AS w2
+                    FROM documents)
+            )""",
+            terms=", ".join(f"'{t}'" for t in sorted(set(_F31_TOPIC))),
+            k1p1=repr(textops.BM25_K1 + 1), k1=repr(textops.BM25_K1),
+            omb=repr(1 - textops.BM25_B), b=repr(textops.BM25_B),
+            final="""SELECT doc_id AS url, score,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   )::BIGINT AS priority
+            FROM sc ORDER BY priority""",
+        ),
         # t35: winnowing mirror — identical key packing (hash*2^21 +
         # (2^20 - pos)) and identical window math; DuckDB list slices
         # are 1-based inclusive, matching F.slice(arr, start, len)

@@ -474,3 +474,39 @@ def hits_hosts(
             scores = scores.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
     return scores.join(auth, "host").select("host", "hub", "authority")
+
+
+def focused_priority(anchor_profiles: DataFrame,
+                     topic_terms: list[str],
+                     text_col: str = "anchor_text",
+                     url_col: str = "dst_url") -> DataFrame:
+    """Focused-crawl frontier prioritization (Chakrabarti/van den
+    Berg/Dom 1999): rank candidate URLs by BM25 relevance of their
+    aggregated INBOUND anchor text to a topic query — the classic
+    "judge a page by what others call it" scheduling signal,
+    available BEFORE the page is fetched.
+
+    Returns (url, score, priority) with priority 1 = fetch first;
+    score is rounded to 9 decimals before ranking and ties break by
+    url, so the ordering is deterministic cross-engine.  Candidates
+    whose anchors share no term with the topic get NO row — a real
+    frontier merges this on url and falls back to its default
+    priority band for misses (exactly how `schedule` consumes it).
+
+    Scale shape: rides ``bm25_topk``'s inverted-index pattern — the
+    per-profile token filter keeps the postings shuffle at
+    O(topic-term hits), never O(anchor tokens); stats/df/query tables
+    broadcast.  The one global rank window is the same
+    TakeOrdered-style cost the scheduler's priority pass already
+    pays.
+    """
+    from ..operators.textops import bm25_topk
+
+    scored = bm25_topk(
+        anchor_profiles, [(0, list(topic_terms))],
+        k=2**62, text_col=text_col, id_col=url_col,
+    )
+    return scored.select(
+        F.col(url_col).alias("url"), "score",
+        F.col("rank").alias("priority"),
+    )

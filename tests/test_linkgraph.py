@@ -281,3 +281,29 @@ def test_hits_hub_vs_authority_separation(spark):
     # L1 normalization: both score vectors sum to 1
     assert abs(sum(v.hub for v in r.values()) - 1.0) < 1e-9
     assert abs(sum(v.authority for v in r.values()) - 1.0) < 1e-9
+
+
+def test_focused_priority_end_to_end_from_anchors(spark):
+    # the real f22 -> f31 composition: extract anchors from HTML,
+    # aggregate the per-target profile, rank by topic relevance —
+    # the neutrino page must outrank the recipe page, and the page
+    # with no topical anchors gets no row (default-band fallback)
+    html = (
+        '<a href="http://t.com/nu">neutrino detector results</a>'
+        '<a href="http://t.com/nu">neutrino flux</a>'
+        '<a href="http://t.com/pie">grandma pie recipe</a>'
+        '<a href="http://t.com/misc">click here</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://src.com/a", bytearray(html.encode()))],
+        "url string, html binary",
+    )
+    anchors = linkgraph.extract_anchors(pages)
+    profiles = linkgraph.anchor_text_summary(anchors).select(
+        "dst_url",
+        F.col("top_text").alias("anchor_text"),
+    )
+    ranked = linkgraph.focused_priority(
+        profiles, ["neutrino", "detector"]).collect()
+    assert [r.url for r in ranked] == ["http://t.com/nu"]
+    assert ranked[0].priority == 1
