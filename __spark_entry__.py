@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f30_sitemap_gap": _q_sitemap_gap,
         "t36_readability": _q_readability,
         "f31_focused_priority": _q_focused_priority,
+        "f32_dust_params": _q_dust_params,
     }
 
 
@@ -2296,6 +2297,36 @@ def _q_readability(spark, sf_dir):
         F.round("fre", 9).alias("fre"),
         F.round("fk_grade", 9).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+def _q_dust_params(spark, sf_dir):
+    # f32: DUST param mining over a planted alias layout — ?utm=1 and
+    # ?sess=N always serve the bare URL's content (irrelevant),
+    # ?page=2 always differs (relevant), hosts mod 5
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.com"))
+    base = F.concat(F.lit("http://"), host, F.lit("/p/"),
+                    F.col("doc_id").cast("string"))
+    c = F.concat(F.lit("c-"), F.col("doc_id").cast("string"))
+
+    def _rows(cond, url, text):
+        return docs.filter(cond).select(
+            url.alias("url"), host.alias("host"), text.alias("text"))
+
+    pages = (
+        _rows(F.lit(True), base, c)
+        .unionAll(_rows(F.col("doc_id") % 2 == 0,
+                        F.concat(base, F.lit("?utm=1")), c))
+        .unionAll(_rows(F.col("doc_id") % 3 == 0,
+                        F.concat(base, F.lit("?page=2")),
+                        F.concat(c, F.lit("-p2"))))
+        .unionAll(_rows(F.col("doc_id") % 4 == 0,
+                        F.concat(base, F.lit("?sess="),
+                                 F.col("doc_id").cast("string")), c))
+    )
+    return urlfilter.dust_params(pages, min_support=3).orderBy(
+        "host", "param")
 
 
 def _q_sitemap_gap(spark, sf_dir):
@@ -5032,6 +5063,57 @@ def oracle_sql() -> dict[str, str]:
                          * (syllable_cnt::DOUBLE / token_cnt::DOUBLE)
                        - {textops.FK_BASE}, 9) END AS fk_grade
             FROM c ORDER BY doc_id
+        """,
+        # f32: DUST mirror — same planted alias layout, query string
+        # re-derived by regex (DuckDB has no parse_url), md5 content
+        # identity, strict no-counterexample rule at support >= 3
+        "f32_dust_params": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 5) || '.example.com' AS host,
+                     'http://h' || (doc_id % 5) || '.example.com/p/'
+                       || doc_id AS base,
+                     'c-' || doc_id AS c
+              FROM documents
+            ), pages AS (
+              SELECT base AS url, host, c AS text FROM d
+              UNION ALL
+              SELECT base || '?utm=1', host, c FROM d
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT base || '?page=2', host, c || '-p2' FROM d
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT base || '?sess=' || doc_id, host, c FROM d
+              WHERE doc_id % 4 = 0
+            ), wq AS (
+              SELECT host,
+                     regexp_extract(
+                       regexp_extract(url, '\\?([^#]*)', 1),
+                       '^([^=&]+)', 1) AS param,
+                     regexp_extract(url, '^([^?#]*)', 1) AS base_url,
+                     md5(text) AS qc
+              FROM pages
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) != ''
+                AND NOT contains(
+                      regexp_extract(url, '\\?([^#]*)', 1), '&')
+            ), br AS (
+              SELECT DISTINCT url AS base_url, md5(text) AS bc
+              FROM pages
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) = ''
+            ), g AS (
+              SELECT host, param,
+                     count(*)::BIGINT AS n_urls,
+                     count(bc)::BIGINT AS n_alias,
+                     sum(CASE WHEN qc = bc THEN 1 ELSE 0 END)::BIGINT
+                       AS n_same
+              FROM wq LEFT JOIN br USING (base_url)
+              GROUP BY host, param
+            )
+            SELECT host, param, n_urls, n_alias, n_same,
+                   (n_same >= 3 AND n_same = n_alias)::INT
+                     AS irrelevant
+            FROM g ORDER BY host, param
         """,
         # f30: coverage mirror — same planted sitemap/crawl split,
         # presence flags via FULL OUTER JOIN, integral sums

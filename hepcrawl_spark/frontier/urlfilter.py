@@ -313,3 +313,71 @@ def url_spam_score(candidates: DataFrame,
         "*", score.alias("spam_score"),
         (score >= F.lit(SPAM_FLAG_AT)).cast("int").alias("spam_flag"),
     )
+
+
+def dust_params(pages: DataFrame, url_col: str = "url",
+                host_col: str = "host", text_col: str = "text",
+                min_support: int = 3) -> DataFrame:
+    """DUST-style irrelevant-query-parameter mining (Bar-Yossef,
+    Keidar & Schonfeld, WWW 2007 "Do not crawl in the DUST") — learn,
+    per host, which query parameters do not change the served
+    content, so the canonicalizer can strip them and the frontier
+    stops fetching Different URLs with Similar Text.
+
+    Evidence model (the single-param case — iterative application
+    covers stacked params in practice, and multi-param URLs are
+    skipped rather than guessed about): a URL ``base?k=v`` pairs with
+    its parameter-free alias ``base`` when the crawl has BOTH; the
+    pair supports rule "strip k on this host" when the two bodies are
+    identical.  A rule is emitted as ``irrelevant`` when every
+    observed pair agreed (no counterexample) and support reaches
+    ``min_support`` — the paper's validity-threshold shape with a
+    strict agreement bar.
+
+    Returns (host, param, n_urls, n_alias, n_same, irrelevant):
+    URLs carrying the param / of those, with a crawled alias / of
+    those, serving identical content.
+
+    100 TB shape: key extraction and base-URL derivation are codegen
+    regexes on the scan; the alias lookup is ONE equi-join on the
+    parameter-free URL (both sides pre-hashed content, so the
+    compare ships 32 hex chars, not bodies); the rollup
+    partial-aggregates at (host, param) cardinality.  No Python, no
+    window, no quadratic stage.
+    """
+    content = F.md5(F.col(text_col).cast("string"))
+    q = F.coalesce(F.parse_url(F.col(url_col), F.lit("QUERY")), F.lit(""))
+    base = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
+    withq = (
+        pages.filter((q != "") & ~q.contains("&"))
+        .select(
+            F.col(host_col).alias("host"),
+            F.regexp_extract(q, r"^([^=&]+)", 1).alias("param"),
+            base.alias("base_url"),
+            content.alias("q_content"),
+        )
+    )
+    bare = (
+        pages.filter(q == "")
+        .select(F.col(url_col).alias("base_url"),
+                content.alias("b_content"))
+        .distinct()
+    )
+    j = withq.join(bare, on="base_url", how="left")
+    return (
+        j.groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count("b_content").alias("n_alias"),
+            F.sum(
+                F.when(F.col("q_content") == F.col("b_content"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_same"),
+        )
+        .select(
+            "host", "param", "n_urls", "n_alias", "n_same",
+            ((F.col("n_same") >= min_support)
+             & (F.col("n_same") == F.col("n_alias")))
+            .cast("int").alias("irrelevant"),
+        )
+    )

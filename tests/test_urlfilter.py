@@ -5,6 +5,7 @@ blocklist."""
 import pytest
 from pyspark.sql import functions as F
 
+from hepcrawl_spark.frontier import urlfilter
 from hepcrawl_spark.frontier.fingerprint import with_url_identity
 from hepcrawl_spark.frontier.urlfilter import (
     MAX_LITERAL_DOMAINS,
@@ -206,3 +207,30 @@ def test_url_spam_score_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_dust_params_rule_mining(spark):
+    rows = [
+        # utm: three agreeing pairs → irrelevant at min_support=3
+        ("http://a/p/1", "x1"), ("http://a/p/1?utm=z", "x1"),
+        ("http://a/p/2", "x2"), ("http://a/p/2?utm=z", "x2"),
+        ("http://a/p/3", "x3"), ("http://a/p/3?utm=z", "x3"),
+        # page: alias exists but content DIFFERS → counterexample
+        ("http://a/p/4", "x4"), ("http://a/p/4?page=2", "y4"),
+        # ref: agrees but support 1 < 3 → not promoted
+        ("http://a/p/5", "x5"), ("http://a/p/5?ref=r", "x5"),
+        # orphan param URL with no crawled alias → n_alias 0
+        ("http://a/p/9?lone=1", "x9"),
+        # multi-param URLs are skipped, not guessed about
+        ("http://a/p/1?utm=z&page=2", "x1"),
+    ]
+    df = spark.createDataFrame(
+        [(u, "a", t) for u, t in rows], "url string, host string, text string")
+    r = {x.param: x for x in urlfilter.dust_params(
+        df, min_support=3).collect()}
+    assert set(r) == {"utm", "page", "ref", "lone"}
+    assert (r["utm"].n_urls, r["utm"].n_alias, r["utm"].n_same,
+            r["utm"].irrelevant) == (3, 3, 3, 1)
+    assert (r["page"].n_same, r["page"].irrelevant) == (0, 0)
+    assert (r["ref"].n_same, r["ref"].irrelevant) == (1, 0)
+    assert (r["lone"].n_alias, r["lone"].irrelevant) == (0, 0)
