@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t36_readability": _q_readability,
         "f31_focused_priority": _q_focused_priority,
         "f32_dust_params": _q_dust_params,
+        "t37_lexical_stats": _q_lexical_stats,
     }
 
 
@@ -2297,6 +2298,18 @@ def _q_readability(spark, sf_dir):
         F.round("fre", 9).alias("fre"),
         F.round("fk_grade", 9).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+def _q_lexical_stats(spark, sf_dir):
+    # t37: corpus lexical diagnostics — TTR, hapax share, Zipf slope
+    # over the top-100 unigrams (rank-ordered in-row folds, the t34
+    # ln() precedent)
+    res = textops.lexical_stats(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "token_cnt", "type_cnt", F.round("ttr", 9).alias("ttr"),
+        "hapax_cnt", F.round("hapax_frac", 9).alias("hapax_frac"),
+        F.round("zipf_slope", 9).alias("zipf_slope"),
+    )
 
 
 def _q_dust_params(spark, sf_dir):
@@ -5063,6 +5076,58 @@ def oracle_sql() -> dict[str, str]:
                          * (syllable_cnt::DOUBLE / token_cnt::DOUBLE)
                        - {textops.FK_BASE}, 9) END AS fk_grade
             FROM c ORDER BY doc_id
+        """,
+        # t37: lexical-stats mirror — exact integer counts; the Zipf
+        # regression's four sums each fold left in rank order over a
+        # list(... ORDER BY r), matching Spark's sorted-array folds
+        "t37_lexical_stats": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS term FROM documents
+            ), counts AS (
+              SELECT term, count(*)::BIGINT AS cnt
+              FROM toks GROUP BY term
+            ), stats AS (
+              SELECT sum(cnt)::BIGINT AS token_cnt,
+                     count(*)::BIGINT AS type_cnt,
+                     sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS hapax_cnt
+              FROM counts
+            ), top AS (
+              SELECT cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term ASC)
+                       AS r
+              FROM counts ORDER BY cnt DESC, term ASC LIMIT 100
+            ), arr AS (
+              SELECT list(struct_pack(
+                       x := ln(r::DOUBLE), y := ln(cnt::DOUBLE))
+                     ORDER BY r) AS a
+              FROM top
+            ), f AS (
+              SELECT len(a)::DOUBLE AS n,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(a, v -> v.x)),
+                       (p, q) -> p + q) AS sx,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(a, v -> v.y)),
+                       (p, q) -> p + q) AS sy,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(a, v -> v.x * v.y)),
+                       (p, q) -> p + q) AS sxy,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(a, v -> v.x * v.x)),
+                       (p, q) -> p + q) AS sxx
+              FROM arr
+            )
+            SELECT token_cnt, type_cnt,
+                   round(type_cnt::DOUBLE / token_cnt::DOUBLE, 9)
+                     AS ttr,
+                   hapax_cnt,
+                   round(hapax_cnt::DOUBLE / type_cnt::DOUBLE, 9)
+                     AS hapax_frac,
+                   CASE WHEN n < 2 THEN NULL ELSE
+                     round((n * sxy - sx * sy) / (n * sxx - sx * sx),
+                           9) END AS zipf_slope
+            FROM stats, f
         """,
         # f32: DUST mirror — same planted alias layout, query string
         # re-derived by regex (DuckDB has no parse_url), md5 content

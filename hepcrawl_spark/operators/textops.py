@@ -1951,3 +1951,80 @@ def readability(docs: DataFrame, text_col: str = "text",
                 - F.lit(FK_BASE)).alias("fk_grade"),
         )
     )
+
+
+def lexical_stats(docs: DataFrame, text_col: str = "text",
+                  top_k: int = 100) -> DataFrame:
+    """Corpus-level lexical-diversity diagnostics: one row with
+    (token_cnt, type_cnt, ttr, hapax_cnt, hapax_frac, zipf_slope).
+
+    TTR (type/token) and the hapax share are the standard diversity
+    screens (a scraped-template corpus collapses both); ``zipf_slope``
+    is the OLS slope of ln(freq) on ln(rank) over the ``top_k`` most
+    frequent terms — healthy natural text sits near −1 (Zipf 1949),
+    boilerplate floods flatten it, key-mash noise steepens it.  The
+    dump-over-dump drift monitor (t33) watches distributions; this
+    watches their SHAPE.
+
+    Determinism: counts are exact integers; the slope's four sums
+    each fold left in rank order (cnt DESC, term ASC ties) over a
+    sorted in-row array, so both engines accumulate in the identical
+    IEEE sequence — the t34 precedent for cross-engine ln().
+
+    Scale shape: one map-side-combined unigram aggregate (the t10
+    shape), a TakeOrdered top-k (never a global sort or window), and
+    the regression folds run over one k-element array on one row.
+    """
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("token_cnt"),
+        F.count(F.lit(1)).cast("long").alias("type_cnt"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax_cnt"),
+    )
+    # TakeOrderedAndProject top-k, then ONE ordered array per corpus:
+    # sort key (-cnt, term) makes sort_array ascending = rank order
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_k)
+        .agg(F.sort_array(F.collect_list(F.struct(
+            (-F.col("cnt")).alias("negcnt"), F.col("term").alias("term"),
+            F.col("cnt").alias("cnt")))).alias("arr"))
+    )
+
+    def _slope(arr):
+        pairs = F.transform(arr, lambda v, i: F.struct(
+            F.log((i + F.lit(1)).cast("double")).alias("x"),
+            F.log(v["cnt"].cast("double")).alias("y")))
+
+        def _fsum(vals):
+            return F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+
+        return bind_once(pairs, lambda p: bind_once(
+            F.struct(
+                _fsum(F.transform(p, lambda v: v["x"])).alias("sx"),
+                _fsum(F.transform(p, lambda v: v["y"])).alias("sy"),
+                _fsum(F.transform(p, lambda v: v["x"] * v["y"]))
+                .alias("sxy"),
+                _fsum(F.transform(p, lambda v: v["x"] * v["x"]))
+                .alias("sxx"),
+                F.size(p).cast("double").alias("n"),
+            ),
+            lambda s: F.when(s["n"] < 2, F.lit(None).cast("double"))
+            .otherwise(
+                (s["n"] * s["sxy"] - s["sx"] * s["sy"])
+                / (s["n"] * s["sxx"] - s["sx"] * s["sx"])),
+        ))
+
+    return stats.crossJoin(top).select(
+        "token_cnt", "type_cnt",
+        (F.col("type_cnt").cast("double")
+         / F.col("token_cnt").cast("double")).alias("ttr"),
+        "hapax_cnt",
+        (F.col("hapax_cnt").cast("double")
+         / F.col("type_cnt").cast("double")).alias("hapax_frac"),
+        _slope(F.col("arr")).alias("zipf_slope"),
+    )

@@ -2013,3 +2013,24 @@ def test_readability_flesch_arithmetic(spark):
     # empty text tokenizes to [''] (one zero-vowel token, floor 1)
     assert (r[2].token_cnt, r[2].syllable_cnt) == (1, 1)
     assert r[2].fre is not None
+
+
+def test_lexical_stats_zipf(spark):
+    # 3 "a", 2 "b", 1 "c": 6 tokens, 3 types, 1 hapax; slope of
+    # ln(freq) on ln(rank) over ranks (1,2,3)/freqs (3,2,1)
+    import math
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], "doc_id long, text string")
+    r = textops.lexical_stats(df).collect()[0]
+    assert (r.token_cnt, r.type_cnt, r.hapax_cnt) == (6, 3, 1)
+    assert r.ttr == pytest.approx(0.5)
+    assert r.hapax_frac == pytest.approx(1 / 3)
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(f) for f in (3, 2, 1)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.zipf_slope == pytest.approx(want)
+    assert want < 0                        # frequency falls with rank
