@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f31_focused_priority": _q_focused_priority,
         "f32_dust_params": _q_dust_params,
         "t37_lexical_stats": _q_lexical_stats,
+        "p19_clean_readable": _q_clean_readable,
     }
 
 
@@ -817,6 +818,21 @@ _MIRROR_LOSERS_CTE = """, losers AS (
 _P09_BADWORDS_GATE = (
     f" AND len(list_filter({_TOKS}, "
     f"x -> list_contains({{badwords}}, x))) = 0"
+)
+
+# p19: the t36 Flesch band ANDed into the p01 gate — token_cnt comes
+# from the in-scope gopher columns, syllables re-fold from the text
+# column via the same contract tokenizer (the p09 precedent), the
+# sentence count is one regex; constants render from textops
+_P19_FRE_MIN = 20.0
+_P19_FRE_GATE = (
+    " AND ({base} - {wps} * (token_cnt::DOUBLE"
+    " / greatest(1, len(regexp_extract_all(text, '{sent}')))::DOUBLE)"
+    " - {spw} * (list_reduce(list_prepend(0::BIGINT,"
+    " list_transform({toks}, t2 -> greatest(1,"
+    " len(regexp_extract_all(t2, '{vow}')))::BIGINT)),"
+    " (a, b) -> a + b)::DOUBLE / token_cnt::DOUBLE)"
+    " >= {lo})"
 )
 
 # p04/p05/p06 shared tail pieces: near-dup cluster removal
@@ -2298,6 +2314,17 @@ def _q_readability(spark, sf_dir):
         F.round("fre", 9).alias("fre"),
         F.round("fk_grade", 9).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+def _q_clean_readable(spark, sf_dir):
+    # p19: the t36 Flesch band composed into the cleaning gate —
+    # syllable fold rides the already-bound token array, so the
+    # screen costs zero extra scans (plan-pinned)
+    from hepcrawl_spark.operators import corpus
+
+    return corpus.clean_corpus(
+        _t(spark, sf_dir, "documents"), fre_min=_P19_FRE_MIN
+    ).select("doc_id", "guessed_lang", "token_cnt", "fingerprint")
 
 
 def _q_lexical_stats(spark, sf_dir):
@@ -4790,6 +4817,16 @@ def oracle_sql() -> dict[str, str]:
         "p09_clean_badwords": _P01_SQL_TMPL.format(
             extra_gate=_P09_BADWORDS_GATE.format(
                 badwords=_BADWORDS_SQL
+            )
+        ),
+        # p19: Flesch-band-gated clean — the t36 readability screen
+        # inside p01's single gate scan
+        "p19_clean_readable": _P01_SQL_TMPL.format(
+            extra_gate=_P19_FRE_GATE.format(
+                base=textops.FRE_BASE, wps=textops.FRE_WPS,
+                spw=textops.FRE_SPW, sent=textops.SENTENCE_RE,
+                vow=textops.VOWEL_GROUP_RE, toks=_TOKS,
+                lo=_P19_FRE_MIN,
             )
         ),
         # f08: the oracle derives the link table closed-form from

@@ -252,6 +252,8 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                min_entropy: float | None = None,
                entropy_max_chars: int = 4096,
                entropy_min_chars: int = 64,
+               fre_min: float | None = None,
+               fre_max: float | None = None,
                **gopher_thresholds) -> DataFrame:
     """The stateless body shared by ``clean_corpus`` (batch) and
     ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
@@ -277,10 +279,17 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
     entropy falls below ``min_entropy`` bits/char) into the gate —
     the entropy expression reads the text column directly in the
     same projection, so the screen still costs zero extra scans.
+
+    Pass ``fre_min``/``fre_max`` to AND a Flesch reading-ease band
+    (``textops.readability`` semantics) into the gate — the syllable
+    fold rides the same bound token array and the sentence count is
+    one more regex on the text column, so the band too costs zero
+    extra scans.
     """
     cls = classifier_weights is not None
     bw = bool(badwords)
     ent = min_entropy is not None
+    fre = fre_min is not None or fre_max is not None
 
     def _sig(t):
         cols = [
@@ -297,6 +306,18 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
             cols.append(
                 F.size(F.filter(t, lambda x: x.isin(*badwords)))
                 .cast("long").alias("bad"),
+            )
+        if fre:
+            from .textops import VOWEL_GROUP_RE
+
+            cols.append(
+                F.aggregate(
+                    F.transform(t, lambda x: F.greatest(
+                        F.lit(1).cast("long"),
+                        F.regexp_count(x, F.lit(VOWEL_GROUP_RE))
+                        .cast("long"))),
+                    F.lit(0).cast("long"), lambda a, v: a + v,
+                ).alias("syl"),
             )
         return F.struct(*cols)
 
@@ -322,6 +343,24 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
         # NULL entropy (zero sampled chars) never satisfies `low` on
         # either engine: FALSE AND NULL = FALSE
         gate = gate & ~low
+    if fre:
+        from .textops import (FRE_BASE, FRE_SPW, FRE_WPS, SENTENCE_RE)
+
+        w_d = F.col("_s.g.token_cnt").cast("double")
+        s_d = F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col(text_col), F.lit(SENTENCE_RE))
+            .cast("long"),
+        ).cast("double")
+        fre_val = (F.lit(FRE_BASE) - F.lit(FRE_WPS) * (w_d / s_d)
+                   - F.lit(FRE_SPW)
+                   * (F.col("_s.syl").cast("double") / w_d))
+        # token-free rows yield NULL fre -> gate NULL -> dropped, the
+        # same three-valued outcome the SQL mirror's WHERE produces
+        if fre_min is not None:
+            gate = gate & (fre_val >= F.lit(float(fre_min)))
+        if fre_max is not None:
+            gate = gate & (fre_val <= F.lit(float(fre_max)))
     ratio = (F.col("_s.g.stopword_cnt").cast("double")
              / F.col("_s.g.token_cnt").cast("double"))
     cols = [
@@ -352,6 +391,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  lang_threshold: float = 0.04,
                  min_entropy: float | None = None,
+                 fre_min: float | None = None,
+                 fre_max: float | None = None,
                  **gopher_thresholds) -> DataFrame:
     """Documents that pass the Gopher rules, exact-deduped by content
     hash (smallest id survives), tagged with language guess, token
@@ -365,6 +406,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     base = gated_docs(docs, text_col=text_col, id_col=id_col,
                       lang_threshold=lang_threshold,
                       min_entropy=min_entropy,
+                      fre_min=fre_min, fre_max=fre_max,
                       **gopher_thresholds)
     w = Window.partitionBy("_md5").orderBy(F.col(id_col).asc())
     return (

@@ -459,6 +459,15 @@ def test_p17_mirror_filter_is_broadcast_anti_join(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_p19_readability_gate_single_scan(spark):
+    # the Flesch band must ride p01's one gate scan: exactly one scan
+    # of documents, no join added, no Python
+    plan = _plan(em.queries()["p19_clean_readable"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_no_query_uses_row_at_a_time_python(spark):
     # global guard over the WHOLE driver contract: no query's plan may
     # contain a row-at-a-time Python eval (BatchEvalPython) — every
