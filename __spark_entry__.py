@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t36_readability": _q_readability,
         "f31_focused_priority": _q_focused_priority,
         "f32_dust_params": _q_dust_params,
+        "f33_dust_apply": _q_dust_apply,
         "t37_lexical_stats": _q_lexical_stats,
         "p19_clean_readable": _q_clean_readable,
     }
@@ -2339,11 +2340,66 @@ def _q_lexical_stats(spark, sf_dir):
     )
 
 
-def _q_dust_params(spark, sf_dir):
-    # f32: DUST param mining over a planted alias layout — ?utm=1 and
-    # ?sess=N always serve the bare URL's content (irrelevant),
-    # ?page=2 always differs (relevant), hosts mod 5
-    docs = _t(spark, sf_dir, "documents")
+# DuckDB mirror of _dust_pages — the SAME plant, shared by the f32
+# (mining) and f33 (rewrite) oracles so the mirrors can't drift
+_DUST_PAGES_SQL = """d AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 5) || '.example.com' AS host,
+                     'http://h' || (doc_id % 5) || '.example.com/p/'
+                       || doc_id AS base,
+                     'c-' || doc_id AS c
+              FROM documents
+            ), pages AS (
+              SELECT base AS url, host, c AS text FROM d
+              UNION ALL
+              SELECT base || '?utm=1', host, c FROM d
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT base || '?page=2', host, c || '-p2' FROM d
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT base || '?sess=' || doc_id, host, c FROM d
+              WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT base || '?page=2&utm=1', host, c || '-p2' FROM d
+              WHERE doc_id % 6 = 0
+            )"""
+
+# DuckDB mirror of urlfilter.dust_params over that plant: query
+# string re-derived by regex (DuckDB has no parse_url), md5 content
+# identity, strict no-counterexample rule at support >= 3
+_DUST_MINE_SQL = """wq AS (
+              SELECT host,
+                     regexp_extract(
+                       regexp_extract(url, '\\?([^#]*)', 1),
+                       '^([^=&]+)', 1) AS param,
+                     regexp_extract(url, '^([^?#]*)', 1) AS base_url,
+                     md5(text) AS qc
+              FROM pages
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) != ''
+                AND NOT contains(
+                      regexp_extract(url, '\\?([^#]*)', 1), '&')
+            ), br AS (
+              SELECT DISTINCT url AS base_url, md5(text) AS bc
+              FROM pages
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) = ''
+            ), g AS (
+              SELECT host, param,
+                     count(*)::BIGINT AS n_urls,
+                     count(bc)::BIGINT AS n_alias,
+                     sum(CASE WHEN qc = bc THEN 1 ELSE 0 END)::BIGINT
+                       AS n_same
+              FROM wq LEFT JOIN br USING (base_url)
+              GROUP BY host, param
+            )"""
+
+
+def _dust_pages(docs):
+    # shared f32/f33 plant: ?utm=1 and ?sess=N always serve the bare
+    # URL's content (irrelevant), ?page=2 always differs (relevant),
+    # hosts mod 5; the multi-param ?page=2&utm=1 rows are SKIPPED by
+    # the single-param miner but exercised by the f33 rewriter (the
+    # relevant page param must survive the strip)
     host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
                     F.lit(".example.com"))
     base = F.concat(F.lit("http://"), host, F.lit("/p/"),
@@ -2354,7 +2410,7 @@ def _q_dust_params(spark, sf_dir):
         return docs.filter(cond).select(
             url.alias("url"), host.alias("host"), text.alias("text"))
 
-    pages = (
+    return (
         _rows(F.lit(True), base, c)
         .unionAll(_rows(F.col("doc_id") % 2 == 0,
                         F.concat(base, F.lit("?utm=1")), c))
@@ -2364,9 +2420,32 @@ def _q_dust_params(spark, sf_dir):
         .unionAll(_rows(F.col("doc_id") % 4 == 0,
                         F.concat(base, F.lit("?sess="),
                                  F.col("doc_id").cast("string")), c))
+        .unionAll(_rows(F.col("doc_id") % 6 == 0,
+                        F.concat(base, F.lit("?page=2&utm=1")),
+                        F.concat(c, F.lit("-p2"))))
     )
-    return urlfilter.dust_params(pages, min_support=3).orderBy(
-        "host", "param")
+
+
+def _q_dust_params(spark, sf_dir):
+    # f32: DUST param mining over the shared planted alias layout
+    docs = _t(spark, sf_dir, "documents")
+    return urlfilter.dust_params(
+        _dust_pages(docs), min_support=3).orderBy("host", "param")
+
+
+def _q_dust_apply(spark, sf_dir):
+    # f33: the apply half of the DUST loop — mine the rules from the
+    # same plant, then rewrite the URL stream: utm/sess stripped
+    # (incl. from the multi-param rows, where page must survive),
+    # page kept, '?' dropped when nothing survives
+    docs = _t(spark, sf_dir, "documents")
+    pages = _dust_pages(docs)
+    rules = urlfilter.dust_params(pages, min_support=3)
+    return (
+        urlfilter.apply_dust_rules(pages, rules)
+        .select("url", "host", "dust_url", "n_stripped")
+        .orderBy("url")
+    )
 
 
 def _q_sitemap_gap(spark, sf_dir):
@@ -5166,56 +5245,54 @@ def oracle_sql() -> dict[str, str]:
                            9) END AS zipf_slope
             FROM stats, f
         """,
-        # f32: DUST mirror — same planted alias layout, query string
-        # re-derived by regex (DuckDB has no parse_url), md5 content
-        # identity, strict no-counterexample rule at support >= 3
-        "f32_dust_params": """
-            WITH d AS (
-              SELECT doc_id,
-                     'h' || (doc_id % 5) || '.example.com' AS host,
-                     'http://h' || (doc_id % 5) || '.example.com/p/'
-                       || doc_id AS base,
-                     'c-' || doc_id AS c
-              FROM documents
-            ), pages AS (
-              SELECT base AS url, host, c AS text FROM d
-              UNION ALL
-              SELECT base || '?utm=1', host, c FROM d
-              WHERE doc_id % 2 = 0
-              UNION ALL
-              SELECT base || '?page=2', host, c || '-p2' FROM d
-              WHERE doc_id % 3 = 0
-              UNION ALL
-              SELECT base || '?sess=' || doc_id, host, c FROM d
-              WHERE doc_id % 4 = 0
-            ), wq AS (
-              SELECT host,
-                     regexp_extract(
-                       regexp_extract(url, '\\?([^#]*)', 1),
-                       '^([^=&]+)', 1) AS param,
-                     regexp_extract(url, '^([^?#]*)', 1) AS base_url,
-                     md5(text) AS qc
-              FROM pages
-              WHERE regexp_extract(url, '\\?([^#]*)', 1) != ''
-                AND NOT contains(
-                      regexp_extract(url, '\\?([^#]*)', 1), '&')
-            ), br AS (
-              SELECT DISTINCT url AS base_url, md5(text) AS bc
-              FROM pages
-              WHERE regexp_extract(url, '\\?([^#]*)', 1) = ''
-            ), g AS (
-              SELECT host, param,
-                     count(*)::BIGINT AS n_urls,
-                     count(bc)::BIGINT AS n_alias,
-                     sum(CASE WHEN qc = bc THEN 1 ELSE 0 END)::BIGINT
-                       AS n_same
-              FROM wq LEFT JOIN br USING (base_url)
-              GROUP BY host, param
-            )
+        # f32: DUST mining mirror — the shared plant + miner CTEs
+        # (module constants, also embedded verbatim in f33's mirror)
+        "f32_dust_params": f"""
+            WITH {_DUST_PAGES_SQL}, {_DUST_MINE_SQL}
             SELECT host, param, n_urls, n_alias, n_same,
                    (n_same >= 3 AND n_same = n_alias)::INT
                      AS irrelevant
             FROM g ORDER BY host, param
+        """,
+        # f33: DUST apply mirror — rules re-mined by the same CTEs,
+        # folded to one list per host, then the rewrite: split the
+        # query on '&', drop params whose key is in the host's
+        # irrelevant set, reassemble ('?' dropped when nothing
+        # survives); hosts without rules and query-free URLs pass
+        # through.  list_contains/list_filter are the HOF mirror of
+        # Spark's array_contains/filter; the q = '' guard keeps
+        # DuckDB's string_split('', '&') = [''] artifact out of play
+        "f33_dust_apply": f"""
+            WITH {_DUST_PAGES_SQL}, {_DUST_MINE_SQL},
+            rules AS (
+              SELECT host, param FROM g
+              WHERE n_same >= 3 AND n_same = n_alias
+            ), rl AS (
+              SELECT host, list(param ORDER BY param) AS dps
+              FROM rules GROUP BY host
+            ), rw AS (
+              SELECT p.url, p.host,
+                     regexp_extract(p.url, '^([^?#]*)', 1) AS b,
+                     regexp_extract(p.url, '\\?([^#]*)', 1) AS q,
+                     rl.dps
+              FROM pages p LEFT JOIN rl ON rl.host = p.host
+            ), k AS (
+              SELECT url, host, b, q, dps,
+                     list_filter(string_split(q, '&'),
+                       x -> NOT list_contains(dps,
+                              split_part(x, '=', 1))) AS kept,
+                     len(string_split(q, '&')) AS nparts
+              FROM rw
+            )
+            SELECT url, host,
+                   CASE WHEN dps IS NULL OR q = '' THEN url
+                        WHEN len(kept) = 0 THEN b
+                        ELSE b || '?' || array_to_string(kept, '&')
+                   END AS dust_url,
+                   (CASE WHEN dps IS NULL OR q = '' THEN 0
+                         ELSE nparts - len(kept) END)::BIGINT
+                     AS n_stripped
+            FROM k ORDER BY url
         """,
         # f30: coverage mirror — same planted sitemap/crawl split,
         # presence flags via FULL OUTER JOIN, integral sums

@@ -315,6 +315,70 @@ def url_spam_score(candidates: DataFrame,
     )
 
 
+def apply_dust_rules(candidates: DataFrame, rules: DataFrame,
+                     url_col: str = "url",
+                     host_col: str = "host") -> DataFrame:
+    """Rewrite URLs by stripping the query parameters
+    :func:`dust_params` proved irrelevant — the apply half of the
+    DUST loop (Bar-Yossef et al., WWW 2007): once the miner knows
+    ``?utm=…`` never changes what ``host`` serves, the canonicalizer
+    drops it so Different URLs with Similar Text collapse to ONE
+    frontier entry and the politeness budget stops re-fetching
+    aliases.  The reference never needs this (its spiders construct
+    URLs themselves, e.g. the listing walkers in
+    /root/reference/hepcrawl/spiders/wsp_spider.py), but a 10^10-URL
+    frontier fed by link extraction does.
+
+    ``rules`` is :func:`dust_params` output (or any frame with
+    ``host, param, irrelevant``); only rows with ``irrelevant = 1``
+    are applied, per host.  Adds ``dust_url`` (the rewritten URL:
+    query params whose key is in the host's irrelevant set removed,
+    '?' dropped when nothing survives) and ``n_stripped`` (how many
+    params were cut).  URLs on hosts with no rules, and URLs with no
+    query, pass through unchanged with ``n_stripped = 0``.  Fragments
+    are assumed already stripped (frontier URLs are canonicalized by
+    ``with_url_identity`` before they get here).
+
+    100 TB shape: the rule table lives at (host, param) cardinality —
+    many orders below the URL stream — so it folds to one array per
+    host and BROADCASTS; the rewrite itself is codegen higher-order
+    functions (split → filter → array_join) on the existing candidate
+    scan.  The URL stream never shuffles and no Python runs.
+    """
+    per_host = (
+        rules.filter(F.col("irrelevant") == 1)
+        .groupBy(host_col)
+        .agg(F.collect_set("param").alias("_drop_params"))
+    )
+    url = F.col(url_col)
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    parts = F.split(q, "&")
+    kept = F.filter(
+        parts,
+        lambda p: ~F.array_contains(
+            F.col("_drop_params"), F.split(p, "=").getItem(0)
+        ),
+    )
+    rewritten = F.when(
+        F.size(kept) == 0, base
+    ).otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+    untouched = F.col("_drop_params").isNull() | (q == "")
+    return (
+        candidates.join(F.broadcast(per_host), on=host_col, how="left")
+        .withColumn(
+            "dust_url", F.when(untouched, url).otherwise(rewritten)
+        )
+        .withColumn(
+            "n_stripped",
+            F.when(untouched, F.lit(0))
+            .otherwise(F.size(parts) - F.size(kept))
+            .cast("long"),
+        )
+        .drop("_drop_params")
+    )
+
+
 def dust_params(pages: DataFrame, url_col: str = "url",
                 host_col: str = "host", text_col: str = "text",
                 min_support: int = 3) -> DataFrame:

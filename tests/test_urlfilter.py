@@ -234,3 +234,45 @@ def test_dust_params_rule_mining(spark):
     assert (r["page"].n_same, r["page"].irrelevant) == (0, 0)
     assert (r["ref"].n_same, r["ref"].irrelevant) == (1, 0)
     assert (r["lone"].n_alias, r["lone"].irrelevant) == (0, 0)
+
+
+def test_apply_dust_rules_rewrite(spark):
+    rules = spark.createDataFrame(
+        [("a", "utm", 1), ("a", "sess", 1), ("a", "page", 0),
+         ("b", "ref", 1)],
+        "host string, param string, irrelevant int")
+    urls = [
+        # both params irrelevant → query dropped entirely
+        ("http://a/p/1?utm=z&sess=9", "a", "http://a/p/1", 2),
+        # relevant param survives the strip
+        ("http://a/p/2?page=2&utm=z", "a", "http://a/p/2?page=2", 1),
+        # nothing to strip
+        ("http://a/p/3?page=5", "a", "http://a/p/3?page=5", 0),
+        # no query → untouched
+        ("http://a/p/4", "a", "http://a/p/4", 0),
+        # host without rules → untouched even though utm matches
+        ("http://c/p/5?utm=z", "c", "http://c/p/5?utm=z", 0),
+        # rules are per-host: a's utm is NOT stripped on b
+        ("http://b/p/6?utm=z&ref=r", "b", "http://b/p/6?utm=z", 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, h) for u, h, _, _ in urls], "url string, host string")
+    got = {r.url: r for r in urlfilter.apply_dust_rules(df, rules).collect()}
+    for u, _, want, n in urls:
+        assert got[u].dust_url == want, u
+        assert got[u].n_stripped == n, u
+
+
+def test_apply_dust_rules_plan_broadcasts_and_stays_jvm(spark):
+    rules = spark.createDataFrame(
+        [("a", "utm", 1)], "host string, param string, irrelevant int")
+    df = spark.createDataFrame(
+        [("http://a/p/1?utm=z", "a")], "url string, host string")
+    plan = (urlfilter.apply_dust_rules(df, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the URL stream itself never shuffles: the ONE hash Exchange in
+    # the plan is the (host, param)-cardinality rule fold feeding the
+    # broadcast side
+    assert plan.count("Exchange hashpartitioning") == 1
