@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p09_clean_badwords": _q_clean_badwords,
         "f08_link_graph": _q_link_graph,
         "f09_host_rank": _q_host_rank,
+        "f34_trustrank": _q_trustrank,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
         "f12_snapshot_churn": _q_snapshot_churn,
@@ -1907,6 +1908,8 @@ _LINK_MOD = 9973
 _LINK_HOSTS = 11
 _PR_DAMPING = 0.85
 _PR_ITERATIONS = 5
+# TrustRank seed hosts (f34) — two vetted hosts in the f09 link plant
+_TR_SEEDS = ["h0.docs.example.com", "h3.docs.example.com"]
 _HITS_ITERATIONS = 5
 
 # closed-form link table: (src_host, dst_host, dst_url) per anchor —
@@ -2631,6 +2634,25 @@ def _q_host_rank(spark, sf_dir):
     )
 
 
+def _q_trustrank(spark, sf_dir):
+    # f34: TrustRank over the same host graph as f09 — personalized
+    # PageRank from two vetted seed hosts, the anti-spam half of host
+    # priority (trust decays with link distance from the seeds; spam
+    # farms that inflate plain PageRank among themselves get none)
+    from hepcrawl_spark.frontier import linkgraph
+
+    edges = linkgraph.host_graph(linkgraph.extract_outlinks(
+        _link_pages(_t(spark, sf_dir, "documents"))
+    ))
+    ranks = linkgraph.trustrank_hosts(
+        edges, _TR_SEEDS, damping=_PR_DAMPING, iterations=_PR_ITERATIONS
+    )
+    return (
+        ranks.select("host", F.round("trust", 9).alias("trust"))
+        .orderBy("host")
+    )
+
+
 def _q_hits(spark, sf_dir):
     # f27: HITS hub/authority over the same host graph as f09 —
     # authority ranks hosts worth FETCHING, hub ranks hosts worth
@@ -3047,6 +3069,59 @@ def _pr_oracle_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"""
             SELECT host, round(rank, 9) AS rank
+            FROM r{_PR_ITERATIONS} ORDER BY host"""
+    )
+
+
+def _tr_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of trustrank_hosts — the SAME seed set,
+    iteration count and fold expression as the Spark loop, generated
+    from the same constants; teleport AND dangling mass go to the
+    seeds, never uniformly."""
+    d = _PR_DAMPING
+    seeds_sql = ", ".join(f"'{s}'" for s in _TR_SEEDS)
+    t = "CASE WHEN h.is_seed THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END"
+    ctes = [
+        f"l AS ({_LINK_SQL})",
+        """edges AS (
+              SELECT src_host, dst_host, count(*)::BIGINT AS weight
+              FROM l GROUP BY src_host, dst_host)""",
+        f"""hs AS (
+              SELECT host, host IN ({seeds_sql}) AS is_seed
+              FROM (SELECT src_host AS host FROM edges
+                    UNION
+                    SELECT dst_host FROM edges))""",
+        "ns AS (SELECT count(*)::DOUBLE AS k FROM hs WHERE is_seed)",
+        """outw AS (
+              SELECT src_host, sum(weight)::DOUBLE AS wout
+              FROM edges GROUP BY src_host)""",
+        """r0 AS (
+              SELECT host, is_seed,
+                     CASE WHEN is_seed THEN 1.0 / (SELECT k FROM ns)
+                          ELSE 0.0 END AS trust
+              FROM hs)""",
+    ]
+    for k in range(_PR_ITERATIONS):
+        ctes.append(f"""dang{k} AS (
+              SELECT coalesce(sum(trust), 0.0) AS dm FROM r{k}
+              WHERE host NOT IN (SELECT src_host FROM outw))""")
+        ctes.append(f"""c{k} AS (
+              SELECT e.dst_host,
+                     sum(r.trust * e.weight / o.wout) AS contrib
+              FROM edges e
+              JOIN r{k} r ON r.host = e.src_host
+              JOIN outw o ON o.src_host = e.src_host
+              GROUP BY e.dst_host)""")
+        ctes.append(f"""r{k + 1} AS (
+              SELECT h.host, h.is_seed,
+                     (1 - {d}) * {t}
+                     + {d} * (coalesce(c.contrib, 0.0)
+                              + (SELECT dm FROM dang{k}) * {t}) AS trust
+              FROM hs h LEFT JOIN c{k} c ON c.dst_host = h.host)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+            SELECT host, round(trust, 9) AS trust
             FROM r{_PR_ITERATIONS} ORDER BY host"""
     )
 
@@ -4922,6 +4997,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_host
         """,
         "f09_host_rank": _pr_oracle_sql(),
+        "f34_trustrank": _tr_oracle_sql(),
         # f27: HITS mirror — unrolled CTEs generated from the same
         # iteration count; hub/authority rounded to 9 (cross-engine
         # sum-order noise ~1e-14)

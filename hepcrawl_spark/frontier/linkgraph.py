@@ -171,6 +171,103 @@ def pagerank_hosts(
     return ranks.select("host", "rank")
 
 
+def trustrank_hosts(
+    edges: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) over a
+    weighted host graph -> (host, trust): personalized PageRank whose
+    teleport vector is uniform over a hand-vetted seed set, so trust
+    decays with link distance from the seeds and spam farms that
+    manufacture rank among themselves (which plain PageRank rewards —
+    see ``pagerank_hosts``) get none unless a trusted host links in.
+    The frontier uses it as the anti-spam half of host priority: f09
+    ranks centrality, this ranks *endorsed* centrality.
+
+    trust_{k+1}(h) = (1-d)·t(h) + d·(Σ_{s→h} trust_k(s)·w(s,h)/W(s)
+                                     + dangling_k·t(h))
+
+    with t uniform over the seed hosts present in the node set and
+    dangling mass redistributed to the seeds (not uniformly — mass
+    must never leak to unendorsed hosts), trust_0 = t.  Deterministic:
+    integer weights, fixed iteration count, same fold expression the
+    DuckDB mirror unrolls.  Raises when no seed is in the graph (an
+    all-zero result would silently disable the anti-spam gate).
+
+    100 TB shape: identical to ``pagerank_hosts`` — the loop touches
+    only host-cardinality frames, the (edge ⋈ out-weight) side is
+    partitioned once on src_host and stays resident so only the small
+    trust frame shuffles per iteration, the seed flag is a plan
+    literal (no membership join), and dangling mass rides a broadcast
+    1-row aggregate.
+    """
+    out_w = edges.groupBy("src_host").agg(
+        F.sum("weight").cast("double").alias("wout")
+    )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .join(out_w.select(F.col("src_host").alias("host"),
+                           F.lit(True).alias("has_out")),
+              on="host", how="left")
+        .withColumn("has_out", F.coalesce("has_out", F.lit(False)))
+        .withColumn("is_seed", F.col("host").isin(*seeds))
+        .persist()
+    )
+    n_seeds = hosts.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError(
+            f"none of the {len(seeds)} seed hosts appear in the link "
+            "graph — TrustRank would be identically zero"
+        )
+    t = F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+
+    contrib_edges = (
+        edges.join(out_w, "src_host")
+        .repartition("src_host")
+        .persist()
+    )
+
+    ranks = hosts.select("host", "has_out", "is_seed", t.alias("trust"))
+    for i in range(iterations):
+        dangling = (
+            ranks.filter(~F.col("has_out"))
+            .agg(F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            contrib_edges
+            .join(ranks.select(F.col("host").alias("src_host"),
+                               F.col("trust")),
+                  "src_host")
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("trust") * F.col("weight") / F.col("wout"))
+                 .alias("contrib"))
+        )
+        ranks = (
+            hosts
+            .join(contrib, hosts["host"] == contrib["dst_host"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                hosts["host"],
+                hosts["has_out"],
+                hosts["is_seed"],
+                (
+                    F.lit(1.0 - damping) * t
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dangling") * t)
+                ).alias("trust"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("host", "trust")
+
+
 def rank_priorities(ranks: DataFrame, levels: int = 100) -> DataFrame:
     """Quantize PageRank scores to the integer host-priority dimension
     ``schedule(host_priorities=...)`` consumes.

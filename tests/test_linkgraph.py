@@ -307,3 +307,59 @@ def test_focused_priority_end_to_end_from_anchors(spark):
         profiles, ["neutrino", "detector"]).collect()
     assert [r.url for r in ranked] == ["http://t.com/nu"]
     assert ranked[0].priority == 1
+
+
+def _py_trustrank(edges, seeds, iters=5, d=0.85):
+    hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    present = [h for h in hosts if h in seeds]
+    t = {h: (1.0 / len(present) if h in present else 0.0) for h in hosts}
+    r = dict(t)
+    for _ in range(iters):
+        dang = sum(r[h] for h in hosts if h not in wout)
+        contrib = {h: 0.0 for h in hosts}
+        for s, dst, w in edges:
+            contrib[dst] += r[s] * w / wout[s]
+        r = {h: (1 - d) * t[h] + d * (contrib[h] + dang * t[h])
+             for h in hosts}
+    return r
+
+
+def test_trustrank_matches_python_mirror(spark):
+    edges = spark.createDataFrame(
+        EDGES, "src_host string, dst_host string, weight long")
+    seeds = [EDGES[0][0]]
+    got = {r.host: r.trust for r in linkgraph.trustrank_hosts(
+        edges, seeds, iterations=5).collect()}
+    want = _py_trustrank(EDGES, set(seeds), iters=5)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], rel=1e-9, abs=1e-12), h
+
+
+def test_trustrank_starves_unendorsed_spam_farm(spark):
+    # good: seed -> a -> b (endorsed chain); spam: s1 <-> s2 inflate
+    # each other with heavy weights but receive NO trusted in-link —
+    # plain PageRank rewards the farm, TrustRank must give it zero
+    rows = [
+        ("seed", "a", 1), ("a", "b", 1),
+        ("s1", "s2", 50), ("s2", "s1", 50),
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_host string, dst_host string, weight long")
+    trust = {r.host: r.trust for r in linkgraph.trustrank_hosts(
+        edges, ["seed"], iterations=5).collect()}
+    rank = {r.host: r.rank for r in linkgraph.pagerank_hosts(
+        edges, iterations=5).collect()}
+    assert trust["s1"] == 0.0 and trust["s2"] == 0.0
+    assert trust["a"] > 0.0 and trust["b"] > 0.0
+    assert rank["s1"] > rank["b"]  # the failure mode TrustRank fixes
+
+
+def test_trustrank_rejects_absent_seed_set(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, weight long")
+    with pytest.raises(ValueError, match="seed"):
+        linkgraph.trustrank_hosts(edges, ["nope.example.com"])
