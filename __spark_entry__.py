@@ -420,6 +420,29 @@ def _q_containment(spark, sf_dir):
     )
 
 
+def _q_semdedup(spark, sf_dir):
+    # d15: SemDeDup over the embeddings corpus plus planted twins
+    # (every 10th vector duplicated at id+100000, scaled x2 — same
+    # direction, so cosine 1 and identical centroid-cosine; the x2
+    # scale is exact in IEEE floats, keeping both mirrors bit-equal).
+    # tau=0.45 is the s03/s04 contract threshold: the twins exercise
+    # the drop rule, the handful of natural 0.45+ neighbours exercise
+    # the keep-order tie-breaking
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    base = emb.select("vec_id", "embedding").unionAll(twins)
+    out = similarity.semantic_dedup(base, threshold=0.45, seed_mod=61)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster",
+        F.round("ccos", 9).alias("ccos"), "kept",
+    ).orderBy("vec_id")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.8
@@ -638,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f27_hits": _q_hits,
         "t35_winnow": _q_winnow,
         "d14_containment": _q_containment,
+        "d15_semantic_dedup": _q_semdedup,
         "s06_ann_int8": _q_ann_int8,
         "f28_mirror_hosts": _q_mirror_hosts,
         "f29_soft404": _q_soft404,
@@ -4021,6 +4045,60 @@ def oracle_sql() -> dict[str, str]:
         "d04_dedup_simhash": _SIMHASH_SQL,
         "d05_dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "d14_containment": _CONTAINMENT_SQL,
+        # d15: SemDeDup mirror — same planted x2 twins (exact in IEEE
+        # floats), same seed rule / argmax-cosine assignment (QUALIFY
+        # row_number is the window mirror of Spark's max-struct
+        # partial agg), same keep order (ccos ASC, id ASC) and
+        # upper-triangular over-threshold drop rule; the shared _DOT
+        # fold keeps every cosine bit-identical cross-engine
+        "d15_semantic_dedup": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding, x -> (x * 2)::FLOAT)
+              FROM embeddings WHERE vec_id % 10 = 0
+            ), pts AS (
+              SELECT vec_id, embedding,
+                     sqrt({_DOT.format(a='embedding', b='embedding')})
+                       AS n
+              FROM base
+            ), seeds AS (
+              SELECT vec_id AS seed_id, embedding AS sv, n AS sn
+              FROM pts WHERE vec_id % 61 = 0 AND n > 0
+            ), asg AS (
+              SELECT p.vec_id, s.seed_id,
+                     {_DOT.format(a='p.embedding', b='s.sv')}
+                       / (p.n * s.sn) AS scos
+              FROM pts p, seeds s WHERE p.n > 0
+            ), best AS (
+              SELECT vec_id, seed_id AS cluster, scos AS ccos
+              FROM asg
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY scos DESC, seed_id ASC
+              ) = 1
+            ), pts2 AS (
+              SELECT b.vec_id, b.cluster, b.ccos, p.embedding, p.n
+              FROM best b JOIN pts p USING (vec_id)
+            ), drp AS (
+              SELECT DISTINCT b.vec_id
+              FROM pts2 a JOIN pts2 b ON a.cluster = b.cluster
+               AND (a.ccos < b.ccos
+                    OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+              WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+                      / (a.n * b.n) > 0.45
+            )
+            SELECT vec_id, cluster, round(ccos, 9) AS ccos,
+                   (vec_id NOT IN (SELECT vec_id FROM drp))::INT
+                     AS kept
+            FROM (
+              SELECT vec_id, cluster, ccos FROM pts2
+              UNION ALL
+              SELECT vec_id, -1::BIGINT, -2.0 FROM pts
+              WHERE NOT (n > 0)
+            )
+            ORDER BY vec_id
+        """,
         "s01_ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS qid, embedding AS qv FROM embeddings

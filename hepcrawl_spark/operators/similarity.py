@@ -695,3 +695,123 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
+                   seed_mod: int = 61,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   pair_fold: str = "arrow") -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clusters — partition the corpus into
+    clusters, and within each cluster drop every point that has a
+    cosine-over-``threshold`` neighbour earlier in the cluster's keep
+    order.  Near-duplicate *meanings* (paraphrases, template rewrites,
+    boilerplate variants) collapse even when no n-gram overlaps, the
+    gap MinHash/SimHash (``dedup.py``) can't see.
+
+    Clustering is deterministic single-pass seed assignment instead of
+    the paper's k-means: seeds are the corpus vectors with
+    ``id % seed_mod == 0``, every point joins its max-cosine seed (tie
+    → smallest seed id).  That keeps the whole operator exact
+    arithmetic — reproducible cross-engine, unlike an iterative
+    float-centroid fit (cf. ``ivf_centroids``, which is driver-side
+    numpy for the same reason).  Keep order within a cluster follows
+    the paper: ascending cosine-to-centroid (LOW-similarity points —
+    the cluster's most distinct examples — are kept first), ties by
+    ascending id; a point is dropped iff ANY earlier point in that
+    order is over-threshold similar (the paper's upper-triangular
+    max-similarity rule, a set condition rather than a sequential
+    greedy, so it parallelizes).
+
+    Zero-norm vectors have no cosine: they bypass with
+    ``cluster = -1, ccos = -2.0, kept = 1``.  Raises when no seed
+    exists (everything would silently pass).
+
+    Returns (id, cluster, ccos, kept): the assigned seed id, cosine to
+    it, and the survival verdict.
+
+    100 TB shape: the seed side is tiny (n / seed_mod) and BROADCASTS
+    for assignment — the corpus never shuffles there; the argmax is a
+    partial-aggregating max of a (cos, -seed) struct, not a window.
+    The in-cluster pair stage is ONE equi-join on cluster (both sides
+    shuffle once at corpus cardinality) whose quadratic cost is
+    bounded by cluster size — exactly the knob SemDeDup exists to
+    provide: at 100 TB you raise ``seed_mod``'s complement (more
+    seeds, smaller clusters) the way the paper raises k.  Pair cosine
+    runs in the Arrow batch fold; norms and centroid cosines fold once
+    per ROW, JVM-side.
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_col(F.col(vec_col)).alias("n"),
+    )
+    seeds = (
+        pts.filter((F.col("id") % seed_mod == 0) & (F.col("n") > 0))
+        .select(F.col("id").alias("seed_id"), F.col("vec").alias("sv"),
+                F.col("n").alias("sn"))
+    )
+    if seeds.limit(1).count() == 0:
+        raise ValueError(
+            f"no seed vectors (id % {seed_mod} == 0 with nonzero norm) "
+            "— semantic_dedup would keep everything"
+        )
+    live = pts.filter(F.col("n") > 0)
+    scored = (
+        live.join(F.broadcast(seeds))
+        .withColumn(
+            "scos",
+            dot_col(F.col("vec"), F.col("sv")) / (F.col("n") * F.col("sn")),
+        )
+    )
+    best = F.max(F.struct(
+        F.col("scos").alias("ccos"),
+        (-F.col("seed_id")).alias("negseed"),
+    ))
+    assigned = (
+        scored.groupBy("id")
+        .agg(best.alias("_b"), F.first("vec").alias("vec"),
+             F.first("n").alias("n"))
+        .select(
+            "id",
+            (-F.col("_b.negseed")).cast("long").alias("cluster"),
+            F.col("_b.ccos").alias("ccos"),
+            "vec", "n",
+        )
+    )
+    a = assigned.select(F.col("id").alias("id_a"),
+                        F.col("cluster").alias("cl_a"),
+                        F.col("ccos").alias("cc_a"),
+                        F.col("vec").alias("va"), F.col("n").alias("na"))
+    b = assigned.select(F.col("id").alias("id_b"),
+                        F.col("cluster").alias("cl_b"),
+                        F.col("ccos").alias("cc_b"),
+                        F.col("vec").alias("vb"), F.col("n").alias("nb"))
+    earlier = (F.col("cc_a") < F.col("cc_b")) | (
+        (F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & earlier)
+        .withColumn(
+            "cos",
+            _pair_dot(pair_fold)(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") > threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    verdict = (
+        assigned.join(dropped, on="id", how="left")
+        .select(
+            "id", "cluster", "ccos",
+            F.col("_dropped").isNull().cast("int").alias("kept"),
+        )
+    )
+    degenerate = pts.filter(~(F.col("n") > 0)).select(
+        "id", F.lit(-1).cast("long").alias("cluster"),
+        F.lit(-2.0).alias("ccos"), F.lit(1).alias("kept"),
+    )
+    return verdict.unionByName(degenerate)

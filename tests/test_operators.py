@@ -2034,3 +2034,63 @@ def test_lexical_stats_zipf(spark):
     want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert r.zipf_slope == pytest.approx(want)
     assert want < 0                        # frequency falls with rank
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup, d15)
+# ---------------------------------------------------------------------------
+
+def _semdedup_rows(spark, rows):
+    from hepcrawl_spark.operators.similarity import semantic_dedup
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    return {r.id: r for r in semantic_dedup(
+        df, threshold=0.9, seed_mod=100, id_col="vec_id").collect()}
+
+
+def test_semantic_dedup_drops_twin_keeps_farthest(spark):
+    # seed (id 0) defines the cluster; 1 and 2 are near-identical to
+    # EACH OTHER but both well under threshold vs the seed; 3 is a
+    # distinct direction.  1 sits farther from the seed than 2, so
+    # the keep order (ccos ASC) visits 1 first: 1 kept, 2 dropped —
+    # the paper's keep-the-most-distinct-example rule
+    base = [1.0] + [0.0] * 63
+    near_a = [0.50, 1.0, 0.0] + [0.0] * 61
+    near_b = [0.52, 1.0, 0.0] + [0.0] * 61
+    distinct = [0.0, 0.0, 1.0] + [0.0] * 61
+    got = _semdedup_rows(spark, [
+        (0, base), (1, near_a), (2, near_b), (3, distinct)])
+    assert got[0].kept == 1          # the seed itself survives
+    assert got[1].kept == 1          # farther from centroid → kept
+    assert got[2].kept == 0          # its near-twin → dropped
+    assert got[3].kept == 1          # unrelated direction untouched
+    assert got[1].cluster == got[2].cluster == 0
+    assert got[1].ccos < got[2].ccos
+
+
+def test_semantic_dedup_zero_norm_bypasses(spark):
+    got = _semdedup_rows(spark, [
+        (0, [1.0] + [0.0] * 63), (7, [0.0] * 64)])
+    assert got[7].cluster == -1 and got[7].kept == 1
+    assert got[7].ccos == -2.0
+
+
+def test_semantic_dedup_requires_a_seed(spark):
+    import pytest as _pytest
+    from hepcrawl_spark.operators.similarity import semantic_dedup
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="seed"):
+        semantic_dedup(df, seed_mod=100, id_col="vec_id")
+
+
+def test_semantic_dedup_assignment_broadcasts(spark):
+    from hepcrawl_spark.operators.similarity import semantic_dedup
+    df = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(0, 8)],
+        "vec_id long, embedding array<float>")
+    plan = (semantic_dedup(df, seed_mod=4, id_col="vec_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    # seed assignment must be a broadcast join (the corpus never
+    # shuffles to meet the tiny seed side)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
