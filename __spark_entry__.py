@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f33_dust_apply": _q_dust_apply,
         "t37_lexical_stats": _q_lexical_stats,
         "p19_clean_readable": _q_clean_readable,
+        "p20_clean_semdedup": _q_clean_semdedup,
     }
 
 
@@ -1253,6 +1254,49 @@ _COS = (
     + " / (sqrt(" + _DOT.format(a="qv", b="qv") + ")"
     + " * sqrt(" + _DOT.format(a="cv", b="cv") + "))"
 )
+
+
+def _semdedup_ctes(src: str, seed_mod: int = 61,
+                   threshold: float = 0.45) -> str:
+    """The SemDeDup oracle chain (pts→seeds→asg→best→pts2→drp) over a
+    named source CTE of (vec_id, embedding) — rendered into BOTH the
+    d15 oracle and the p20 pipeline composition so the two mirrors
+    cannot drift.  Mirrors operators/similarity.py:semantic_dedup
+    exactly: seed rule id % seed_mod, argmax-cosine assignment with
+    smallest-seed tie-break (QUALIFY row_number is the window mirror
+    of Spark's max-struct partial agg), keep order (ccos ASC, id ASC),
+    and the upper-triangular over-threshold drop rule; the shared
+    _DOT fold keeps every cosine bit-identical cross-engine."""
+    return f"""pts AS (
+              SELECT vec_id, embedding,
+                     sqrt({_DOT.format(a='embedding', b='embedding')})
+                       AS n
+              FROM {src}
+            ), seeds AS (
+              SELECT vec_id AS seed_id, embedding AS sv, n AS sn
+              FROM pts WHERE vec_id % {seed_mod} = 0 AND n > 0
+            ), asg AS (
+              SELECT p.vec_id, s.seed_id,
+                     {_DOT.format(a='p.embedding', b='s.sv')}
+                       / (p.n * s.sn) AS scos
+              FROM pts p, seeds s WHERE p.n > 0
+            ), best AS (
+              SELECT vec_id, seed_id AS cluster, scos AS ccos
+              FROM asg
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY scos DESC, seed_id ASC
+              ) = 1
+            ), pts2 AS (
+              SELECT b.vec_id, b.cluster, b.ccos, p.embedding, p.n
+              FROM best b JOIN pts p USING (vec_id)
+            ), drp AS (
+              SELECT DISTINCT b.vec_id
+              FROM pts2 a JOIN pts2 b ON a.cluster = b.cluster
+               AND (a.ccos < b.ccos
+                    OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+              WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+                      / (a.n * b.n) > {threshold}
+            )"""
 
 _ROBOTS_HOSTS = ", ".join(f"'h{i}.example.com'" for i in range(10))
 
@@ -2353,6 +2397,28 @@ def _q_clean_readable(spark, sf_dir):
     return corpus.clean_corpus(
         _t(spark, sf_dir, "documents"), fre_min=_P19_FRE_MIN
     ).select("doc_id", "guessed_lang", "token_cnt", "fingerprint")
+
+
+def _q_clean_semdedup(spark, sf_dir):
+    # p20: SemDeDup composed into the cleaning pipeline — d15's
+    # embedding-level semantic verdict (same tau=0.45 / seed_mod=61
+    # contract, run on the RAW corpus, no planted twins) picks the
+    # document survivors (doc_id keys the embedding row 1:1), then
+    # p01's gate→exact-dedup runs on them.  Drop-side anti-join, not
+    # keep-side semi: documents without an embedding row pass
+    # untouched, matching the oracle's NOT IN drp.  The dropped set is
+    # a tiny id list → broadcast anti-join, no extra shuffle on the
+    # document stream.
+    from hepcrawl_spark.operators import corpus
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    verdict = similarity.semantic_dedup(emb, threshold=0.45, seed_mod=61)
+    dropped = verdict.filter(F.col("kept") == 0).select(
+        F.col("id").alias("doc_id"))
+    docs = _t(spark, sf_dir, "documents").join(
+        F.broadcast(dropped), on="doc_id", how="left_anti")
+    return corpus.clean_corpus(docs.select("doc_id", "text")).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint")
 
 
 def _q_lexical_stats(spark, sf_dir):
@@ -4050,7 +4116,8 @@ def oracle_sql() -> dict[str, str]:
         # row_number is the window mirror of Spark's max-struct
         # partial agg), same keep order (ccos ASC, id ASC) and
         # upper-triangular over-threshold drop rule; the shared _DOT
-        # fold keeps every cosine bit-identical cross-engine
+        # fold keeps every cosine bit-identical cross-engine; the
+        # pts→drp chain is a module helper shared with p20
         "d15_semantic_dedup": f"""
             WITH base AS (
               SELECT vec_id, embedding FROM embeddings
@@ -4058,36 +4125,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id + 100000,
                      list_transform(embedding, x -> (x * 2)::FLOAT)
               FROM embeddings WHERE vec_id % 10 = 0
-            ), pts AS (
-              SELECT vec_id, embedding,
-                     sqrt({_DOT.format(a='embedding', b='embedding')})
-                       AS n
-              FROM base
-            ), seeds AS (
-              SELECT vec_id AS seed_id, embedding AS sv, n AS sn
-              FROM pts WHERE vec_id % 61 = 0 AND n > 0
-            ), asg AS (
-              SELECT p.vec_id, s.seed_id,
-                     {_DOT.format(a='p.embedding', b='s.sv')}
-                       / (p.n * s.sn) AS scos
-              FROM pts p, seeds s WHERE p.n > 0
-            ), best AS (
-              SELECT vec_id, seed_id AS cluster, scos AS ccos
-              FROM asg
-              QUALIFY row_number() OVER (
-                PARTITION BY vec_id ORDER BY scos DESC, seed_id ASC
-              ) = 1
-            ), pts2 AS (
-              SELECT b.vec_id, b.cluster, b.ccos, p.embedding, p.n
-              FROM best b JOIN pts p USING (vec_id)
-            ), drp AS (
-              SELECT DISTINCT b.vec_id
-              FROM pts2 a JOIN pts2 b ON a.cluster = b.cluster
-               AND (a.ccos < b.ccos
-                    OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
-              WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
-                      / (a.n * b.n) > 0.45
-            )
+            ), {_semdedup_ctes('base')}
             SELECT vec_id, cluster, round(ccos, 9) AS ccos,
                    (vec_id NOT IN (SELECT vec_id FROM drp))::INT
                      AS kept
@@ -5060,6 +5098,22 @@ def oracle_sql() -> dict[str, str]:
                 vow=textops.VOWEL_GROUP_RE, toks=_TOKS,
                 lo=_P19_FRE_MIN,
             )
+        ),
+        # p20: d15's semdedup chain (shared via _semdedup_ctes, so the
+        # two mirrors cannot drift) over the RAW embeddings picks the
+        # surviving doc_ids (NOT IN drp — docs without an embedding
+        # pass), then p01's body runs on the survivors
+        "p20_clean_semdedup": _P01_SQL_TMPL.format(extra_gate="")
+        .replace("AS toks FROM documents", "AS toks FROM kept_sem", 1)
+        .replace(
+            "WITH s AS (",
+            "WITH embx AS (SELECT vec_id, embedding FROM embeddings), "
+            + _semdedup_ctes("embx")
+            + """, kept_sem AS (
+              SELECT d.* FROM documents d
+              WHERE d.doc_id NOT IN (SELECT vec_id FROM drp)
+            ), s AS (""",
+            1,
         ),
         # f08: the oracle derives the link table closed-form from
         # doc_id; the Spark side must PARSE the same links out of the

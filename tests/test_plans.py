@@ -459,6 +459,18 @@ def test_p17_mirror_filter_is_broadcast_anti_join(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_p20_semdedup_drop_is_broadcast_anti_join(spark):
+    # the semdedup drop set is a tiny id list; removing its documents
+    # must ride a broadcast anti-join in front of p01's gate scan —
+    # the corpus never shuffles on doc_id — and the verdict side keeps
+    # semantic_dedup's contract: seeds broadcast for assignment, no
+    # cartesian pair enumeration, no row-at-a-time Python
+    plan = _plan(em.queries()["p20_clean_semdedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_p19_readability_gate_single_scan(spark):
     # the Flesch band must ride p01's one gate scan: exactly one scan
     # of documents, no join added, no Python
