@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f08_link_graph": _q_link_graph,
         "f09_host_rank": _q_host_rank,
         "f34_trustrank": _q_trustrank,
+        "f35_opic": _q_opic,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
         "f12_snapshot_churn": _q_snapshot_churn,
@@ -1591,6 +1592,28 @@ def _q_dedup_lines(spark, sf_dir):
     )
 
 
+def _q_opic(spark, sf_dir):
+    # f35: OPIC over the same host graph f09 PageRanks — the Nutch
+    # default crawl scoring: damping-free cash/history accounting
+    # whose importance estimate refines WHILE the crawl runs, vs
+    # PageRank's fixed-point-after-the-fact view of the same edges
+    from hepcrawl_spark.frontier import linkgraph
+
+    edges = linkgraph.host_graph(linkgraph.extract_outlinks(
+        _link_pages(_t(spark, sf_dir, "documents"))
+    ))
+    state = linkgraph.opic_hosts(edges, rounds=_OPIC_ROUNDS)
+    return (
+        state.select(
+            "host",
+            F.round("cash", 9).alias("cash"),
+            F.round("hist", 9).alias("hist"),
+            F.round("importance", 9).alias("importance"),
+        )
+        .orderBy("host")
+    )
+
+
 def _q_dedup_lines_global(spark, sf_dir):
     # d10: CROSS-document line dedup (C4 global rule) — lines are
     # 4-token chunks (one deterministic re-chunk, mirrored in the
@@ -1976,6 +1999,7 @@ _LINK_MOD = 9973
 _LINK_HOSTS = 11
 _PR_DAMPING = 0.85
 _PR_ITERATIONS = 5
+_OPIC_ROUNDS = 5
 # TrustRank seed hosts (f34) — two vetted hosts in the f09 link plant
 _TR_SEEDS = ["h0.docs.example.com", "h3.docs.example.com"]
 _HITS_ITERATIONS = 5
@@ -3160,6 +3184,57 @@ def _pr_oracle_sql() -> str:
         + f"""
             SELECT host, round(rank, 9) AS rank
             FROM r{_PR_ITERATIONS} ORDER BY host"""
+    )
+
+
+def _opic_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of opic_hosts — the SAME round count and
+    fold expression as the Spark loop, generated from the same
+    constants; hist banks the PRE-round cash, new cash = in-edge
+    forwards + the uniform dangling redistribution."""
+    ctes = [
+        f"l AS ({_LINK_SQL})",
+        """edges AS (
+              SELECT src_host, dst_host, count(*)::BIGINT AS weight
+              FROM l GROUP BY src_host, dst_host)""",
+        """hosts AS (
+              SELECT src_host AS host FROM edges
+              UNION
+              SELECT dst_host FROM edges)""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM hosts)",
+        """outw AS (
+              SELECT src_host, sum(weight)::DOUBLE AS wout
+              FROM edges GROUP BY src_host)""",
+        """s0 AS (
+              SELECT host, 1.0 / (SELECT n FROM nn) AS cash,
+                     0.0 AS hist
+              FROM hosts)""",
+    ]
+    for k in range(_OPIC_ROUNDS):
+        ctes.append(f"""dang{k} AS (
+              SELECT coalesce(sum(cash), 0.0) AS dm FROM s{k}
+              WHERE host NOT IN (SELECT src_host FROM outw))""")
+        ctes.append(f"""c{k} AS (
+              SELECT e.dst_host,
+                     sum(s.cash * e.weight / o.wout) AS contrib
+              FROM edges e
+              JOIN s{k} s ON s.host = e.src_host
+              JOIN outw o ON o.src_host = e.src_host
+              GROUP BY e.dst_host)""")
+        ctes.append(f"""s{k + 1} AS (
+              SELECT h.host,
+                     coalesce(c.contrib, 0.0)
+                       + (SELECT dm FROM dang{k}) / (SELECT n FROM nn)
+                       AS cash,
+                     h.hist + h.cash AS hist
+              FROM s{k} h LEFT JOIN c{k} c ON c.dst_host = h.host)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+            SELECT host, round(cash, 9) AS cash, round(hist, 9) AS hist,
+                   round((hist + cash) / {float(_OPIC_ROUNDS + 1)}, 9)
+                     AS importance
+            FROM s{_OPIC_ROUNDS} ORDER BY host"""
     )
 
 
@@ -5130,6 +5205,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
+        "f35_opic": _opic_oracle_sql(),
         # f27: HITS mirror — unrolled CTEs generated from the same
         # iteration count; hub/authority rounded to 9 (cross-engine
         # sum-order noise ~1e-14)

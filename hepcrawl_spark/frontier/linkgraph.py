@@ -268,6 +268,108 @@ def trustrank_hosts(
     return ranks.select("host", "trust")
 
 
+def opic_hosts(
+    edges: DataFrame,
+    rounds: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """OPIC (Abiteboul, Preda & Cobéna, WWW 2003) over a weighted host
+    graph -> (host, cash, hist, importance) — the On-line Page
+    Importance Computation that Nutch ships as its default crawl
+    scoring.  Unlike PageRank (``pagerank_hosts``), OPIC needs no
+    damping factor and no convergence test: every node holds *cash*;
+    processing a node banks its cash into *history* and forwards it
+    equally-per-weight along its outlinks, so importance estimates are
+    available (and monotonically refining) while the crawl is still
+    running — exactly the property an in-flight frontier wants.
+
+    This is the synchronous batch variant: each round processes EVERY
+    node once —
+
+        hist_{k+1}(h) = hist_k(h) + cash_k(h)
+        cash_{k+1}(h) = Σ_{s→h} cash_k(s)·w(s,h)/W(s) + dangling_k/N
+
+    with the cash of outlink-less hosts (the paper's virtual-root
+    shortcut) redistributed uniformly, cash_0 = 1/N, hist_0 = 0.
+    Total cash stays 1 per round, so after K rounds
+    ``importance = (hist + cash) / (K + 1)`` sums to 1 — the paper's
+    ``H/|H|`` estimator including the still-circulating cash.
+    Deterministic given the edge table: integer weights, fixed round
+    count, same fold expression the DuckDB mirror unrolls.
+
+    100 TB shape: identical to ``pagerank_hosts`` — the loop touches
+    only host-cardinality frames; the (edge ⋈ out-weight) side is
+    hash-partitioned once on src_host and kept resident so only the
+    small (cash, hist) frame shuffles per round; dangling cash rides a
+    broadcast 1-row aggregate; lineage is truncated with
+    ``localCheckpoint`` every ``checkpoint_every`` rounds.
+    """
+    out_w = edges.groupBy("src_host").agg(
+        F.sum("weight").cast("double").alias("wout")
+    )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .join(out_w.select(F.col("src_host").alias("host"),
+                           F.lit(True).alias("has_out")),
+              on="host", how="left")
+        .withColumn("has_out", F.coalesce("has_out", F.lit(False)))
+        .persist()
+    )
+    n = hosts.count()
+    if n == 0:
+        return hosts.select(
+            "host", F.lit(0.0).alias("cash"), F.lit(0.0).alias("hist"),
+            F.lit(0.0).alias("importance"),
+        )
+
+    contrib_edges = (
+        edges.join(out_w, "src_host")
+        .repartition("src_host")
+        .persist()
+    )
+
+    state = hosts.select(
+        "host", "has_out",
+        F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist"),
+    )
+    for i in range(rounds):
+        dangling = (
+            state.filter(~F.col("has_out"))
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            contrib_edges
+            .join(state.select(F.col("host").alias("src_host"), "cash"),
+                  "src_host")
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("cash") * F.col("weight") / F.col("wout"))
+                 .alias("contrib"))
+        )
+        state = (
+            state
+            .join(contrib, state["host"] == contrib["dst_host"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                state["host"],
+                state["has_out"],
+                (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dangling") / F.lit(float(n))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        "host", "cash", "hist",
+        ((F.col("hist") + F.col("cash")) / F.lit(float(rounds + 1)))
+        .alias("importance"),
+    )
+
+
 def rank_priorities(ranks: DataFrame, levels: int = 100) -> DataFrame:
     """Quantize PageRank scores to the integer host-priority dimension
     ``schedule(host_priorities=...)`` consumes.

@@ -363,3 +363,67 @@ def test_trustrank_rejects_absent_seed_set(spark):
         [("a", "b", 1)], "src_host string, dst_host string, weight long")
     with pytest.raises(ValueError, match="seed"):
         linkgraph.trustrank_hosts(edges, ["nope.example.com"])
+
+
+def _py_opic(edges, rounds=5):
+    """Independent mirror of opic_hosts' synchronous cash/history
+    rounds (Abiteboul et al. 2003, uniform virtual-root shortcut)."""
+    hosts = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(hosts)
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    cash = {h: 1.0 / n for h in hosts}
+    hist = {h: 0.0 for h in hosts}
+    for _ in range(rounds):
+        dang = sum(c for h, c in cash.items() if h not in wout)
+        contrib = {h: 0.0 for h in hosts}
+        for s, t, w in edges:
+            contrib[t] += cash[s] * w / wout[s]
+        hist = {h: hist[h] + cash[h] for h in hosts}
+        cash = {h: contrib[h] + dang / n for h in hosts}
+    return cash, hist
+
+
+def test_opic_matches_python_mirror(spark):
+    edges = spark.createDataFrame(
+        EDGES, "src_host string, dst_host string, weight long")
+    got = {r.host: r for r in linkgraph.opic_hosts(edges, rounds=5).collect()}
+    cash, hist = _py_opic(EDGES, rounds=5)
+    assert set(got) == set(cash)
+    for h in cash:
+        assert got[h].cash == pytest.approx(cash[h], rel=1e-9), h
+        assert got[h].hist == pytest.approx(hist[h], rel=1e-9), h
+        assert got[h].importance == pytest.approx(
+            (hist[h] + cash[h]) / 6.0, rel=1e-9), h
+
+
+def test_opic_cash_conservation_and_importance_sums_to_one(spark):
+    # total cash is 1 after every round (the dangling recycle never
+    # leaks mass), so hist totals `rounds` and importance sums to 1
+    edges = spark.createDataFrame(
+        EDGES, "src_host string, dst_host string, weight long")
+    got = linkgraph.opic_hosts(edges, rounds=4).collect()
+    assert sum(r.cash for r in got) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.hist for r in got) == pytest.approx(4.0, abs=1e-9)
+    assert sum(r.importance for r in got) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_opic_importance_tracks_pagerank_order(spark):
+    # same edges, two estimators: OPIC's refining estimate must agree
+    # with PageRank on the host ordering (a > c > b > d on EDGES —
+    # verified against both python mirrors)
+    edges = spark.createDataFrame(
+        EDGES, "src_host string, dst_host string, weight long")
+    opic = {r.host: r.importance
+            for r in linkgraph.opic_hosts(edges, rounds=5).collect()}
+    pr = _py_pagerank(EDGES, iters=5)
+    assert (sorted(opic, key=opic.get, reverse=True)
+            == sorted(pr, key=pr.get, reverse=True)
+            == ["a", "c", "b", "d"])
+
+
+def test_f35_registered():
+    import __spark_entry__ as e
+    assert "f35_opic" in e.queries()
+    assert "f35_opic" in e.oracle_sql()

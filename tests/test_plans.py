@@ -756,3 +756,13 @@ def test_f27_hits_no_cartesian_no_python(spark):
     plan = _plan(em.queries()["f27_hits"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_f35_opic_no_cartesian_no_python(spark):
+    # OPIC keeps pagerank's iteration shape: the (edge ⋈ out-weight)
+    # side partitioned once, only the small cash/hist frame moving per
+    # round, dangling via broadcast 1-row agg — no cartesian blowup
+    # (the dangling crossJoin must broadcast), no Python anywhere
+    plan = _plan(em.queries()["f35_opic"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
