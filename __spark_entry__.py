@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f09_host_rank": _q_host_rank,
         "f34_trustrank": _q_trustrank,
         "f35_opic": _q_opic,
+        "f36_reshard": _q_reshard,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
         "f12_snapshot_churn": _q_snapshot_churn,
@@ -1612,6 +1613,21 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_reshard(spark, sf_dir):
+    # f36: rendezvous host→worker sharding and the fleet-resize view —
+    # per event host, the HRW shard at 8 and at 9 workers plus the
+    # moved flag; the invariant the operator exists for (only
+    # new-winner moves, ~1/(N+1) of hosts) is pinned over a wide
+    # synthetic host set in tests/test_sharding.py
+    from hepcrawl_spark.frontier.sharding import reshard_report
+
+    hosts = (
+        _event_candidates(spark, sf_dir)
+        .select(F.col("url_host").alias("host")).distinct()
+    )
+    return reshard_report(hosts, n_from=8, n_to=9).orderBy("host")
 
 
 def _q_dedup_lines_global(spark, sf_dir):
@@ -5206,6 +5222,34 @@ def oracle_sql() -> dict[str, str]:
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
         "f35_opic": _opic_oracle_sql(),
+        # f36: HRW mirror — same md5-prefix score, argmax via the
+        # window tie-break (s DESC, i ASC) that mirrors the fold's
+        # strict-> / smaller-i rule; shard universe = range(9), the
+        # 8-worker branch just drops shard 8 before the argmax
+        "f36_reshard": """
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || (user_id % 20) || '.example.com'
+                       AS host
+              FROM events
+            ), sc AS (
+              SELECT host, r.i,
+                     ('0x' || substr(md5(host || ':' || r.i), 1, 15))::BIGINT
+                       AS s
+              FROM hosts, range(9) r(i)
+            ), a8 AS (
+              SELECT host, i::INT AS shard_from FROM sc WHERE i < 8
+              QUALIFY row_number() OVER (
+                PARTITION BY host ORDER BY s DESC, i ASC) = 1
+            ), a9 AS (
+              SELECT host, i::INT AS shard_to FROM sc
+              QUALIFY row_number() OVER (
+                PARTITION BY host ORDER BY s DESC, i ASC) = 1
+            )
+            SELECT host, shard_from, shard_to,
+                   (shard_from != shard_to)::INT AS moved
+            FROM a8 JOIN a9 USING (host)
+            ORDER BY host
+        """,
         # f27: HITS mirror — unrolled CTEs generated from the same
         # iteration count; hub/authority rounded to 9 (cross-engine
         # sum-order noise ~1e-14)
