@@ -614,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f34_trustrank": _q_trustrank,
         "f35_opic": _q_opic,
         "f36_reshard": _q_reshard,
+        "d16_cdc_chunks": _q_cdc_chunks,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
         "f12_snapshot_churn": _q_snapshot_churn,
@@ -1613,6 +1614,21 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    # d16: LBFS content-defined chunking over the corpus — the ledger
+    # of chunk contents seen 2+ times (the shareable storage a web
+    # archive dedups on); window 16 / divisor 64 / max-cap 256
+    tab = dedup.cdc_chunk_table(
+        _t(spark, sf_dir, "documents"),
+        window=16, divisor=64, max_chunk=256,
+    )
+    return tab.select(
+        "chunk_hash",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    ).orderBy("chunk_hash")
 
 
 def _q_reshard(spark, sf_dir):
@@ -5222,6 +5238,45 @@ def oracle_sql() -> dict[str, str]:
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
         "f35_opic": _opic_oracle_sql(),
+        # d16: CDC mirror — same md5-prefix window hash, same cut rule
+        # (interior position, window 16, divisor 64), same max-cap-256
+        # stride re-split between content cuts; range() is
+        # stop-EXCLUSIVE where Spark sequence() is inclusive, hence
+        # the +1 / no -1 offsets
+        "d16_cdc_chunks": """
+            WITH b AS (
+              SELECT doc_id, text, length(text)::INT AS ln
+              FROM documents WHERE length(text) > 0
+            ), cuts AS (
+              SELECT doc_id, text, ln,
+                     [0::BIGINT]
+                       || list_filter(
+                         list_transform(range(16, greatest(ln, 16) + 1),
+                           i -> CASE WHEN i < ln AND
+                             ('0x' || substr(md5(substr(text, i - 15, 16)),
+                                             1, 15))::BIGINT % 64 = 0
+                             THEN i ELSE -1 END),
+                         x -> x != -1)
+                       || [ln::BIGINT] AS base
+              FROM b
+            ), bnd AS (
+              SELECT doc_id, text,
+                     flatten(list_transform(range(1, len(base)),
+                       j -> range(base[j], base[j + 1], 256)))
+                       || [ln::BIGINT] AS bounds
+              FROM cuts
+            ), ch AS (
+              SELECT unnest(list_transform(range(1, len(bounds)),
+                       j -> substr(text, bounds[j] + 1,
+                                   bounds[j + 1] - bounds[j]))) AS chunk
+              FROM bnd
+            )
+            SELECT md5(chunk) AS chunk_hash,
+                   count(*)::BIGINT AS freq,
+                   min(length(chunk))::BIGINT AS chunk_len
+            FROM ch GROUP BY md5(chunk) HAVING count(*) >= 2
+            ORDER BY chunk_hash
+        """,
         # f36: HRW mirror — same md5-prefix score, argmax via the
         # window tie-break (s DESC, i ASC) that mirrors the fold's
         # strict-> / smaller-i rule; shard universe = range(9), the

@@ -1088,3 +1088,105 @@ def cluster_representatives(docs: DataFrame, pairs: DataFrame,
         "doc_id", "cluster_id", "quality",
         (F.col("doc_id") == F.col("_rep")).cast("int").alias("kept"),
     )
+
+
+def cdc_bounds_col(text: Column, window: int = 16, divisor: int = 64,
+                   max_chunk: int = 256) -> Column:
+    """Content-defined chunk boundaries for one document: the LBFS
+    sliding-window scheme (Muthitacharoen, Chen & Mazières, SOSP
+    2001) web archives use for storage-level dedup — a position cuts
+    when the hash of the ``window`` chars ending there is ≡ 0 mod
+    ``divisor``, so boundaries follow CONTENT: insert a byte and only
+    the surrounding chunk's hashes change, where fixed-size blocks
+    reshift the whole tail (rsync's weakness the paper fixes).
+
+    The cut rule is deliberately LOCAL (no min-size guard): every
+    position decides independently, so the whole computation is one
+    in-row HOF projection — parallel, shuffle-free, and exactly
+    mirrorable cross-engine.  The max-size guard IS kept (a chunk
+    must fit a fixed dedup buffer) and stays local per inter-cut run:
+    runs longer than ``max_chunk`` re-split at fixed strides.  The
+    per-position window hash is the repo's portable md5-prefix fold;
+    a gear-table rolling hash is the constant-factor refinement a
+    native store would swap in.
+
+    Returns the ascending bounds array [0, …, length]: chunk k spans
+    chars bounds[k]+1 … bounds[k+1] (1-based substring convention).
+    Empty or NULL text yields [0] (no chunks).
+    """
+    ln = F.length(text)
+    wnd = F.lit(window)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(wnd, F.greatest(ln, wnd)),
+            lambda i: F.when(
+                (i < ln)  # a cut AT the end is just the end bound
+                & (F.conv(F.substring(F.md5(text.substr(i - wnd + 1, wnd)),
+                                      1, 15), 16, 10).cast("long")
+                   % divisor == 0),
+                i,
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x != -1,
+    )
+    base = F.concat(F.array(F.lit(0)), cuts, F.array(ln))
+    # max-cap re-split: between consecutive bounds, stride max_chunk.
+    # NB sequence(lo, hi) DESCENDS when lo > hi, so every sequence
+    # here is guarded ascending: base always has >= 2 elements in the
+    # ln > 0 branch, and each inter-bound stride has hi >= lo.
+    full = F.concat(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(base) - 1),
+                lambda j: F.sequence(
+                    F.element_at(base, j),
+                    F.element_at(base, j + 1) - 1,
+                    F.lit(max_chunk),
+                ),
+            )
+        ),
+        F.array(ln),
+    )
+    return F.when(ln > 0, full).otherwise(F.array(F.lit(0)))
+
+
+def cdc_chunk_table(docs: DataFrame, window: int = 16, divisor: int = 64,
+                    max_chunk: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide CDC dedup ledger: (chunk_hash, freq, chunk_len) for
+    every chunk content seen more than once — the shareable storage.
+
+    100 TB shape: bounds + chunk slicing are one codegen projection
+    per row (no Python, no shuffle); the only exchange is the
+    partial→final count on chunk_hash, and the md5 key distributes
+    uniformly so the agg never skews.  Chunk size is bounded by
+    ``max_chunk``, so explode fan-out per doc is ≤ len/avg_chunk and
+    shuffle rows carry a 32-char hash + length, never the text.
+    """
+    t = F.col(text_col)
+    bounds = cdc_bounds_col(t, window=window, divisor=divisor,
+                            max_chunk=max_chunk)
+    chunks = bind_once(
+        bounds,
+        lambda b: F.when(
+            F.size(b) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(b) - 1),
+                lambda j: t.substr(
+                    F.element_at(b, j) + 1,
+                    F.element_at(b, j + 1) - F.element_at(b, j),
+                ),
+            ),
+        ).otherwise(F.array_remove(F.array(F.lit("")), "")),
+    )
+    per_chunk = (
+        docs.select(F.explode(chunks).alias("chunk"))
+        .select(F.md5("chunk").alias("chunk_hash"),
+                F.length("chunk").alias("chunk_len"))
+    )
+    return (
+        per_chunk.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("freq"),
+             F.first("chunk_len").alias("chunk_len"))
+        .where(F.col("freq") >= 2)
+    )
