@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f32_dust_params": _q_dust_params,
         "f33_dust_apply": _q_dust_apply,
         "t37_lexical_stats": _q_lexical_stats,
+        "t38_cluster_cap": _q_cluster_cap,
         "p19_clean_readable": _q_clean_readable,
         "p20_clean_semdedup": _q_clean_semdedup,
     }
@@ -1259,17 +1260,15 @@ _COS = (
 )
 
 
-def _semdedup_ctes(src: str, seed_mod: int = 61,
-                   threshold: float = 0.45) -> str:
-    """The SemDeDup oracle chain (pts→seeds→asg→best→pts2→drp) over a
-    named source CTE of (vec_id, embedding) — rendered into BOTH the
-    d15 oracle and the p20 pipeline composition so the two mirrors
-    cannot drift.  Mirrors operators/similarity.py:semantic_dedup
-    exactly: seed rule id % seed_mod, argmax-cosine assignment with
+def _cluster_assign_ctes(src: str, seed_mod: int = 61) -> str:
+    """The seed-cluster assignment oracle chain (pts→seeds→asg→best)
+    over a named source CTE of (vec_id, embedding) — the shared first
+    half of the d15/p20 semdedup mirrors and the t38 cluster-cap
+    mirror.  Mirrors operators/similarity.py:assign_clusters exactly:
+    seed rule id % seed_mod, argmax-cosine assignment with
     smallest-seed tie-break (QUALIFY row_number is the window mirror
-    of Spark's max-struct partial agg), keep order (ccos ASC, id ASC),
-    and the upper-triangular over-threshold drop rule; the shared
-    _DOT fold keeps every cosine bit-identical cross-engine."""
+    of Spark's max-struct partial agg); the shared _DOT fold keeps
+    every cosine bit-identical cross-engine."""
     return f"""pts AS (
               SELECT vec_id, embedding,
                      sqrt({_DOT.format(a='embedding', b='embedding')})
@@ -1289,7 +1288,17 @@ def _semdedup_ctes(src: str, seed_mod: int = 61,
               QUALIFY row_number() OVER (
                 PARTITION BY vec_id ORDER BY scos DESC, seed_id ASC
               ) = 1
-            ), pts2 AS (
+            )"""
+
+
+def _semdedup_ctes(src: str, seed_mod: int = 61,
+                   threshold: float = 0.45) -> str:
+    """The full SemDeDup oracle chain: _cluster_assign_ctes plus the
+    keep-order / upper-triangular drop tail (pts2→drp) — rendered into
+    BOTH the d15 oracle and the p20 pipeline composition so the two
+    mirrors cannot drift.  Keep order (ccos ASC, id ASC) and the
+    over-threshold drop rule mirror semantic_dedup exactly."""
+    return _cluster_assign_ctes(src, seed_mod) + f""", pts2 AS (
               SELECT b.vec_id, b.cluster, b.ccos, p.embedding, p.n
               FROM best b JOIN pts p USING (vec_id)
             ), drp AS (
@@ -1614,6 +1623,18 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_cluster_cap(spark, sf_dir):
+    # t38: cluster-capped sampling (the D4/DoReMi volume-rebalance
+    # step) — d15's seed-cluster assignment, then at most 8 survivors
+    # per cluster in RNG-free md5(id) order; SemDeDup drops duplicate
+    # MEANINGS, this caps sheer volume per meaning
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = similarity.cluster_cap_sample(emb, quota=8, seed_mod=61)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster", "pick_rank", "kept"
+    ).orderBy("vec_id")
 
 
 def _q_cdc_chunks(spark, sf_dir):
@@ -5238,6 +5259,24 @@ def oracle_sql() -> dict[str, str]:
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
         "f35_opic": _opic_oracle_sql(),
+        # t38: cluster-cap mirror — the d15 assignment chain shared via
+        # _cluster_assign_ctes, then the same md5(id)/id pick order and
+        # quota-8 cap inside each cluster
+        "t38_cluster_cap": f"""
+            WITH embx AS (SELECT vec_id, embedding FROM embeddings),
+            {_cluster_assign_ctes('embx')}
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY md5(vec_id::VARCHAR), vec_id
+                   )::BIGINT AS pick_rank,
+                   (row_number() OVER (
+                     PARTITION BY cluster
+                     ORDER BY md5(vec_id::VARCHAR), vec_id
+                   ) <= 8)::INT AS kept
+            FROM best
+            ORDER BY vec_id
+        """,
         # d16: CDC mirror — same md5-prefix window hash, same cut rule
         # (interior position, window 16, divisor 64), same max-cap-256
         # stride re-split between content cuts; range() is

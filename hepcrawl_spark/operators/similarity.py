@@ -697,6 +697,61 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     )
 
 
+def assign_clusters(embeddings: DataFrame, seed_mod: int = 61,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Deterministic seed-cluster assignment — the shared first half
+    of ``semantic_dedup`` and ``cluster_cap_sample``: seeds are the
+    nonzero-norm vectors with ``id % seed_mod == 0``; every
+    nonzero-norm point joins its max-cosine seed (tie → smallest seed
+    id).  Returns (id, cluster, ccos, vec, n); zero-norm points are
+    NOT included (each caller decides its own bypass).  Raises when
+    no seed exists.
+
+    100 TB shape: the seed side is tiny (n / seed_mod) and BROADCASTS
+    for assignment — the corpus never shuffles there; the argmax is a
+    partial-aggregating max of a (cos, -seed) struct, not a window.
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_col(F.col(vec_col)).alias("n"),
+    )
+    seeds = (
+        pts.filter((F.col("id") % seed_mod == 0) & (F.col("n") > 0))
+        .select(F.col("id").alias("seed_id"), F.col("vec").alias("sv"),
+                F.col("n").alias("sn"))
+    )
+    if seeds.limit(1).count() == 0:
+        raise ValueError(
+            f"no seed vectors (id % {seed_mod} == 0 with nonzero norm) "
+            "— cluster assignment would be empty"
+        )
+    live = pts.filter(F.col("n") > 0)
+    scored = (
+        live.join(F.broadcast(seeds))
+        .withColumn(
+            "scos",
+            dot_col(F.col("vec"), F.col("sv")) / (F.col("n") * F.col("sn")),
+        )
+    )
+    best = F.max(F.struct(
+        F.col("scos").alias("ccos"),
+        (-F.col("seed_id")).alias("negseed"),
+    ))
+    return (
+        scored.groupBy("id")
+        .agg(best.alias("_b"), F.first("vec").alias("vec"),
+             F.first("n").alias("n"))
+        .select(
+            "id",
+            (-F.col("_b.negseed")).cast("long").alias("cluster"),
+            F.col("_b.ccos").alias("ccos"),
+            "vec", "n",
+        )
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
                    seed_mod: int = 61,
                    id_col: str = "vec_id",
@@ -747,39 +802,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
         F.col(vec_col).alias("vec"),
         norm_col(F.col(vec_col)).alias("n"),
     )
-    seeds = (
-        pts.filter((F.col("id") % seed_mod == 0) & (F.col("n") > 0))
-        .select(F.col("id").alias("seed_id"), F.col("vec").alias("sv"),
-                F.col("n").alias("sn"))
-    )
-    if seeds.limit(1).count() == 0:
-        raise ValueError(
-            f"no seed vectors (id % {seed_mod} == 0 with nonzero norm) "
-            "— semantic_dedup would keep everything"
-        )
-    live = pts.filter(F.col("n") > 0)
-    scored = (
-        live.join(F.broadcast(seeds))
-        .withColumn(
-            "scos",
-            dot_col(F.col("vec"), F.col("sv")) / (F.col("n") * F.col("sn")),
-        )
-    )
-    best = F.max(F.struct(
-        F.col("scos").alias("ccos"),
-        (-F.col("seed_id")).alias("negseed"),
-    ))
-    assigned = (
-        scored.groupBy("id")
-        .agg(best.alias("_b"), F.first("vec").alias("vec"),
-             F.first("n").alias("n"))
-        .select(
-            "id",
-            (-F.col("_b.negseed")).cast("long").alias("cluster"),
-            F.col("_b.ccos").alias("ccos"),
-            "vec", "n",
-        )
-    )
+    assigned = assign_clusters(embeddings, seed_mod=seed_mod,
+                               id_col=id_col, vec_col=vec_col)
     a = assigned.select(F.col("id").alias("id_a"),
                         F.col("cluster").alias("cl_a"),
                         F.col("ccos").alias("cc_a"),
@@ -815,3 +839,42 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
         F.lit(-2.0).alias("ccos"), F.lit(1).alias("kept"),
     )
     return verdict.unionByName(degenerate)
+
+
+def cluster_cap_sample(embeddings: DataFrame, quota: int = 8,
+                       seed_mod: int = 61,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       salt: str = "") -> DataFrame:
+    """Cluster-capped sampling: rebalance a corpus by topic — assign
+    every vector to its semantic cluster (``assign_clusters``) and
+    keep at most ``quota`` members per cluster, so over-represented
+    content (boilerplate farms, template families, scraped mirrors)
+    stops dominating the training mix.  The cluster-level capping
+    step of DoReMi-style mixture curation and the D4 pipeline
+    (Tirumala et al., 2023, arXiv:2308.12284) pair with SemDeDup;
+    where ``semantic_dedup`` drops near-duplicate MEANINGS, this caps
+    sheer VOLUME per meaning.
+
+    Selection within a cluster is the repo's RNG-free order: ascending
+    ``md5(salt || id)`` with the id as tie-break — reproducible
+    cross-engine, re-keyable per release via ``salt``, and unbiased
+    w.r.t. any content property.  Returns
+    (id, cluster, pick_rank, kept) for every nonzero-norm vector.
+
+    100 TB shape: assignment broadcasts the tiny seed side (see
+    ``assign_clusters``); the cap is ONE window over
+    cluster-partitioned data — a single hash exchange on cluster, and
+    cluster sizes are bounded by the seed density the operator exists
+    to tune, so no partition skews.
+    """
+    assigned = assign_clusters(embeddings, seed_mod=seed_mod,
+                               id_col=id_col, vec_col=vec_col)
+    order_key = F.md5(F.concat(F.lit(salt), F.col("id").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(order_key.asc(),
+                                              F.col("id").asc())
+    return (
+        assigned.select("id", "cluster")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", (F.col("pick_rank") <= quota).cast("int"))
+    )

@@ -2094,3 +2094,64 @@ def test_semantic_dedup_assignment_broadcasts(spark):
     # seed assignment must be a broadcast join (the corpus never
     # shuffles to meet the tiny seed side)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cluster_cap_sample_quota_and_order(spark):
+    import hashlib
+
+    from hepcrawl_spark.operators.similarity import cluster_cap_sample
+
+    # 12 near-collinear vectors, one seed (id 0) → one cluster of 12;
+    # quota 5 must keep exactly 5, in ascending md5(id)/id order
+    rows = [(i, [1.0, float(i % 3) * 0.01] + [0.0] * 62)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    got = {r.id: r for r in cluster_cap_sample(
+        df, quota=5, seed_mod=61).collect()}
+    assert len(got) == 12
+    assert sum(r.kept for r in got.values()) == 5
+    # pick order is ascending md5(id), ties by id — python mirror
+    order = sorted(got, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))
+    for rank, i in enumerate(order, start=1):
+        assert got[i].pick_rank == rank
+        assert got[i].kept == (1 if rank <= 5 else 0)
+
+
+def test_cluster_cap_sample_caps_dominant_topic(spark):
+    from hepcrawl_spark.operators.similarity import cluster_cap_sample
+
+    # topic A: 40 members around seed 0; topic B: 3 members around a
+    # direction whose best seed is still 0? — use seed_mod=20 so ids
+    # 0,20,40 are seeds; B vectors sit on the axis of seed 20
+    a = [(i, [1.0, 0.001 * i] + [0.0] * 62) for i in range(40)
+         if i not in (20,)]
+    b = [(i, [0.0, 1.0, 0.002 * i] + [0.0] * 61)
+         for i in (20, 50, 51)]
+    df = spark.createDataFrame(
+        a + b, "vec_id long, embedding array<float>")
+    got = cluster_cap_sample(df, quota=4, seed_mod=20).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    kept_a = sum(r.kept for r in by_cluster[0])
+    kept_b = sum(r.kept for r in by_cluster[20])
+    assert kept_a == 4            # dominant topic capped at quota
+    assert kept_b == 3            # small topic fully kept
+    assert len(by_cluster[0]) == 39
+
+
+def test_cluster_cap_single_window_exchange(spark):
+    from hepcrawl_spark.operators.similarity import cluster_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    plan = (cluster_cap_sample(df, seed_mod=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # one window, partitioned by cluster — never an unpartitioned
+    # global sort; assignment side broadcasts as in semantic_dedup
+    assert plan.count("Window") >= 1
+    assert "windowspecdefinition(cluster" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
