@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f33_dust_apply": _q_dust_apply,
         "t37_lexical_stats": _q_lexical_stats,
         "t38_cluster_cap": _q_cluster_cap,
+        "t39_contamination_bloom": _q_contamination_bloom,
         "p19_clean_readable": _q_clean_readable,
         "p20_clean_semdedup": _q_clean_semdedup,
     }
@@ -1623,6 +1624,21 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_contamination_bloom(spark, sf_dir):
+    # t39: Bloom-compressed decontamination — t11's verdict with the
+    # benchmark broadcast shrunk to set bit positions (m=2^20, k=3);
+    # bloom hits are a SUPERSET of exact hits (no false negatives —
+    # pinned in tests), and the bloom itself is deterministic md5
+    # arithmetic, so the oracle recomputes it exactly
+    from hepcrawl_spark.operators.dedup import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    return bloom_contamination(
+        docs, bench, n=13, m_bits=1 << 20, k=3
+    ).select("doc_id", "gram_cnt", "hit_cnt", "contaminated")
 
 
 def _q_cluster_cap(spark, sf_dir):
@@ -5259,6 +5275,47 @@ def oracle_sql() -> dict[str, str]:
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
         "f35_opic": _opic_oracle_sql(),
+        # t39: bloom mirror — the SAME md5('j:'||g) probe positions
+        # (m=2^20, k=3) recomputed in SQL; a gram hits when all k
+        # probes land in the benchmark's set-position set
+        "t39_contamination_bloom": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), bench AS (
+              SELECT DISTINCT {_G13} AS g
+              FROM toks, {_G13_RANGE}
+              WHERE len(t) >= 13 AND {_BENCH_RULE}
+            ), bpos AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(j || ':' || g), 1, 15))::BIGINT
+                  % 1048576 AS p
+              FROM bench, range(0, 3) r(j)
+            ), dg AS (
+              SELECT DISTINCT doc_id, {_G13} AS g
+              FROM toks, {_G13_RANGE}
+              WHERE len(t) >= 13
+            ), hits AS (
+              SELECT doc_id, g
+              FROM dg, range(0, 3) r(j)
+              WHERE ('0x' || substr(md5(j || ':' || g), 1, 15))::BIGINT
+                      % 1048576 IN (SELECT p FROM bpos)
+              GROUP BY doc_id, g
+              HAVING count(*) = 3
+            ), per AS (
+              SELECT doc_id, count(*)::BIGINT AS gram_cnt
+              FROM dg GROUP BY doc_id
+            ), hc AS (
+              SELECT doc_id, count(*)::BIGINT AS hit_cnt
+              FROM hits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.gram_cnt, 0)::BIGINT AS gram_cnt,
+                   COALESCE(hc.hit_cnt, 0)::BIGINT AS hit_cnt,
+                   COALESCE(hc.hit_cnt, 0) >= 1 AS contaminated
+            FROM documents d
+            LEFT JOIN per ON per.doc_id = d.doc_id
+            LEFT JOIN hc ON hc.doc_id = d.doc_id
+        """,
         # t38: cluster-cap mirror — the d15 assignment chain shared via
         # _cluster_assign_ctes, then the same md5(id)/id pick order and
         # quota-8 cap inside each cluster

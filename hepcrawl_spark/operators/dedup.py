@@ -1190,3 +1190,88 @@ def cdc_chunk_table(docs: DataFrame, window: int = 16, divisor: int = 64,
              F.first("chunk_len").alias("chunk_len"))
         .where(F.col("freq") >= 2)
     )
+
+
+def _bloom_pos(j: int, gram: Column, m_bits: int) -> Column:
+    """Bloom probe position j for a gram: the portable md5-prefix hash
+    of ``'j:' || gram`` mod ``m_bits`` — reproducible cross-engine."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)),
+                           1, 15), 16, 10).cast("long") % m_bits
+    )
+
+
+def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 13, m_bits: int = 1 << 20, k: int = 3,
+                        min_hits: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_text_col: str | None = None) -> DataFrame:
+    """Bloom-compressed decontamination — the 100 TB form of
+    :func:`benchmark_contamination`.  The exact operator broadcasts
+    the benchmark's DISTINCT 13-gram STRINGS (~100 B each); at a
+    serious eval-suite union that broadcast is GBs per executor.
+    This variant broadcasts only the SET BIT POSITIONS of a Bloom
+    filter over those grams (k md5 probes into m_bits buckets —
+    distinct BIGINTs, ~10× smaller, independent of gram length), and
+    a doc gram counts as a hit when ALL k of its probe positions are
+    set.
+
+    Bloom direction is the safe one for decontamination: no false
+    NEGATIVES ever (a contaminated doc is always flagged — superset
+    of the exact operator, pinned in tests), false positives only
+    over-drop at rate ~(fill_ratio)^k.  Size ``m_bits`` at ~10+
+    bits/gram to keep that under 1e-2.
+
+    Returns ``(id, gram_cnt, hit_cnt, contaminated)`` over every doc
+    — drop-in for the exact operator's verdict columns.
+
+    Plan shape: the position set builds with one distinct-aggregate
+    over bench grams × k (tiny side, broadcast); doc grams explode
+    ×k into (id, gram, position) probes that inner-join the broadcast
+    — clean docs' probes produce k-at-most matches and the
+    ``HAVING count = k`` gate runs as a partial-agg groupBy, so the
+    shuffle carries only genuine near-hits.
+    """
+    t = F.col(text_col)
+    bench_pos = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(bench_text_col or text_col), n))
+            .alias("_gram")
+        )
+        .select(F.explode(F.array(*[
+            _bloom_pos(j, F.col("_gram"), m_bits) for j in range(k)
+        ])).alias("_pos"))
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(t, n)).alias("_gram"),
+    )
+    probes = (
+        dg.filter(F.col("_gram").isNotNull())
+        .select(
+            id_col, "_gram",
+            F.explode(F.array(*[
+                _bloom_pos(j, F.col("_gram"), m_bits) for j in range(k)
+            ])).alias("_pos"),
+        )
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bench_pos), on="_pos", how="inner")
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == k)
+    )
+    hit_cnt = gram_hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("hit_cnt"))
+    base = dg.groupBy(id_col).agg(
+        F.count("_gram").cast("long").alias("gram_cnt"))
+    return (
+        base.join(hit_cnt, on=id_col, how="left")
+        .select(
+            id_col, "gram_cnt",
+            F.coalesce("hit_cnt", F.lit(0)).cast("long").alias("hit_cnt"),
+        )
+        .withColumn("contaminated", F.col("hit_cnt") >= min_hits)
+    )

@@ -2155,3 +2155,61 @@ def test_cluster_cap_single_window_exchange(spark):
     assert plan.count("Window") >= 1
     assert "windowspecdefinition(cluster" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    # Bloom direction of error is the safe one: every doc the exact
+    # operator flags, the bloom flags too (no false negatives), and
+    # hit counts dominate gram-for-gram
+    from hepcrawl_spark.operators.dedup import (
+        benchmark_contamination, bloom_contamination)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    exact = {r.doc_id: r for r in
+             benchmark_contamination(docs, bench, n=13).collect()}
+    bloom = {r.doc_id: r for r in
+             bloom_contamination(docs, bench, n=13,
+                                 m_bits=1 << 20, k=3).collect()}
+    assert set(exact) == set(bloom)
+    for i, e in exact.items():
+        assert bloom[i].gram_cnt == e.gram_cnt
+        assert bloom[i].hit_cnt >= e.hit_cnt, i
+        if e.contaminated:
+            assert bloom[i].contaminated, i
+    # and the filter is not saturated: clean docs stay clean
+    n_exact = sum(e.contaminated for e in exact.values())
+    n_bloom = sum(b.contaminated for b in bloom.values())
+    assert n_bloom <= n_exact + 0.05 * len(exact)
+
+
+def test_bloom_contamination_tiny_filter_saturates_safely(spark):
+    # an undersized filter (m << grams) over-flags but NEVER misses —
+    # the directional guarantee holds even misconfigured
+    from hepcrawl_spark.operators.dedup import (
+        benchmark_contamination, bloom_contamination)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p"),
+         (2, "a b c d e f g h i j k l m xx yy zz"),
+         (3, "q r s t u v w x y z aa bb cc dd ee")],
+        "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+    exact = {r.doc_id: r.contaminated for r in benchmark_contamination(
+        docs, bench, n=13).collect()}
+    bloom = {r.doc_id: r.contaminated for r in bloom_contamination(
+        docs, bench, n=13, m_bits=8, k=2).collect()}
+    for i, flagged in exact.items():
+        if flagged:
+            assert bloom[i], i
+
+
+def test_bloom_contamination_broadcasts_positions(spark):
+    from hepcrawl_spark.operators.dedup import bloom_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 2)
+    plan = (bloom_contamination(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
