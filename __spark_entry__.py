@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t39_contamination_bloom": _q_contamination_bloom,
         "p19_clean_readable": _q_clean_readable,
         "p20_clean_semdedup": _q_clean_semdedup,
+        "p21_balanced_pack": _q_balanced_pack,
     }
 
 
@@ -1624,6 +1625,26 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _q_balanced_pack(spark, sf_dir):
+    # p21: topic rebalance → pack — t38's cluster cap (quota 8,
+    # seed_mod 61, the D4 volume-rebalance step) picks the survivors,
+    # then p02's two-phase-cumsum packed layout lays them out; the
+    # kept-id side is cluster-bounded (≤ 8 per cluster) so the doc
+    # join broadcasts
+    from hepcrawl_spark.operators.corpus import pack_sequences
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = similarity.cluster_cap_sample(emb, quota=8, seed_mod=61)
+    keep = cap.filter(F.col("kept") == 1).select(
+        F.col("id").alias("doc_id"))
+    docs = _t(spark, sf_dir, "documents").join(
+        F.broadcast(keep), on="doc_id", how="inner")
+    inner = pack_sequences(docs, capacity=512)
+    out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
 
 
 def _q_contamination_bloom(spark, sf_dir):
@@ -5275,6 +5296,33 @@ def oracle_sql() -> dict[str, str]:
         "f09_host_rank": _pr_oracle_sql(),
         "f34_trustrank": _tr_oracle_sql(),
         "f35_opic": _opic_oracle_sql(),
+        # p21: the t38 cap (shared assignment CTEs + the same quota-8
+        # window) feeding p07's pack body — doc_id keys the embedding
+        # row, survivors pack in doc_id order
+        "p21_balanced_pack": f"""
+            WITH embx AS (SELECT vec_id, embedding FROM embeddings),
+            {_cluster_assign_ctes('embx')}, capped AS (
+              SELECT vec_id FROM best
+              QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY md5(vec_id::VARCHAR), vec_id
+              ) <= 8
+            ), mixed AS (
+              SELECT doc_id, len({_TOKS})::BIGINT AS token_cnt
+              FROM documents
+              WHERE doc_id IN (SELECT vec_id FROM capped)
+            ), c AS (
+              SELECT doc_id, token_cnt,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM mixed
+            )
+            SELECT doc_id, token_cnt,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
+        """,
         # t39: bloom mirror — the SAME md5('j:'||g) probe positions
         # (m=2^20, k=3) recomputed in SQL; a gram hits when all k
         # probes land in the benchmark's set-position set

@@ -766,3 +766,21 @@ def test_f35_opic_no_cartesian_no_python(spark):
     plan = _plan(em.queries()["f35_opic"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_p21_balanced_pack_broadcast_keep_join(spark):
+    # the cluster-capped keep set is tiny (quota-bounded per cluster);
+    # the document join must broadcast it, and the pack tail keeps
+    # p02's two-phase shape (no unpartitioned window)
+    import re
+
+    df = em.queries()["p21_balanced_pack"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"windowspecdefinition\(([^,]*?),", plan):
+        first_arg = m.group(1)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            "unpartitioned window in p21: " + m.group(0)
+        )
+    df._cumsum_cache.unpersist()
