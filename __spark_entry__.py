@@ -614,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f34_trustrank": _q_trustrank,
         "f35_opic": _q_opic,
         "f36_reshard": _q_reshard,
+        "f37_host_boilerplate": _q_host_boilerplate,
         "d16_cdc_chunks": _q_cdc_chunks,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
@@ -1625,6 +1626,46 @@ def _q_opic(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+def _boilerplate_pages(docs):
+    """f37 planted site-chrome layout: hosts mod 10; every page gets a
+    per-host nav header line, even slots also get a per-host footer
+    (50% of pages — above the 40% bar with the ≥3-page floor), body =
+    the d10 4-token line re-chunk of the real text.  Mirrored
+    closed-form in the oracle."""
+    h = (F.col("doc_id") % 10).cast("long")
+    slot = F.floor(F.col("doc_id") / 10).cast("long")
+    host = F.concat(F.lit("h"), h.cast("string"), F.lit(".example.com"))
+    hdr = F.concat(F.lit("nav "), host, F.lit(" home login subscribe"))
+    ftr = F.when(slot % 2 == 0,
+                 F.concat(F.lit("footer "), host, F.lit(" contact terms")))
+    body = textops.bind_once(
+        textops.tokens_col(F.col("text")),
+        lambda t: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.floor((F.size(t) + 3) / 4).cast("int") - 1),
+                lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+            ),
+            "\n",
+        ),
+    )
+    return docs.select(
+        "doc_id", host.alias("host"),
+        F.concat_ws("\n", hdr, ftr, body).alias("text"),
+    )
+
+
+def _q_host_boilerplate(spark, sf_dir):
+    # f37: per-host frequent-line template stripping (the RefinedWeb
+    # line-wise correction) — site chrome recurring on ≥3 pages and
+    # ≥40% of a host's pages dies everywhere; C4's global rule (d10)
+    # keeps first occurrences, this keeps none
+    pages = _boilerplate_pages(_t(spark, sf_dir, "documents"))
+    return textops.strip_host_boilerplate(
+        pages, min_pages=3, min_frac=0.4
+    ).select("doc_id", "host", "line_cnt", "removed_cnt", "cleaned_text")
 
 
 def _q_balanced_pack(spark, sf_dir):
@@ -5363,6 +5404,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per ON per.doc_id = d.doc_id
             LEFT JOIN hc ON hc.doc_id = d.doc_id
+        """,
+        # f37: host-boilerplate mirror — same planted chrome (header on
+        # every page, footer on even slots), same 4-token body
+        # re-chunk as d10, same >=3-page AND >=40%-of-host verdict,
+        # all-copies-die semantics
+        "f37_host_boilerplate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), pg AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 10) || '.example.com' AS host,
+                     ['nav h' || (doc_id % 10)
+                        || '.example.com home login subscribe']
+                     || CASE WHEN (doc_id // 10) % 2 = 0
+                        THEN ['footer h' || (doc_id % 10)
+                              || '.example.com contact terms']
+                        ELSE [] END
+                     || list_transform(range((len(t) + 3) // 4),
+                          i -> array_to_string(t[i*4+1:i*4+4], ' '))
+                       AS ls
+              FROM toks
+            ), l AS (
+              SELECT doc_id, host, u.i - 1 AS i, u.line AS line
+              FROM (SELECT doc_id, host,
+                           unnest(list_transform(ls,
+                             (x, j) -> {{'i': j, 'line': x}})) AS u
+                    FROM pg)
+            ), pl AS (
+              SELECT host, line, count(DISTINCT doc_id) AS pages
+              FROM l GROUP BY host, line
+            ), hs AS (
+              SELECT host, count(DISTINCT doc_id) AS n FROM pg
+              GROUP BY host
+            ), bp AS (
+              SELECT pl.host, pl.line
+              FROM pl JOIN hs USING (host)
+              WHERE pl.pages >= 3 AND pl.pages >= 0.4 * hs.n
+            ), k AS (
+              SELECT l.doc_id, l.host, l.i, l.line,
+                     bp.line IS NULL AS keep
+              FROM l LEFT JOIN bp
+                ON bp.host = l.host AND bp.line = l.line
+            )
+            SELECT doc_id, host,
+                   count(*)::BIGINT AS line_cnt,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+                     AS removed_cnt,
+                   coalesce(string_agg(line, chr(10) ORDER BY i)
+                              FILTER (WHERE keep), '') AS cleaned_text
+            FROM k GROUP BY doc_id, host
         """,
         # t38: cluster-cap mirror — the d15 assignment chain shared via
         # _cluster_assign_ctes, then the same md5(id)/id pick order and

@@ -2213,3 +2213,54 @@ def test_bloom_contamination_broadcasts_positions(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_strip_host_boilerplate_verdict_and_scope(spark):
+    from hepcrawl_spark.operators.textops import strip_host_boilerplate
+
+    # host A: banner on 3/4 pages (75% >= 50%, >= 3 pages → strip all
+    # copies); host B: the SAME banner on 1/2 pages — below the
+    # 3-page floor, stays (host-local scope, unlike d10's global rule)
+    rows = [
+        (1, "a", "BANNER\ncontent one"),
+        (2, "a", "BANNER\ncontent two"),
+        (3, "a", "BANNER\ncontent three"),
+        (4, "a", "content four"),
+        (5, "b", "BANNER\ncontent five"),
+        (6, "b", "content six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r for r in strip_host_boilerplate(
+        docs, min_pages=3, min_frac=0.5).collect()}
+    for i in (1, 2, 3):
+        assert got[i].removed_cnt == 1
+        assert got[i].cleaned_text.startswith("content")
+    assert got[4].removed_cnt == 0
+    assert got[5].removed_cnt == 0          # below the page floor
+    assert "BANNER" in got[5].cleaned_text
+    # every copy dies — no first-occurrence survivor anywhere on a
+    assert all("BANNER" not in got[i].cleaned_text for i in (1, 2, 3))
+
+
+def test_strip_host_boilerplate_frac_bar(spark):
+    from hepcrawl_spark.operators.textops import strip_host_boilerplate
+
+    # 3 hits on a 10-page host: >= min_pages but under the 50% bar
+    rows = [(i, "a", ("CHROME\n" if i < 3 else "") + f"body {i}")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = strip_host_boilerplate(docs, min_pages=3, min_frac=0.5)
+    assert got.agg(F.sum("removed_cnt")).collect()[0][0] == 0
+
+
+def test_strip_host_boilerplate_broadcasts_verdict(spark):
+    from hepcrawl_spark.operators.textops import strip_host_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x\ny")], "doc_id long, host string, text string")
+    plan = (strip_host_boilerplate(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    # host sizes and the boilerplate set ride broadcast joins; the
+    # line stream never shuffles to meet them
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
