@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_media_resize": _q_media_resize,
         "m03_media_frames": _q_media_frames,
         "q10_asof_join": _q_asof_join,
+        "q11_range_join": _q_range_join,
         "f06_frontier_seen_bloom": _q_frontier_seen_bloom,
         "d06_dedup_clusters": _q_dedup_clusters,
         "t06_corpus_stats": _q_corpus_stats,
@@ -1336,6 +1337,25 @@ def _q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8)
     return dedup.dedup_clusters(docs, pairs)
+
+
+def _q_range_join(spark, sf_dir):
+    # q11: interval join — event value v into every nation tier whose
+    # half-open [lo, hi) contains it (tiers deliberately OVERLAP via
+    # the %3 widening, so this is a genuine multi-match join, not a
+    # CASE bucketing); bucketized equi-join, never a nested-loop scan
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 1200).cast("long").alias("v"))
+    tiers = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("tier"),
+        (F.col("n_nationkey") * 40).cast("long").alias("lo"),
+        (F.col("n_nationkey") * 40 + 40
+         + (F.col("n_nationkey") % 3) * 20).cast("long").alias("hi"),
+    )
+    out = joins.range_join(ev, tiers, point_col="v",
+                           lo_col="lo", hi_col="hi", bucket_width=64)
+    return out.select("event_id", "v", "tier", "lo", "hi") \
+        .orderBy("event_id", "tier")
 
 
 def _q_asof_join(spark, sf_dir):
@@ -4474,6 +4494,21 @@ def oracle_sql() -> dict[str, str]:
                      LIMIT 1) AS asof_value
             FROM events v
             WHERE v.event_type = 'view'
+        """,
+        # q11: interval-join mirror — DuckDB runs the theta join
+        # directly; the Spark side must reach the same multi-match set
+        # through the bucketized equi-join
+        "q11_range_join": """
+            SELECT e.event_id, e.v, n.tier, n.lo, n.hi
+            FROM (SELECT event_id,
+                         (event_id % 1200)::BIGINT AS v FROM events) e
+            JOIN (SELECT n_nationkey::BIGINT AS tier,
+                         (n_nationkey * 40)::BIGINT AS lo,
+                         (n_nationkey * 40 + 40
+                          + (n_nationkey % 3) * 20)::BIGINT AS hi
+                  FROM nation) n
+              ON e.v >= n.lo AND e.v < n.hi
+            ORDER BY e.event_id, n.tier
         """,
         # d06: connected components of the exact near-dup pair graph
         # (same pair SQL as d02/d03) via recursive transitive closure;

@@ -87,3 +87,59 @@ def asof_join(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Interval (range) join: every ``points`` row paired with every
+    ``intervals`` row whose half-open [lo, hi) contains the point —
+    the "which window/tier/block does this value fall in" join
+    (IP→geo blocks, latency→SLA tier, ts→maintenance window).  Spark
+    has no native interval join; the naive ``ON v >= lo AND v < hi``
+    plans as BroadcastNestedLoopJoin (small side) or a cartesian —
+    O(P·I) comparisons either way.
+
+    This is the standard BUCKETIZED formulation: pick ``bucket_width``
+    w, explode each interval into the ⌈len/w⌉ buckets it covers, map
+    each point to bucket ⌊v/w⌋, EQUI-join on the bucket id, then
+    post-filter the exact containment.  Comparisons drop from P·I to
+    P·(intervals overlapping the point's bucket).
+
+    100 TB shape: the equi-join hash-partitions on the bucket key —
+    co-partitioned, AQE-skew-splittable, broadcastable when the
+    exploded interval side is small; the explosion factor is
+    len/w per interval, so set ``bucket_width`` near the MEDIAN
+    interval length (w too small explodes the build side, w too big
+    degenerates toward per-bucket cartesian).  Intervals may overlap
+    — every containing interval matches (a genuine join, not a CASE
+    bucketing).
+
+    Degenerate intervals (hi <= lo: empty by half-open convention)
+    are dropped before the explode — also keeping the bucket
+    ``sequence`` ascending (Spark's sequence DESCENDS when lo > hi).
+    Returns points ⋈ intervals columns; callers project.
+    """
+    v = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    iv = (
+        intervals.filter(hi > lo)
+        .withColumn(
+            "_b",
+            F.explode(F.sequence(
+                F.floor(lo / bucket_width),
+                F.floor((hi - 1) / bucket_width),
+            )),
+        )
+    )
+    pts = points.withColumn("_b", F.floor(v / bucket_width))
+    return (
+        pts.join(iv, on="_b", how="inner")
+        .filter((v >= lo) & (v < hi))
+        .drop("_b")
+    )

@@ -2264,3 +2264,27 @@ def test_strip_host_boilerplate_broadcasts_verdict(spark):
     # line stream never shuffles to meet them
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_range_join_matches_theta_and_handles_edges(spark):
+    from hepcrawl_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 63, 64, 100, 129, 500])],
+        "pid long, v long")
+    iv = spark.createDataFrame(
+        [(0, 0, 64),        # exactly one bucket
+         (1, 60, 70),       # straddles a bucket boundary
+         (2, 0, 130),       # covers three buckets, overlaps 0 and 1
+         (3, 64, 64),       # empty (half-open) — must never match
+         (4, 130, 120)],    # inverted — must never match or crash
+        "iid long, lo long, hi long")
+    got = {(r.pid, r.iid) for r in range_join(
+        pts, iv, "v", "lo", "hi", bucket_width=64).collect()}
+    want = {(p.pid, i.iid)
+            for p in pts.collect() for i in iv.collect()
+            if i.lo <= p.v < i.hi}
+    assert got == want
+    assert (0, 3) not in got           # empty interval excluded
+    # multi-match is real: v=63 falls in intervals 0, 1 AND 2
+    assert {(2, 0), (2, 1), (2, 2)} <= got

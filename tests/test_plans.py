@@ -784,3 +784,14 @@ def test_p21_balanced_pack_broadcast_keep_join(spark):
             "unpartitioned window in p21: " + m.group(0)
         )
     df._cumsum_cache.unpersist()
+
+
+def test_q11_range_join_is_bucketized_equi_join(spark):
+    # the interval join must plan as a hash equi-join on the bucket
+    # key (+ Generate for the interval explode) — never the
+    # nested-loop/cartesian shape the naive theta join produces
+    plan = _plan(em.queries()["q11_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
