@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f35_opic": _q_opic,
         "f36_reshard": _q_reshard,
         "f37_host_boilerplate": _q_host_boilerplate,
+        "f38_canonical_collapse": _q_canonical_collapse,
         "d16_cdc_chunks": _q_cdc_chunks,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
@@ -1733,6 +1734,49 @@ def _q_cluster_cap(spark, sf_dir):
     return out.select(
         F.col("id").alias("vec_id"), "cluster", "pick_rank", "kept"
     ).orderBy("vec_id")
+
+
+def _q_canonical_collapse(spark, sf_dir):
+    # f38: rel=canonical alias collapse — per k=event_id%300 a chain
+    # u(k,s) declares u(k,s-1) canonical (s = 1..k%4; BOTH attribute
+    # orders and quote styles by parity, so both parse regexes bite);
+    # k%50==0 with a 2+-chain rewires s=1 → u(k,2), a genuine A⇄B
+    # cycle whose members must fall back to SELF.  The oracle states
+    # the closed form; the Spark side must PARSE the tags out of the
+    # synthesized html and pointer-double to the same answer
+    from hepcrawl_spark.frontier.canonical import collapse_canonicals
+
+    ks = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("event_id") % 300).alias("k")).distinct()
+    )
+    sx = ks.select(
+        "k", F.explode(F.sequence(F.lit(0), (F.col("k") % 4).cast("int")))
+        .alias("s"),
+    )
+
+    def _u(step):
+        return F.concat(
+            F.lit("http://c"), (F.col("k") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("k").cast("string"),
+            F.lit("/"), step.cast("string"),
+        )
+
+    cyc = (F.col("k") % 50 == 0) & (F.col("k") % 4 >= 2)
+    tgt = _u(F.when(cyc & (F.col("s") == 1), F.lit(2))
+             .otherwise(F.col("s") - 1))
+    html = (
+        F.when(F.col("s") == 0, F.lit("<p>page</p>"))
+        .when(F.col("s") % 2 == 1,
+              F.concat(F.lit('<link rel="canonical" href="'), tgt,
+                       F.lit('">')))
+        .otherwise(
+            F.concat(F.lit("<link href='"), tgt,
+                     F.lit("' rel='canonical'>")))
+    )
+    pages = sx.select(_u(F.col("s")).alias("url"),
+                      F.encode(html, "UTF-8").alias("html"))
+    return collapse_canonicals(pages).orderBy("url")
 
 
 def _q_cdc_chunks(spark, sf_dir):
@@ -5489,6 +5533,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                               FILTER (WHERE keep), '') AS cleaned_text
             FROM k GROUP BY doc_id, host
+        """,
+        # f38: canonical-collapse mirror — the plant's closed form:
+        # terminals and cycle members (k%50==0 with a 2+-chain) stay
+        # self with hops 0; everyone else lands on u(k,0) in s hops
+        "f38_canonical_collapse": """
+            WITH ks AS (
+              SELECT DISTINCT event_id % 300 AS k FROM events
+            ), sx AS (
+              SELECT k, unnest(range(0, k % 4 + 1)) AS s FROM ks
+            ), u AS (
+              SELECT k, s,
+                     'http://c' || (k % 7) || '.example.com/p/'
+                       || k || '/' || s AS url,
+                     (k % 50 = 0 AND k % 4 >= 2) AS cyc
+              FROM sx
+            )
+            SELECT url,
+                   CASE WHEN s = 0 OR cyc THEN url
+                        ELSE 'http://c' || (k % 7) || '.example.com/p/'
+                             || k || '/0' END AS canonical_url,
+                   (CASE WHEN s = 0 OR cyc THEN 0 ELSE s END)::BIGINT
+                     AS hops,
+                   (s > 0 AND NOT cyc) AS collapsed
+            FROM u ORDER BY url
         """,
         # t38: cluster-cap mirror — the d15 assignment chain shared via
         # _cluster_assign_ctes, then the same md5(id)/id pick order and

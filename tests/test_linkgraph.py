@@ -427,3 +427,52 @@ def test_f35_registered():
     import __spark_entry__ as e
     assert "f35_opic" in e.queries()
     assert "f35_opic" in e.oracle_sql()
+
+
+def test_extract_canonicals_both_orders_and_quotes(spark):
+    from hepcrawl_spark.frontier.canonical import extract_canonicals
+
+    pages = _pages(spark, [
+        ("http://a/1", '<link rel="canonical" href="http://a/c1">'),
+        ("http://a/2", "<link href='http://a/c2' rel='canonical'>"),
+        ("http://a/3", '<link rel="stylesheet" href="http://a/nope">'),
+        ("http://a/4", "<p>no link</p>"),
+    ])
+    got = {r.url: r.canonical for r in extract_canonicals(pages).collect()}
+    assert got["http://a/1"] == "http://a/c1"
+    assert got["http://a/2"] == "http://a/c2"
+    assert got["http://a/3"] is None       # rel must be canonical
+    assert got["http://a/4"] is None
+    plan = (extract_canonicals(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_collapse_canonicals_chain_and_cycle(spark):
+    from hepcrawl_spark.frontier.canonical import collapse_canonicals
+
+    link = '<link rel="canonical" href="%s">'
+    pages = _pages(spark, [
+        ("http://x/a", link % "http://x/b"),   # a -> b -> c (2 hops)
+        ("http://x/b", link % "http://x/c"),
+        ("http://x/c", "<p>terminal</p>"),
+        ("http://x/p", link % "http://x/q"),   # p <-> q cycle
+        ("http://x/q", link % "http://x/p"),
+        ("http://x/z", link % "http://x/z"),   # explicit self-claim
+    ])
+    got = {r.url: r for r in collapse_canonicals(pages).collect()}
+    assert got["http://x/a"].canonical_url == "http://x/c"
+    assert got["http://x/a"].hops == 2 and got["http://x/a"].collapsed
+    assert got["http://x/b"].canonical_url == "http://x/c"
+    assert got["http://x/c"].canonical_url == "http://x/c"
+    assert got["http://x/c"].hops == 0 and not got["http://x/c"].collapsed
+    # cycle members fall back to SELF — never dropped, never grouped
+    for u in ("http://x/p", "http://x/q"):
+        assert got[u].canonical_url == u and not got[u].collapsed
+    assert got["http://x/z"].canonical_url == "http://x/z"
+
+
+def test_f38_registered():
+    import __spark_entry__ as e
+    assert "f38_canonical_collapse" in e.queries()
+    assert "f38_canonical_collapse" in e.oracle_sql()
