@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f36_reshard": _q_reshard,
         "f37_host_boilerplate": _q_host_boilerplate,
         "f38_canonical_collapse": _q_canonical_collapse,
+        "f39_weighted_budget": _q_weighted_budget,
         "d16_cdc_chunks": _q_cdc_chunks,
         "f10_sitemap_scan": _q_sitemap_scan,
         "f11_robots_parse": _q_robots_parse,
@@ -3172,6 +3173,26 @@ def _q_queue_budget(spark, sf_dir):
 
     cand = _event_candidates(spark, sf_dir)
     kept, _shed = queue_budget(cand, per_host=3, total=40)
+    return kept.select("url", "url_host", "seq").orderBy("url", "seq")
+
+
+def _q_weighted_budget(spark, sf_dir):
+    # f39: value-weighted round budgeting (IRLbot's
+    # reputation-proportional budgets) — the surplus over a 1-fetch
+    # floor apportions across hosts by weight via exact
+    # largest-remainder (Hamilton) seats, then each host keeps its
+    # quota-best by the queue order; weights here are the
+    # deterministic 1 + hid%5 profile (in production: f35 OPIC /
+    # f09 PageRank importances via rank_priorities)
+    from hepcrawl_spark.frontier.politeness import weighted_budget
+
+    cand = _event_candidates(spark, sf_dir)
+    weights = cand.select("url_host").distinct().select(
+        "url_host",
+        (1 + F.regexp_extract("url_host", r"h(\d+)\.", 1).cast("long")
+         % 5).cast("double").alias("weight"),
+    )
+    kept, _quotas = weighted_budget(cand, weights, total=60, floor=1)
     return kept.select("url", "url_host", "seq").orderBy("url", "seq")
 
 
@@ -6337,6 +6358,52 @@ def oracle_sql() -> dict[str, str]:
               FROM k
             )
             SELECT url, url_host, seq FROM g WHERE gr <= 40
+            ORDER BY url, seq
+        """,
+        # f39: weighted-budget mirror — same 1+hid%5 weights, the same
+        # Hamilton floor+base+largest-remainder seats (window at host
+        # cardinality, host-name tie-break), same (priority=const →
+        # seq DESC) within-host keep order
+        "f39_weighted_budget": f"""
+            WITH c AS (
+              SELECT {_CAND_URL_SQL} AS url, {_CAND_HOST_SQL} AS url_host,
+                     event_id AS seq
+              FROM events
+            ), hosts AS (
+              SELECT DISTINCT url_host,
+                     1.0 + (regexp_extract(url_host, 'h(\\d+)', 1)::BIGINT
+                            % 5) AS w
+              FROM c
+            ), s AS (
+              SELECT count(*)::BIGINT AS h, sum(w) AS wsum FROM hosts
+            ), qa AS (
+              SELECT url_host,
+                     (60 - 1 * (SELECT h FROM s)) * w
+                       / (SELECT wsum FROM s) AS share
+              FROM hosts
+            ), qb AS (
+              SELECT url_host, floor(share)::BIGINT AS base,
+                     share - floor(share) AS rem
+              FROM qa
+            ), qc AS (
+              SELECT url_host, base,
+                     row_number() OVER (ORDER BY rem DESC, url_host ASC)
+                       AS rn,
+                     (60 - 1 * (SELECT h FROM s))
+                       - (SELECT sum(base) FROM qb) AS leftover
+              FROM qb
+            ), quota AS (
+              SELECT url_host,
+                     1 + base + (rn <= leftover)::BIGINT AS quota
+              FROM qc
+            ), r AS (
+              SELECT c.*, row_number() OVER (PARTITION BY c.url_host
+                                             ORDER BY seq DESC) AS hr
+              FROM c
+            )
+            SELECT url, url_host, seq
+            FROM r JOIN quota USING (url_host)
+            WHERE hr <= quota
             ORDER BY url, seq
         """,
         "f16_host_skew": f"""

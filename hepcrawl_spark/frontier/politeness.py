@@ -360,3 +360,96 @@ def autothrottle_delays(fetches: DataFrame,
         delay.alias("delay_ms"),
         (delay.cast("double") / F.lit(1000.0)).alias("download_delay"),
     )
+
+
+def weighted_budget(
+    queue: DataFrame,
+    weights: DataFrame,
+    total: int,
+    floor: int = 1,
+    seq_bounds: Optional[Tuple[int, int]] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """(kept, quotas) — divide a round's fetch budget across hosts in
+    proportion to host VALUE, not host size: the budget-crawling rule
+    (IRLbot's reputation-proportional budgets, Lee et al. 2009;
+    OPIC/PageRank importance is the natural weight source — see
+    ``linkgraph.opic_hosts``/``pagerank_hosts``), replacing f15's flat
+    per-host cap.  A crawl that caps every host equally spends most
+    of its round on worthless long-tail hosts; weighting by authority
+    spends it where discovered value is.
+
+    ``weights``: (url_host, weight ≥ 0); hosts absent from the table
+    weigh 0 (floor-only).  Quotas are floor + largest-remainder
+    apportionment of the surplus ``total - floor·H`` over weights —
+    exact integer arithmetic (Hamilton's method), deterministic with
+    ties broken by host name, so quotas sum to EXACTLY ``total`` and
+    reproduce cross-engine.  Raises when the floor alone exceeds
+    ``total`` (no silent starvation).
+
+    Selection within a host is the queue order (priority DESC, seq
+    DESC) via the same skew-safe two-phase rank the scheduler uses.
+
+    100 TB shape: everything except the final rank-filter runs at
+    HOST cardinality (distinct → two broadcast 1-row aggregates →
+    one window over hosts — orders of magnitude below the queue);
+    the queue itself pays one per-host rank (seq-bucketed, mega-host
+    safe) and one broadcast join against the quota table.
+    """
+    if floor < 0 or total < 0:
+        raise ValueError("floor and total must be non-negative")
+    hosts = (
+        queue.select("url_host").distinct()
+        .join(weights.select("url_host",
+                             F.col("weight").cast("double").alias("_w")),
+              on="url_host", how="left")
+        .withColumn("_w", F.coalesce("_w", F.lit(0.0)))
+    )
+    sums = hosts.agg(
+        F.count(F.lit(1)).alias("_h"),
+        F.sum("_w").alias("_wsum"),
+    )
+    quotas = (
+        hosts.crossJoin(F.broadcast(sums))
+        .withColumn("_e", F.lit(total) - F.lit(floor) * F.col("_h"))
+        .withColumn(
+            "_share",
+            F.when(F.col("_wsum") > 0,
+                   F.col("_e") * F.col("_w") / F.col("_wsum"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("_base", F.floor("_share").cast("long"))
+        .withColumn("_rem", F.col("_share") - F.col("_base"))
+    )
+    # largest-remainder top-up: leftover = E - Σbase seats, granted to
+    # the biggest remainders (host-name tie-break) — window at host
+    # cardinality
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col("url_host").asc())
+    lsum = quotas.agg(
+        (F.first("_e") - F.coalesce(F.sum("_base"), F.lit(0)))
+        .alias("_left"))
+    quotas = (
+        quotas.withColumn("_rn", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(lsum))
+        .select(
+            "url_host",
+            (F.lit(floor) + F.col("_base")
+             + (F.col("_rn") <= F.col("_left")).cast("long"))
+            .alias("quota"),
+            F.col("_e").alias("_e_chk"),
+        )
+    )
+    # fail fast driver-side only when the floor is genuinely unpayable
+    first = quotas.select("_e_chk").limit(1).collect()
+    if first and first[0]._e_chk < 0:
+        raise ValueError(
+            f"floor {floor} over {total} total budget starves the "
+            "surplus (floor*hosts > total) — lower floor or raise total"
+        )
+    quotas = quotas.drop("_e_chk")
+    ranked = per_host_rank(queue, seq_bounds=seq_bounds)
+    kept = (
+        ranked.join(F.broadcast(quotas), on="url_host")
+        .filter(F.col("host_rank") <= F.col("quota"))
+        .drop("host_rank", "quota")
+    )
+    return kept, quotas

@@ -212,3 +212,80 @@ def test_parity_randomized_scenarios(spark):
             spark, requests, budgets,
             round_start=rng.choice([0.0, 7.5]),
         )
+
+
+def test_weighted_budget_hamilton_seats(spark):
+    # 4 hosts, weights 0/1/1/2 over total 12, floor 1: surplus 8
+    # splits 0/2/2/4 exactly — quotas sum to total, zero-weight host
+    # keeps the floor, selection is the queue order per host
+    from hepcrawl_spark.frontier.politeness import weighted_budget
+
+    rows = [(f"http://h{k}.x/p{i}", f"h{k}.x", 0, k * 100 + i)
+            for k in range(4) for i in range(10)]
+    queue = spark.createDataFrame(
+        rows, "url string, url_host string, priority long, seq long")
+    weights = spark.createDataFrame(
+        [("h0.x", 0.0), ("h1.x", 1.0), ("h2.x", 1.0), ("h3.x", 2.0)],
+        "url_host string, weight double")
+    kept, quotas = weighted_budget(queue, weights, total=12, floor=1)
+    q = {r.url_host: r.quota for r in quotas.collect()}
+    assert q == {"h0.x": 1, "h1.x": 3, "h2.x": 3, "h3.x": 5}
+    assert sum(q.values()) == 12
+    got = kept.collect()
+    assert len(got) == 12
+    # within-host keep order is seq DESC: h3 keeps its 5 highest seqs
+    h3 = sorted(r.seq for r in got if r.url_host == "h3.x")
+    assert h3 == [305, 306, 307, 308, 309]
+
+
+def test_weighted_budget_missing_weight_and_remainders(spark):
+    from hepcrawl_spark.frontier.politeness import weighted_budget
+
+    rows = [(f"http://h{k}.x/p{i}", f"h{k}.x", 0, k * 100 + i)
+            for k in range(3) for i in range(5)]
+    queue = spark.createDataFrame(
+        rows, "url string, url_host string, priority long, seq long")
+    # h2 absent from the table → weight 0, floor only; surplus 7 over
+    # weights 1:2 → shares 2.33/4.67 → bases 2/4, leftover 1 goes to
+    # the larger remainder (h1's .67 > h0's .33)
+    weights = spark.createDataFrame(
+        [("h0.x", 1.0), ("h1.x", 2.0)], "url_host string, weight double")
+    _, quotas = weighted_budget(queue, weights, total=10, floor=1)
+    q = {r.url_host: r.quota for r in quotas.collect()}
+    assert q == {"h0.x": 3, "h1.x": 6, "h2.x": 1}
+    assert sum(q.values()) == 10
+
+
+def test_weighted_budget_starved_floor_raises(spark):
+    import pytest as _pytest
+
+    from hepcrawl_spark.frontier.politeness import weighted_budget
+
+    rows = [(f"http://h{k}.x/p", f"h{k}.x", 0, k) for k in range(5)]
+    queue = spark.createDataFrame(
+        rows, "url string, url_host string, priority long, seq long")
+    weights = spark.createDataFrame(
+        [("h0.x", 1.0)], "url_host string, weight double")
+    with _pytest.raises(ValueError, match="floor"):
+        weighted_budget(queue, weights, total=3, floor=1)
+
+
+def test_weighted_budget_wires_pagerank(spark):
+    # the production wiring: f09 PageRank importances as the weight
+    # table — the top-ranked host must get the biggest quota
+    from hepcrawl_spark.frontier.linkgraph import pagerank_hosts
+    from hepcrawl_spark.frontier.politeness import weighted_budget
+
+    edges = spark.createDataFrame(
+        [("h0.x", "h1.x", 5), ("h2.x", "h1.x", 5), ("h1.x", "h2.x", 1)],
+        "src_host string, dst_host string, weight long")
+    ranks = pagerank_hosts(edges, iterations=3).select(
+        F.col("host").alias("url_host"), F.col("rank").alias("weight"))
+    rows = [(f"http://h{k}.x/p{i}", f"h{k}.x", 0, k * 100 + i)
+            for k in range(3) for i in range(20)]
+    queue = spark.createDataFrame(
+        rows, "url string, url_host string, priority long, seq long")
+    _, quotas = weighted_budget(queue, ranks, total=30, floor=2)
+    q = {r.url_host: r.quota for r in quotas.collect()}
+    assert sum(q.values()) == 30
+    assert q["h1.x"] == max(q.values())   # everyone links to h1
