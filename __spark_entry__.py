@@ -488,6 +488,17 @@ def _q_ann_int8(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    # s07: product-quantization / ADC top-k — approximate by
+    # construction (codes lose information; ADC score is an estimate
+    # of cosine), so rows-only driver check like the LSH/IVF rungs;
+    # recall-vs-exact is pinned in tests/test_operators.py
+    res = similarity.ann_pq_topk(_t(spark, sf_dir, "embeddings"), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     res = similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=10)
     return res.select(
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p19_clean_readable": _q_clean_readable,
         "p20_clean_semdedup": _q_clean_semdedup,
         "p21_balanced_pack": _q_balanced_pack,
+        "s07_ann_pq": _q_ann_pq,
     }
 
 

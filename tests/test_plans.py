@@ -441,6 +441,20 @@ def test_s06_int8_ann_jvm_only_broadcast_queries(spark):
     assert "EvalPython" not in plan
 
 
+def test_s07_pq_broadcast_sides_and_no_rowwise_python(spark):
+    # PQ/ADC top-k: the ADC leg streams the (codes-only) corpus
+    # against the broadcast query+LUT side; the refine leg broadcasts
+    # the Q·rerank shortlist and the tiny query-vector dim against the
+    # corpus scan — the corpus is never the built/broadcast side and
+    # never re-shuffled.  Encode/LUT are Arrow-vectorized pandas UDFs
+    # (ArrowEvalPython); row-at-a-time Python must not appear.
+    plan = _plan(em.queries()["s07_ann_pq"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan      # ADC all-pairs leg
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
