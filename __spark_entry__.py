@@ -697,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p20_clean_semdedup": _q_clean_semdedup,
         "p21_balanced_pack": _q_balanced_pack,
         "s07_ann_pq": _q_ann_pq,
+        "f40_retry_schedule": _q_retry_schedule,
     }
 
 
@@ -4080,6 +4081,36 @@ def _q_autothrottle(spark, sf_dir):
     )
 
 
+def _q_retry_schedule(spark, sf_dir):
+    # f40: RetryMiddleware-style retry state + exponential backoff —
+    # the attempt log is synthesized closed-form from doc_id (the
+    # f24/f25/f26 pattern): 1–4 attempts per URL, scattered 200s,
+    # 429/503 transients, and every 7th-mod-3 URL ending in a 404 so
+    # all four states (done/retry/gave_up/failed) have members
+    from hepcrawl_spark.frontier.politeness import retry_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    log = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("doc_id") % 4)).alias("i"),
+    )
+    status = (
+        F.when((F.col("doc_id") % 7 == 3)
+               & (F.col("i") == F.col("doc_id") % 4), F.lit(404))
+        .when((F.col("doc_id") + F.col("i")) % 3 == 0, F.lit(200))
+        .when((F.col("doc_id") + F.col("i")) % 5 == 0, F.lit(429))
+        .otherwise(F.lit(503))
+    )
+    log = log.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        ((F.col("doc_id") * 10 + F.col("i")) * 1_000_000)
+        .cast("long").alias("ts_us"),
+        status.alias("status"),
+    )
+    return retry_schedule(log, max_retries=2)
+
+
 def _q_clean_full_best(spark, sf_dir):
     # p16: the p04 flagship with the d12 representative rule — each
     # near-dup cluster keeps its highest-token-count member (min id
@@ -6727,6 +6758,55 @@ def oracle_sql() -> dict[str, str]:
                          ELSE clamped END)::DOUBLE / 1000.0
                      AS download_delay
             FROM d
+        """,
+        # f40: RetryMiddleware retry state — same synthesized attempt
+        # log (1-based generate_series is inclusive on both bounds,
+        # matching Spark's sequence), same status classes, same
+        # trailing-run counting after the last success, same exact
+        # floor(base·2^(run-1)) backoff capped at 86400 s
+        "f40_retry_schedule": """
+            WITH log AS (
+              SELECT 'u' || doc_id AS url,
+                     ((doc_id * 10 + i) * 1000000)::BIGINT AS ts,
+                     CASE WHEN doc_id % 7 = 3 AND i = doc_id % 4
+                            THEN 404
+                          WHEN (doc_id + i) % 3 = 0 THEN 200
+                          WHEN (doc_id + i) % 5 = 0 THEN 429
+                          ELSE 503 END AS status
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 4)) AS t(i)
+            ), cls AS (
+              SELECT url, ts,
+                     (status >= 200 AND status < 400) AS ok,
+                     (status >= 500 OR status IN (429, 408)) AS tr
+              FROM log
+            ), lo AS (
+              SELECT url, max(CASE WHEN ok THEN ts END) AS last_ok
+              FROM cls GROUP BY url
+            ), tails AS (
+              SELECT c.url, count(*)::BIGINT AS attempts,
+                     sum(CASE WHEN (lo.last_ok IS NULL
+                                    OR c.ts > lo.last_ok) AND c.tr
+                         THEN 1 ELSE 0 END)::BIGINT AS trailing_fails,
+                     sum(CASE WHEN (lo.last_ok IS NULL
+                                    OR c.ts > lo.last_ok)
+                                   AND NOT c.tr AND NOT c.ok
+                         THEN 1 ELSE 0 END)::BIGINT AS perm,
+                     max(c.ts) AS last_ts
+              FROM cls c JOIN lo USING (url) GROUP BY c.url
+            )
+            SELECT url, attempts, trailing_fails,
+                   CASE WHEN perm > 0 THEN 'failed'
+                        WHEN trailing_fails = 0 THEN 'done'
+                        WHEN trailing_fails > 2 THEN 'gave_up'
+                        ELSE 'retry' END AS state,
+                   CASE WHEN perm = 0
+                             AND trailing_fails BETWEEN 1 AND 2
+                        THEN last_ts + least(86400000000,
+                          floor(60000000 *
+                                power(2, trailing_fails - 1))::BIGINT)
+                        END AS next_attempt_us
+            FROM tails
         """,
         # t34: BM25 mirror — same query VALUES table rendered from
         # _BM25_QUERIES, same k1/b literals from textops constants,

@@ -453,3 +453,98 @@ def weighted_budget(
         .drop("host_rank", "quota")
     )
     return kept, quotas
+
+
+def retry_schedule(attempts: DataFrame,
+                   base_delay_sec: int = 60,
+                   max_retries: int = 3,
+                   max_backoff_sec: int = 86400,
+                   url_col: str = "url",
+                   ts_col: str = "ts_us",
+                   status_col: str = "status") -> DataFrame:
+    """Per-URL retry state + exponential-backoff next-attempt time
+    from a fetch-attempt log — the batch form of Scrapy's
+    RetryMiddleware, which the reference runs implicitly on every
+    spider (no RETRY_* override anywhere in
+    /root/reference/hepcrawl/settings.py, so the stock middleware and
+    its defaults apply to every fetch the reference makes), crossed
+    with the exponential politeness backoff production crawlers
+    (Heritrix, Nutch) apply to flaky hosts.
+
+    Status classes follow the RetryMiddleware contract: 2xx/3xx =
+    success; 5xx, 429 and 408 = transient (retryable); every other
+    4xx = permanent.  Per URL, order attempts by timestamp and count
+    the TRAILING run of transient failures since the last success:
+
+    - any permanent failure after the last success → ``failed`` (no
+      retry — the reference's spiders likewise drop 4xx records into
+      the error sink rather than re-request);
+    - trailing run = 0 → ``done``;
+    - trailing run > ``max_retries`` → ``gave_up`` (stock
+      RETRY_TIMES semantics: the attempt budget is exhausted);
+    - else → ``retry`` with
+      ``next_attempt_us = last_ts + base · 2^(run-1)`` capped at
+      ``max_backoff_sec`` — exact BIGINT arithmetic (the power is an
+      exact small integer, the product stays far under 2^53, and the
+      floor() spelling truncates identically on Spark and DuckDB).
+
+    Output: (url, attempts, trailing_fails, state, next_attempt_us
+    — NULL unless state = 'retry').
+
+    100 TB shape: TWO aggregations on the same url key (last-success
+    timestamp, then the trailing counts) plus one equi-join between
+    them — all three hash-partition on ``url``, the
+    highest-cardinality key in the system, so AQE plans one balanced
+    shuffle and reuses it; no windows over the raw log, no Python.
+    Deterministic: no jitter by design (jitter would break replay and
+    the cross-engine mirror; a scheduler can salt the emission order
+    downstream without touching the arithmetic here).
+    """
+    ok = (F.col(status_col) >= 200) & (F.col(status_col) < 400)
+    transient = (F.col(status_col) >= 500) | F.col(status_col).isin(429, 408)
+    log = attempts.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        ok.alias("_ok"),
+        transient.alias("_tr"),
+    )
+    last_ok = log.groupBy("url").agg(
+        F.max(F.when(F.col("_ok"), F.col("_ts"))).alias("_last_ok")
+    )
+    tail = (
+        log.join(last_ok, on="url")
+        .withColumn(
+            "_after",
+            F.col("_last_ok").isNull() | (F.col("_ts") > F.col("_last_ok")),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("attempts"),
+            F.sum(F.when(F.col("_after") & F.col("_tr"), 1).otherwise(0))
+            .cast("long").alias("trailing_fails"),
+            F.sum(F.when(F.col("_after") & ~F.col("_tr") & ~F.col("_ok"),
+                         1).otherwise(0))
+            .cast("long").alias("_perm"),
+            F.max("_ts").alias("_last_ts"),
+        )
+    )
+    base_us = int(base_delay_sec) * 1_000_000
+    cap_us = int(max_backoff_sec) * 1_000_000
+    backoff = F.least(
+        F.lit(cap_us).cast("long"),
+        F.floor(F.lit(base_us)
+                * F.pow(F.lit(2.0), (F.col("trailing_fails") - 1)
+                        .cast("double"))).cast("long"),
+    )
+    state = (
+        F.when(F.col("_perm") > 0, F.lit("failed"))
+        .when(F.col("trailing_fails") == 0, F.lit("done"))
+        .when(F.col("trailing_fails") > max_retries, F.lit("gave_up"))
+        .otherwise(F.lit("retry"))
+    )
+    return tail.select(
+        "url", "attempts", "trailing_fails",
+        state.alias("state"),
+        F.when(state == "retry", F.col("_last_ts") + backoff)
+        .alias("next_attempt_us"),
+    )

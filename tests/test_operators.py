@@ -1926,6 +1926,46 @@ def test_autothrottle_delays_rules_and_schedule_integration(spark):
     assert ts == [0.0, 4.0, 8.0]      # 4000 ms spacing applied
 
 
+def test_retry_schedule_states_and_backoff(spark):
+    from hepcrawl_spark.frontier.politeness import retry_schedule
+    S = 1_000_000
+    rows = [
+        # a: fail, fail, success -> done (trailing run resets)
+        ("a", 0 * S, 503), ("a", 60 * S, 503), ("a", 120 * S, 200),
+        # b: success then two transients -> retry, backoff 60*2^1
+        ("b", 0 * S, 200), ("b", 60 * S, 429), ("b", 120 * S, 503),
+        # c: four straight transients -> gave_up at max_retries=3
+        ("c", 0 * S, 500), ("c", 9 * S, 502),
+        ("c", 18 * S, 408), ("c", 27 * S, 503),
+        # d: 404 after its last success -> failed, never retried
+        ("d", 0 * S, 200), ("d", 60 * S, 404),
+        # e: 404 BEFORE a later success -> the success wins: done
+        ("e", 0 * S, 404), ("e", 60 * S, 200),
+        # g: one transient, never fetched OK -> retry, backoff 60*2^0
+        ("g", 5 * S, 503),
+    ]
+    log = spark.createDataFrame(rows, "url string, ts_us long, status int")
+    r = {x.url: x for x in retry_schedule(log, base_delay_sec=60,
+                                          max_retries=3).collect()}
+    assert r["a"].state == "done" and r["a"].next_attempt_us is None
+    assert r["b"].state == "retry"
+    assert r["b"].trailing_fails == 2
+    assert r["b"].next_attempt_us == 120 * S + 120 * S   # 60s * 2^(2-1)
+    assert r["c"].state == "gave_up" and r["c"].trailing_fails == 4
+    assert r["d"].state == "failed"
+    assert r["e"].state == "done"
+    assert r["g"].state == "retry"
+    assert r["g"].next_attempt_us == 5 * S + 60 * S      # 60s * 2^0
+    # the cap: a long trailing run cannot push past max_backoff_sec
+    long_run = spark.createDataFrame(
+        [("z", i * S, 503) for i in range(25)],
+        "url string, ts_us long, status int")
+    z = retry_schedule(long_run, base_delay_sec=60, max_retries=100
+                       ).collect()[0]
+    assert z.state == "retry"
+    assert z.next_attempt_us == 24 * S + 86400 * S       # capped at 1 day
+
+
 def test_source_drift_orders_shifted_distributions(spark):
     common = "the cat sat on the mat near the old door"
     rows = (

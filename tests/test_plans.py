@@ -455,6 +455,18 @@ def test_s07_pq_broadcast_sides_and_no_rowwise_python(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_f40_retry_schedule_two_aggs_one_equijoin_no_windows(spark):
+    # retry state = two partial-agg groupBys + one equi-join, all on
+    # the url key: no window over the raw attempt log, no nested-loop
+    # join, no Python anywhere
+    plan = _plan(em.queries()["f40_retry_schedule"](spark, SF))
+    assert "windowspecdefinition" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
