@@ -499,6 +499,16 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    # s08: IVF-PQ + refine, the production FAISS composition — cell
+    # pruning (s05) × code scoring (s07) × exact rerank; approximate
+    # by construction → rows-only, recall floor pinned in pytest
+    res = similarity.ann_ivfpq_topk(_t(spark, sf_dir, "embeddings"), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     res = similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), k=10)
     return res.select(
@@ -698,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p21_balanced_pack": _q_balanced_pack,
         "s07_ann_pq": _q_ann_pq,
         "f40_retry_schedule": _q_retry_schedule,
+        "s08_ann_ivfpq": _q_ann_ivfpq,
     }
 
 

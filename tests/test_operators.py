@@ -409,6 +409,39 @@ def test_ann_pq_raw_adc_order(emb):
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
 
 
+def test_ann_ivfpq_twin_recall_and_degenerate_exact(emb):
+    # the aligned twin (i, i+10) shares the query's top cell, so even
+    # aggressive cell pruning must recall it at rank 1 (the refine
+    # stage scores it exactly at cosine 1)
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in similarity.ann_ivfpq_topk(
+               emb, k=3, n_centroids=4, n_probe=2, m=8, kc=4,
+               rerank=20).collect()}
+    assert got[(0, 1)] == 10
+    # probe-all + full rerank disables both approximations: the
+    # composition must reproduce brute force exactly
+    exact = [(r.query_id, r.rank, r.neighbor_id)
+             for r in similarity.ann_topk(emb, k=5).collect()]
+    full = [(r.query_id, r.rank, r.neighbor_id)
+            for r in similarity.ann_ivfpq_topk(
+                emb, k=5, n_centroids=4, n_probe=4, m=8, kc=4,
+                rerank=20).collect()]
+    assert sorted(full) == sorted(exact)
+
+
+def test_ann_ivfpq_recall_floor_on_corpus(spark):
+    # near-uniform synthetic vectors are cell pruning's worst case —
+    # measured 0.59 at the driver default (32 cells, probe 8); pin a
+    # floor with margin so centroid/codebook drift shows
+    embdf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_topk(embdf, k=10).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.ann_ivfpq_topk(embdf, k=10).collect()}
+    assert len(got) == len(exact)
+    assert len(got & exact) / len(exact) >= 0.45
+
+
 def test_ann_ivf_subset_of_exact(emb):
     exact = {(r.query_id, r.neighbor_id)
              for r in similarity.ann_topk(emb, k=20).collect()}

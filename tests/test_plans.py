@@ -467,6 +467,19 @@ def test_f40_retry_schedule_two_aggs_one_equijoin_no_windows(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_s08_ivfpq_equijoin_only_no_all_pairs(spark):
+    # the point of composing IVF into PQ: the candidate join is an
+    # EQUI-join on the cell id with the query side broadcast — the
+    # all-pairs nested loop s07 pays must NOT appear anywhere (refine
+    # joins are equi on neighbor_id/query_id too)
+    plan = _plan(em.queries()["s08_ann_ivfpq"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
