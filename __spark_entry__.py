@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s07_ann_pq": _q_ann_pq,
         "f40_retry_schedule": _q_retry_schedule,
         "s08_ann_ivfpq": _q_ann_ivfpq,
+        "p22_clean_dupline": _q_clean_dupline,
     }
 
 
@@ -795,6 +796,33 @@ _P01_SQL_TMPL = f"""
     FROM k WHERE rn = 1
 """
 _P01_SQL = _P01_SQL_TMPL.format(extra_gate="")
+
+# d10/p22 shared CTEs: 4-token re-chunk, per-line corpus-wide
+# first-occurrence winner (min encoded doc/line key), keep flag —
+# rendered into BOTH the d10 oracle and the p22 doc-drop composition
+# so the two mirrors cannot drift
+_D10_CTES = f"""toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), s0 AS (
+              SELECT doc_id,
+                     list_transform(range((len(t) + 3) // 4),
+                       i -> array_to_string(t[i*4+1:i*4+4], ' ')) AS ls
+              FROM toks
+            ), l AS (
+              SELECT doc_id, u.i - 1 AS i, u.line AS line
+              FROM (SELECT doc_id,
+                           unnest(list_transform(ls,
+                             (x, j) -> {{'i': j, 'line': x}})) AS u
+                    FROM s0)
+            ), w AS (
+              SELECT line, min(doc_id * 1000000000 + i) AS wk
+              FROM l GROUP BY line
+            ), kl AS (
+              SELECT l.doc_id, l.i, l.line,
+                     (l.doc_id * 1000000000 + l.i = w.wk
+                      OR length(l.line) < 1) AS keep
+              FROM l JOIN w USING (line)
+            )"""
 
 # f28/p17 shared mirror-host CTEs: planted content layout mod 10
 # (host 1 = full mirror of host 0, host 3 mirrors host 2 on even
@@ -1834,29 +1862,59 @@ def _q_reshard(spark, sf_dir):
     return reshard_report(hosts, n_from=8, n_to=9).orderBy("host")
 
 
+def _chunk4(t):
+    # the deterministic 4-token re-chunk shared by d10/t19/p22 —
+    # turns the single-line synthetic corpus into multi-"line" docs
+    # so cross-document line repetition is meaningful
+    n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+        ),
+        "\n",
+    )
+
+
+def _chunked_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text", textops.bind_once(textops.tokens_col(F.col("text")),
+                                  _chunk4)
+    )
+
+
 def _q_dedup_lines_global(spark, sf_dir):
     # d10: CROSS-document line dedup (C4 global rule) — lines are
     # 4-token chunks (one deterministic re-chunk, mirrored in the
     # oracle) so cross-doc repetition is meaningful; the corpus-wide
     # first occurrence of each line survives, blank lines exempt
-    docs = _t(spark, sf_dir, "documents")
+    return textops.dedup_lines_global(
+        _chunked_docs(spark, sf_dir), min_line_len=1
+    ).select("doc_id", "line_cnt", "removed_cnt", "cleaned_text")
 
-    def _chunked(t):
-        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
-            ),
-            "\n",
-        )
 
-    docs = docs.withColumn(
-        "text", textops.bind_once(textops.tokens_col(F.col("text")),
-                                  _chunked)
+def _q_clean_dupline(spark, sf_dir):
+    # p22: the d10 global-duplicated-line signal composed into the
+    # cleaning pipeline as a DOC-DROP rule (the RefinedWeb/Dolma
+    # consumption of the C4 global rule: instead of rewriting, drop
+    # any document whose corpus-duplicated line fraction exceeds the
+    # threshold — 20% here, integer-exact comparison), then p01's
+    # gate→dedup over the survivors' ORIGINAL text.  The oracle
+    # shares d10's CTEs and p01's body verbatim.
+    from hepcrawl_spark.operators import corpus
+
+    stats = textops.dedup_lines_global(
+        _chunked_docs(spark, sf_dir), min_line_len=1
     )
-    return textops.dedup_lines_global(docs, min_line_len=1).select(
-        "doc_id", "line_cnt", "removed_cnt", "cleaned_text"
+    keep_ids = stats.filter(
+        F.col("removed_cnt") * 100 <= F.col("line_cnt") * 20
+    ).select("doc_id")
+    survivors = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).join(keep_ids, on="doc_id", how="leftsemi")
+    return corpus.clean_corpus(survivors).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
 
 
@@ -1865,23 +1923,7 @@ def _q_repetition(spark, sf_dir):
     # re-chunk as d10 (mirrored in the oracle) so duplicate-line
     # signals are meaningful on the single-line synthetic corpus;
     # bigram/5-gram coverage runs over the unchanged token stream
-    docs = _t(spark, sf_dir, "documents")
-
-    def _chunked(t):
-        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(t, i * 4 + 1, 4), " "),
-            ),
-            "\n",
-        )
-
-    docs = docs.withColumn(
-        "text", textops.bind_once(textops.tokens_col(F.col("text")),
-                                  _chunked)
-    )
-    return textops.repetition_quality(docs).select(
+    return textops.repetition_quality(_chunked_docs(spark, sf_dir)).select(
         "doc_id", "line_cnt", "dup_line_frac", "dup_line_char_frac",
         "top_2gram_char_frac", "dup_5gram_char_frac", "passes"
     )
@@ -5061,37 +5103,36 @@ def oracle_sql() -> dict[str, str]:
         # occurrence (min of the encoded doc/line key) wins; same
         # 4-token re-chunk as the Spark wrapper; blank lines exempt
         # (min_line_len = 1)
-        "d10_dedup_lines_global": f"""
-            WITH toks AS (
-              SELECT doc_id, {_TOKS} AS t FROM documents
-            ), s AS (
-              SELECT doc_id,
-                     list_transform(range((len(t) + 3) // 4),
-                       i -> array_to_string(t[i*4+1:i*4+4], ' ')) AS ls
-              FROM toks
-            ), l AS (
-              SELECT doc_id, u.i - 1 AS i, u.line AS line
-              FROM (SELECT doc_id,
-                           unnest(list_transform(ls,
-                             (x, j) -> {{'i': j, 'line': x}})) AS u
-                    FROM s)
-            ), w AS (
-              SELECT line, min(doc_id * 1000000000 + i) AS wk
-              FROM l GROUP BY line
-            ), k AS (
-              SELECT l.doc_id, l.i, l.line,
-                     (l.doc_id * 1000000000 + l.i = w.wk
-                      OR length(l.line) < 1) AS keep
-              FROM l JOIN w USING (line)
-            )
+        "d10_dedup_lines_global": "WITH " + _D10_CTES + """
             SELECT doc_id,
                    count(*)::BIGINT AS line_cnt,
                    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
                      AS removed_cnt,
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                               FILTER (WHERE keep), '') AS cleaned_text
-            FROM k GROUP BY doc_id
+            FROM kl GROUP BY doc_id
         """,
+        # p22: the d10 duplicated-line signal as a DOC-DROP gate in
+        # front of p01 — d10's CTE chain verbatim (the two mirrors
+        # cannot drift), integer-exact 20% rule, then p01's body over
+        # the surviving original documents (the p20 source-swap
+        # pattern)
+        "p22_clean_dupline": _P01_SQL_TMPL.format(extra_gate="")
+        .replace("AS toks FROM documents", "AS toks FROM kept_dl", 1)
+        .replace(
+            "WITH s AS (",
+            "WITH " + _D10_CTES + """, dl AS (
+              SELECT doc_id, count(*)::BIGINT AS lc,
+                     sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+                       AS rm
+              FROM kl GROUP BY doc_id
+            ), kept_dl AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN dl USING (doc_id)
+              WHERE dl.rm * 100 <= dl.lc * 20
+            ), s AS (""",
+            1,
+        ),
         # t19: Gopher repetition battery — same 4-token re-chunk as
         # d10 for the line signals; bigram/5-gram coverage over the
         # unchanged token stream; thresholds compare the ROUNDED

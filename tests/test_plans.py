@@ -480,6 +480,16 @@ def test_s08_ivfpq_equijoin_only_no_all_pairs(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_p22_dupline_gate_no_python_no_nested_loop(spark):
+    # the d10 drop rule in front of p01: line stats are partial-agg
+    # groupBys on the line key + a leftsemi back on doc_id — no
+    # nested-loop join, no Python, no unpartitioned window
+    plan = _plan(em.queries()["p22_clean_dupline"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
