@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f40_retry_schedule": _q_retry_schedule,
         "s08_ann_ivfpq": _q_ann_ivfpq,
         "p22_clean_dupline": _q_clean_dupline,
+        "t41_sketch_stats": _q_sketch_stats,
     }
 
 
@@ -1892,6 +1893,15 @@ def _q_dedup_lines_global(spark, sf_dir):
     return textops.dedup_lines_global(
         _chunked_docs(spark, sf_dir), min_line_len=1
     ).select("doc_id", "line_cnt", "removed_cnt", "cleaned_text")
+
+
+def _q_sketch_stats(spark, sf_dir):
+    # t41: HLL + quantile-sketch corpus audit — deterministic
+    # fixed-seed sketches, not bit-mirrorable cross-engine →
+    # rows-only; accuracy vs exact pinned in pytest
+    return textops.sketch_stats(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("source")
 
 
 def _q_clean_dupline(spark, sf_dir):

@@ -2093,3 +2093,63 @@ def strip_host_boilerplate(pages: DataFrame, min_pages: int = 3,
             ).alias("cleaned_text"),
         )
     )
+
+
+def sketch_stats(docs: DataFrame, text_col: str = "text",
+                 group_col: str = "source",
+                 rsd: float = 0.05,
+                 percentiles: tuple = (0.5, 0.95),
+                 accuracy: int = 10000) -> DataFrame:
+    """Sketch-based corpus audit — the mergeable-summary versions of
+    the stats :func:`corpus_stats` computes exactly: per-``group_col``
+    HyperLogLog++ estimates of distinct content and vocabulary size,
+    and quantile-sketch token-count percentiles.
+
+    At 100 TB this is the ONLY shape that works: exact
+    distinct-content counting shuffles every fingerprint, and exact
+    vocabulary counting shuffles every (source, token) pair — both
+    corpus-sized Exchanges producing a number.  HLL and
+    percentile_approx sketches are bounded-size partial aggregates
+    that combine map-side, so the whole audit is two scan→partial-agg
+    passes (one over docs, one over the exploded token stream —
+    vocabulary genuinely needs the token granularity) joined at
+    group cardinality.  Nothing corpus-sized ever moves.
+
+    Spark's sketches are deterministic (fixed-seed HLL++, the GK
+    quantile algorithm), so results are stable run-to-run; they are
+    NOT bit-mirrorable in another engine → rows-only driver check.
+    Accuracy is pinned in pytest instead: HLL within 3·rsd of exact
+    on the test corpus, and for groups smaller than ``accuracy`` the
+    GK sketch is EXACT — percentile_approx must equal the exact
+    discrete quantile (quantile_disc) there.
+    """
+    t = tokens_col(F.col(text_col))
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.xxhash64(F.col(text_col)).alias("_fp"),
+        F.size(t).alias("_toks"),
+    )
+    base = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("_fp", rsd).alias("distinct_content_est"),
+        F.percentile_approx(
+            "_toks", list(percentiles), accuracy
+        ).alias("_pcts"),
+    )
+    vocab = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(t).alias("_tok"))
+        .groupBy("grp")
+        .agg(F.approx_count_distinct("_tok", rsd).alias("vocab_est"))
+    )
+    out = base.join(vocab, on="grp", how="left").select(
+        F.col("grp").alias(group_col),
+        "n_docs", "distinct_content_est",
+        F.coalesce("vocab_est", F.lit(0)).alias("vocab_est"),
+        *[
+            F.element_at("_pcts", i + 1).alias(
+                f"p{int(p * 100)}_tokens")
+            for i, p in enumerate(percentiles)
+        ],
+    )
+    return out

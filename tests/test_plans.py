@@ -490,6 +490,17 @@ def test_p22_dupline_gate_no_python_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_t41_sketch_stats_partial_agg_no_distinct_expand(spark):
+    # the point of sketches: HLL/GK are partial aggregates — the plan
+    # must be scan→partial→final HashAggregates joined at group
+    # cardinality, with NO Expand (the exact count-distinct shape) and
+    # no Python
+    plan = _plan(em.queries()["t41_sketch_stats"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "Expand" not in plan
+    assert "approx_count_distinct" in plan or "HashAggregate" in plan
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
