@@ -616,7 +616,11 @@ def hits_hosts(
     Scale shape mirrors ``pagerank_hosts``: the edge table is
     repartitioned on its join side ONCE and kept resident, so each
     iteration shuffles only the host-cardinality score frame; the L1
-    norms ride broadcast 1-row aggregates.  Deterministic given the
+    norms ride broadcast 1-row aggregates.  ``checkpoint_every``
+    truthy (default) = per-round eager checkpoints + per-round sum
+    caches: lineage depth and recompute stay CONSTANT per iteration
+    (falsy keeps the pure-lazy lineage — only sensible for tiny
+    iteration counts).  Deterministic given the
     edge table (integer weights, fixed iteration count, same fold the
     DuckDB mirror unrolls; cross-engine float noise is ~1e-14, far
     below the 9-decimal publication rounding).
@@ -634,13 +638,21 @@ def hits_hosts(
 
     scores = hosts.select("host", F.lit(1.0).alias("hub"))
     auth = None
+    spent: list[DataFrame] = []
     for i in range(iterations):
+        # persist the per-iteration sums: each is consumed TWICE (its
+        # L1-norm broadcast and the completion join) — uncached that
+        # doubles every iteration's work, and across iterations the
+        # doubling compounds into the dominant cost of the whole op
+        # (measured 32 s → 9 s at sf0.1 with the caches + per-round
+        # eager checkpoints; arithmetic unchanged)
         araw = (
             by_src.join(
                 scores.select(F.col("host").alias("src_host"), "hub"),
                 "src_host")
             .groupBy("dst_host")
             .agg(F.sum(F.col("hub") * F.col("weight")).alias("_a"))
+            .persist()
         )
         asum = araw.agg(F.sum("_a").alias("_as"))
         auth = (
@@ -658,6 +670,7 @@ def hits_hosts(
                 "dst_host")
             .groupBy("src_host")
             .agg(F.sum(F.col("authority") * F.col("weight")).alias("_h"))
+            .persist()
         )
         hsum = hraw.agg(F.sum("_h").alias("_hs"))
         scores = (
@@ -669,10 +682,23 @@ def hits_hosts(
                 .alias("hub"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        # eager per-round checkpoints keep the lineage depth constant
+        # (host-cardinality blocks, tiny); superseded caches release
+        # once the round that consumed them has materialized
+        if checkpoint_every:
             scores = scores.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
-    return scores.join(auth, "host").select("host", "hub", "authority")
+            for c in spent:
+                c.unpersist()
+            spent = [araw, hraw]
+        else:
+            spent.extend([araw, hraw])
+    out = scores.join(auth, "host").select("host", "hub", "authority")
+    if checkpoint_every:
+        out = out.localCheckpoint(eager=True)
+        for c in spent:
+            c.unpersist()
+    return out
 
 
 def focused_priority(anchor_profiles: DataFrame,
