@@ -2128,6 +2128,20 @@ def test_winnow_matches_python_reference(spark):
         assert got.get(doc_id, set()) == _py_winnow(text), doc_id
 
 
+def test_winnow_arrow_codegen_parity(spark):
+    # the two modes must produce the same fingerprint SET on
+    # adversarial inputs (empty, sub-k, sub-w, repeated-min ties)
+    rows = [(0, ""), (1, "a a a a a a a a a a"), (2, "x y"),
+            (3, "one two three four"), (4, None),
+            (5, "the quick brown fox jumps over the lazy dog again")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    def fps(mode):
+        return {(r.doc_id, r.pos, r.fp)
+                for r in textops.winnow_fingerprints(
+                    docs, k=3, w=4, mode=mode).collect()}
+    assert fps("arrow") == fps("codegen")
+
+
 def test_winnow_shared_substring_shares_fingerprint(spark):
     # the paper's guarantee: a shared run of >= w + k - 1 tokens
     # (6 here) forces at least one common selected fingerprint

@@ -800,14 +800,21 @@ def test_t34_bm25_broadcast_postings_topk_pushdown(spark):
 
 
 def test_t35_winnow_single_scan_zero_shuffle(spark):
-    # the whole selection is higher-order functions inside the row:
-    # one codegen scan, no exchange, no window, no join, no Python
+    # the whole selection stays inside the row: one scan, one Arrow
+    # projection (default mode), no exchange, no window, no join, no
+    # row-at-a-time Python
     plan = _plan(em.queries()["t35_winnow"](spark, SF))
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window " not in plan and "windowspecdefinition" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert plan.count("FileScan") == 1
+    # the codegen reference mode keeps the zero-Python pin
+    from hepcrawl_spark.operators import textops
+    cg = _plan(textops.winnow_fingerprints(
+        em._t(spark, SF, "documents"), k=3, w=4, mode="codegen"))
+    assert "EvalPython" not in cg and "Exchange" not in cg
 
 
 def test_f27_hits_no_cartesian_no_python(spark):
