@@ -95,7 +95,7 @@ def pagerank_hosts(
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 5,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Damped PageRank over a weighted host graph -> (host, rank).
 
@@ -176,7 +176,7 @@ def trustrank_hosts(
     seeds: list[str],
     damping: float = 0.85,
     iterations: int = 5,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) over a
     weighted host graph -> (host, trust): personalized PageRank whose
@@ -271,7 +271,7 @@ def trustrank_hosts(
 def opic_hosts(
     edges: DataFrame,
     rounds: int = 5,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """OPIC (Abiteboul, Preda & Cobéna, WWW 2003) over a weighted host
     graph -> (host, cash, hist, importance) — the On-line Page
@@ -395,7 +395,7 @@ def hop_distance(
     edges: DataFrame,
     seeds: list[str],
     max_hops: int = 8,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Minimum link distance from any seed host -> (host, hops).
 
@@ -597,7 +597,7 @@ def linkfarm_hosts(edges: DataFrame, min_out: int = 2,
 def hits_hosts(
     edges: DataFrame,
     iterations: int = 5,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS (Kleinberg) over a weighted host graph ->
     ``(host, hub, authority)``.
