@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s08_ann_ivfpq": _q_ann_ivfpq,
         "p22_clean_dupline": _q_clean_dupline,
         "t41_sketch_stats": _q_sketch_stats,
+        "f41_retry_gate": _q_retry_gate,
     }
 
 
@@ -797,6 +798,56 @@ _P01_SQL_TMPL = f"""
     FROM k WHERE rn = 1
 """
 _P01_SQL = _P01_SQL_TMPL.format(extra_gate="")
+
+
+# f40/f41 shared retry-state SQL: synthesized attempt log, status
+# classes, trailing-run counting, exact backoff — rendered into BOTH
+# the f40 oracle and the f41 gate composition so the mirrors cannot
+# drift
+_F40_SQL = """
+            WITH log AS (
+              SELECT 'u' || doc_id AS url,
+                     ((doc_id * 10 + i) * 1000000)::BIGINT AS ts,
+                     CASE WHEN doc_id % 7 = 3 AND i = doc_id % 4
+                            THEN 404
+                          WHEN (doc_id + i) % 3 = 0 THEN 200
+                          WHEN (doc_id + i) % 5 = 0 THEN 429
+                          ELSE 503 END AS status
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 4)) AS t(i)
+            ), cls AS (
+              SELECT url, ts,
+                     (status >= 200 AND status < 400) AS ok,
+                     (status >= 500 OR status IN (429, 408)) AS tr
+              FROM log
+            ), lo AS (
+              SELECT url, max(CASE WHEN ok THEN ts END) AS last_ok
+              FROM cls GROUP BY url
+            ), tails AS (
+              SELECT c.url, count(*)::BIGINT AS attempts,
+                     sum(CASE WHEN (lo.last_ok IS NULL
+                                    OR c.ts > lo.last_ok) AND c.tr
+                         THEN 1 ELSE 0 END)::BIGINT AS trailing_fails,
+                     sum(CASE WHEN (lo.last_ok IS NULL
+                                    OR c.ts > lo.last_ok)
+                                   AND NOT c.tr AND NOT c.ok
+                         THEN 1 ELSE 0 END)::BIGINT AS perm,
+                     max(c.ts) AS last_ts
+              FROM cls c JOIN lo USING (url) GROUP BY c.url
+            )
+            SELECT url, attempts, trailing_fails,
+                   CASE WHEN perm > 0 THEN 'failed'
+                        WHEN trailing_fails = 0 THEN 'done'
+                        WHEN trailing_fails > 2 THEN 'gave_up'
+                        ELSE 'retry' END AS state,
+                   CASE WHEN perm = 0
+                             AND trailing_fails BETWEEN 1 AND 2
+                        THEN last_ts + least(86400000000,
+                          floor(60000000 *
+                                power(2, trailing_fails - 1))::BIGINT)
+                        END AS next_attempt_us
+            FROM tails
+        """
 
 # d10/p22 shared CTEs: 4-token re-chunk, per-line corpus-wide
 # first-occurrence winner (min encoded doc/line key), keep flag —
@@ -4144,14 +4195,11 @@ def _q_autothrottle(spark, sf_dir):
     )
 
 
-def _q_retry_schedule(spark, sf_dir):
-    # f40: RetryMiddleware-style retry state + exponential backoff —
-    # the attempt log is synthesized closed-form from doc_id (the
-    # f24/f25/f26 pattern): 1–4 attempts per URL, scattered 200s,
-    # 429/503 transients, and every 7th-mod-3 URL ending in a 404 so
-    # all four states (done/retry/gave_up/failed) have members
-    from hepcrawl_spark.frontier.politeness import retry_schedule
-
+def _retry_log(spark, sf_dir):
+    # f40/f41 shared attempt-log synthesis, closed-form from doc_id
+    # (the f24/f25/f26 pattern): 1–4 attempts per URL, scattered
+    # 200s, 429/503 transients, and every 7th-mod-3 URL ending in a
+    # 404 so all four states (done/retry/gave_up/failed) have members
     d = _t(spark, sf_dir, "documents")
     log = d.select(
         "doc_id",
@@ -4165,13 +4213,44 @@ def _q_retry_schedule(spark, sf_dir):
         .when((F.col("doc_id") + F.col("i")) % 5 == 0, F.lit(429))
         .otherwise(F.lit(503))
     )
-    log = log.select(
+    return log.select(
         F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
         ((F.col("doc_id") * 10 + F.col("i")) * 1_000_000)
         .cast("long").alias("ts_us"),
         status.alias("status"),
     )
-    return retry_schedule(log, max_retries=2)
+
+
+def _q_retry_schedule(spark, sf_dir):
+    # f40: RetryMiddleware-style retry state + exponential backoff
+    from hepcrawl_spark.frontier.politeness import retry_schedule
+
+    return retry_schedule(_retry_log(spark, sf_dir), max_retries=2)
+
+
+def _q_retry_gate(spark, sf_dir):
+    # f41: the consumption half of f40 — apply the retry verdicts to
+    # a candidate frontier (every synthesized URL, plus 'unseen'
+    # never-attempted URLs) at a fixed as-of instant that splits the
+    # backoffs into due and deferred; oracle shares f40's SQL body
+    from hepcrawl_spark.frontier.politeness import (
+        apply_retry_gate,
+        retry_schedule,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(
+        F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("unseen-"))
+            .otherwise(F.lit("u")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 5).cast("long").alias("priority"),
+    )
+    retries = retry_schedule(_retry_log(spark, sf_dir), max_retries=2)
+    out = apply_retry_gate(cand, retries, as_of_us=3_000_000_000)
+    return out.select("url", "priority", "retry_state",
+                      "next_attempt_us", "gate")
 
 
 def _q_clean_full_best(spark, sf_dir):
@@ -6826,49 +6905,28 @@ def oracle_sql() -> dict[str, str]:
         # matching Spark's sequence), same status classes, same
         # trailing-run counting after the last success, same exact
         # floor(base·2^(run-1)) backoff capped at 86400 s
-        "f40_retry_schedule": """
-            WITH log AS (
-              SELECT 'u' || doc_id AS url,
-                     ((doc_id * 10 + i) * 1000000)::BIGINT AS ts,
-                     CASE WHEN doc_id % 7 = 3 AND i = doc_id % 4
-                            THEN 404
-                          WHEN (doc_id + i) % 3 = 0 THEN 200
-                          WHEN (doc_id + i) % 5 = 0 THEN 429
-                          ELSE 503 END AS status
-              FROM documents,
-                   unnest(generate_series(0, doc_id % 4)) AS t(i)
-            ), cls AS (
-              SELECT url, ts,
-                     (status >= 200 AND status < 400) AS ok,
-                     (status >= 500 OR status IN (429, 408)) AS tr
-              FROM log
-            ), lo AS (
-              SELECT url, max(CASE WHEN ok THEN ts END) AS last_ok
-              FROM cls GROUP BY url
-            ), tails AS (
-              SELECT c.url, count(*)::BIGINT AS attempts,
-                     sum(CASE WHEN (lo.last_ok IS NULL
-                                    OR c.ts > lo.last_ok) AND c.tr
-                         THEN 1 ELSE 0 END)::BIGINT AS trailing_fails,
-                     sum(CASE WHEN (lo.last_ok IS NULL
-                                    OR c.ts > lo.last_ok)
-                                   AND NOT c.tr AND NOT c.ok
-                         THEN 1 ELSE 0 END)::BIGINT AS perm,
-                     max(c.ts) AS last_ts
-              FROM cls c JOIN lo USING (url) GROUP BY c.url
+        "f40_retry_schedule": _F40_SQL,
+        # f41: the f40 verdicts applied to a candidate frontier —
+        # f40's body verbatim, one LEFT join on url, one CASE; the
+        # as-of instant (3e9 us) splits backoffs into due/defer
+        "f41_retry_gate": f"""
+            WITH f40 AS ({_F40_SQL}), cand AS (
+              SELECT CASE WHEN doc_id % 11 = 0
+                          THEN 'unseen-' || doc_id
+                          ELSE 'u' || doc_id END AS url,
+                     (doc_id % 5)::BIGINT AS priority
+              FROM documents
             )
-            SELECT url, attempts, trailing_fails,
-                   CASE WHEN perm > 0 THEN 'failed'
-                        WHEN trailing_fails = 0 THEN 'done'
-                        WHEN trailing_fails > 2 THEN 'gave_up'
-                        ELSE 'retry' END AS state,
-                   CASE WHEN perm = 0
-                             AND trailing_fails BETWEEN 1 AND 2
-                        THEN last_ts + least(86400000000,
-                          floor(60000000 *
-                                power(2, trailing_fails - 1))::BIGINT)
-                        END AS next_attempt_us
-            FROM tails
+            SELECT c.url, c.priority, f.state AS retry_state,
+                   f.next_attempt_us,
+                   CASE WHEN f.state IN ('failed', 'gave_up')
+                          THEN 'drop'
+                        WHEN f.state = 'retry'
+                             AND f.next_attempt_us > 3000000000
+                          THEN 'defer'
+                        WHEN f.state = 'retry' THEN 'due'
+                        ELSE 'pass' END AS gate
+            FROM cand c LEFT JOIN f40 f ON f.url = c.url
         """,
         # t34: BM25 mirror — same query VALUES table rendered from
         # _BM25_QUERIES, same k1/b literals from textops constants,

@@ -548,3 +548,43 @@ def retry_schedule(attempts: DataFrame,
         F.when(state == "retry", F.col("_last_ts") + backoff)
         .alias("next_attempt_us"),
     )
+
+
+def apply_retry_gate(candidates: DataFrame, retries: DataFrame,
+                     as_of_us: int,
+                     url_col: str = "url") -> DataFrame:
+    """Apply :func:`retry_schedule` verdicts to a candidate frontier
+    ahead of :func:`schedule` — the consumption half of the retry
+    table: permanently-failed and budget-exhausted URLs leave the
+    frontier, backoff-deferred URLs wait their turn, everything else
+    (incl. URLs with no attempt history) flows to the scheduler.
+
+    Output: the candidate frame + ``(retry_state, next_attempt_us,
+    gate)`` where gate ∈ ``drop`` (state failed/gave_up), ``defer``
+    (state retry with ``next_attempt_us`` still in the future at
+    ``as_of_us``), ``due`` (state retry, backoff elapsed — schedule
+    it now), ``pass`` (state done or no history).  One-column
+    verdict instead of a 4-way split so callers filter what they
+    need and the cross-engine mirror is a single CASE.
+
+    100 TB shape: ONE left equi-join on the url key (both sides
+    hash-partition on the system's highest-cardinality key; the
+    retry table carries three scalars per url, never text) and a
+    codegen CASE — no windows, no skew surface, no Python.
+    """
+    r = retries.select(
+        F.col("url").alias(url_col),
+        F.col("state").alias("retry_state"),
+        "next_attempt_us",
+    )
+    gate = (
+        F.when(F.col("retry_state").isin("failed", "gave_up"),
+               F.lit("drop"))
+        .when((F.col("retry_state") == "retry")
+              & (F.col("next_attempt_us") > F.lit(int(as_of_us))),
+              F.lit("defer"))
+        .when(F.col("retry_state") == "retry", F.lit("due"))
+        .otherwise(F.lit("pass"))
+    )
+    return candidates.join(r, on=url_col, how="left") \
+        .withColumn("gate", gate)

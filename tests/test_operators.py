@@ -2041,6 +2041,32 @@ def test_retry_schedule_states_and_backoff(spark):
     assert z.next_attempt_us == 24 * S + 86400 * S       # capped at 1 day
 
 
+def test_retry_gate_verdicts(spark):
+    from hepcrawl_spark.frontier.politeness import (
+        apply_retry_gate,
+        retry_schedule,
+    )
+    S = 1_000_000
+    log = spark.createDataFrame([
+        ("done1", 0 * S, 200),
+        ("perm1", 0 * S, 404),
+        ("late1", 100 * S, 503),    # retry, next = 160s
+        ("due1", 10 * S, 503),      # retry, next = 70s
+        ("gone1", 0 * S, 503), ("gone1", 1 * S, 503),
+        ("gone1", 2 * S, 503), ("gone1", 3 * S, 503),
+        ("gone1", 4 * S, 503),      # 5 fails > max_retries=3
+    ], "url string, ts_us long, status int")
+    cand = spark.createDataFrame(
+        [(u,) for u in
+         ("done1", "perm1", "late1", "due1", "gone1", "fresh1")],
+        "url string")
+    out = {r.url: r.gate for r in apply_retry_gate(
+        cand, retry_schedule(log, base_delay_sec=60, max_retries=3),
+        as_of_us=100 * S).collect()}
+    assert out == {"done1": "pass", "perm1": "drop", "late1": "defer",
+                   "due1": "due", "gone1": "drop", "fresh1": "pass"}
+
+
 def test_source_drift_orders_shifted_distributions(spark):
     common = "the cat sat on the mat near the old door"
     rows = (

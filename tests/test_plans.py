@@ -501,6 +501,16 @@ def test_t41_sketch_stats_partial_agg_no_distinct_expand(spark):
     assert "approx_count_distinct" in plan or "HashAggregate" in plan
 
 
+def test_f41_retry_gate_one_equijoin_codegen_case(spark):
+    # f40's aggregates + ONE left equi-join on url + a codegen CASE:
+    # no extra shuffle beyond f40's own, no window, no Python
+    plan = _plan(em.queries()["f41_retry_gate"](spark, SF))
+    assert "windowspecdefinition" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_d14_containment_shares_d02_join_shape(spark):
     # containment rides d02's inverted-index equi-join: shuffle on the
     # shingle key, never a cartesian pair enumeration
