@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p22_clean_dupline": _q_clean_dupline,
         "t41_sketch_stats": _q_sketch_stats,
         "f41_retry_gate": _q_retry_gate,
+        "t42_kn_bigram": _q_kn_bigram,
     }
 
 
@@ -3987,6 +3988,10 @@ _SPLIT_TRAIN_PRED = f"{_SPLIT_BUCKET_SQL} < {_SPLIT_BOUNDS[0][1]}"
 # doubles, identical literals on both engines)
 _BIGRAM_LAM = 0.75
 
+# t42: Kneser-Ney absolute discount (exact binary double; the
+# standard D=0.75 of Chen & Goodman 1999)
+_KN_DISCOUNT = 0.75
+
 # t31: DSIR Gumbel-top-k selection size + uniform salt
 _DSIR_SELECT_K = 100
 _DSIR_SELECT_SALT = "dsir-rs"
@@ -4342,6 +4347,15 @@ def _q_bigram_logprob(spark, sf_dir):
     # the order-2 CCNet fluency signal (t10 is order 1)
     return textops.bigram_logprob(
         _t(spark, sf_dir, "documents"), lam=_BIGRAM_LAM
+    )
+
+
+def _q_kn_bigram(spark, sf_dir):
+    # t42: interpolated Kneser-Ney bigram fluency — the smoothing
+    # KenLM/CCNet actually use; backoff mass goes to the continuation
+    # distribution instead of raw unigram frequency (t30)
+    return textops.kn_bigram_logprob(
+        _t(spark, sf_dir, "documents"), discount=_KN_DISCOUNT
     )
 
 
@@ -6698,6 +6712,38 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_logprob
             FROM pr JOIN big USING (prev, cur) JOIN ctx USING (prev)
                  JOIN uni USING (cur), tot
+            GROUP BY doc_id
+        """,
+        # t42: interpolated Kneser-Ney (D = _KN_DISCOUNT) — same pair
+        # generator as t30; the side tables fold from the bigram-TYPE
+        # table (continuation counts), mirroring kn_bigram_logprob
+        "t42_kn_bigram": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), pr AS (
+              SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+              FROM toks, unnest(range(1, len(t))) r(i)
+            ), big AS (
+              SELECT prev, cur, count(*)::BIGINT AS bcnt
+              FROM pr GROUP BY prev, cur
+            ), ctx AS (
+              SELECT prev, sum(bcnt)::BIGINT AS ccnt,
+                     count(*)::BIGINT AS fanout
+              FROM big GROUP BY prev
+            ), cont AS (
+              SELECT cur, count(*)::BIGINT AS lctx
+              FROM big GROUP BY cur
+            ), ty AS (
+              SELECT count(*)::BIGINT AS btypes FROM big
+            )
+            SELECT doc_id, count(*)::BIGINT AS bigram_cnt,
+                   round(avg(ln(
+                     (bcnt::DOUBLE - {_KN_DISCOUNT}) / ccnt::DOUBLE
+                     + {_KN_DISCOUNT} * fanout::DOUBLE / ccnt::DOUBLE
+                       * (lctx::DOUBLE / btypes::DOUBLE))), 6)
+                     AS mean_logprob_kn
+            FROM pr JOIN big USING (prev, cur) JOIN ctx USING (prev)
+                 JOIN cont USING (cur), ty
             GROUP BY doc_id
         """,
         # t31: DSIR Gumbel-top-k — t24's CTEs verbatim, key =

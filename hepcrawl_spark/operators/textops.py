@@ -1568,6 +1568,97 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def kn_bigram_logprob(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      discount: float = 0.75) -> DataFrame:
+    """Per-document mean bigram log-likelihood under interpolated
+    Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999) —
+    the smoothing family KenLM implements and CCNet's perplexity
+    filter (Wenzek et al. 2020) actually runs, upgrading ``bigram_
+    logprob``'s naive unigram interpolation: the backoff mass goes to
+    the CONTINUATION distribution (in how many distinct left contexts
+    does a word appear), so boilerplate tokens that are frequent but
+    context-locked ("Francisco" after "San") stop inflating scores
+    the way raw unigram frequency does.
+
+        P_cont(c)  = N1+(·,c) / B            (B = distinct bigram types)
+        P_kn(c|p)  = (count(p,c) − D) / count(p,·)
+                     + D · N1+(p,·) / count(p,·) · P_cont(c)
+        score(d)   = mean over adjacent pairs of ln P_kn
+
+    Every scored pair was observed in the corpus, so count(p,c) ≥ 1 >
+    D and the discounted term stays positive — no max(·,0) clamp is
+    needed and the log never sees zero.  Documents with fewer than
+    two tokens have no pairs and drop out, exactly as in ``bigram_
+    logprob``.
+
+    100 TB shape: identical to ``bigram_logprob`` — the bigram table
+    is ONE hash groupBy with map-side partial aggregation over the
+    exploded pair stream, and every KN statistic folds from that
+    (much smaller) count table, never from the stream: c(p,·) and
+    N1+(p,·) in one groupBy("prev") agg, N1+(·,c) in one
+    groupBy("cur") agg, B as a broadcast 1-row aggregate.  Scoring
+    joins the pair stream to the two side tables on their keys (AQE
+    skew-split handles stop-word contexts); pairs come from
+    ``zip_with`` over two slices of the once-bound token array — no
+    self-join, no positional shuffle, no Python.
+    """
+    d_f = float(discount)
+    if not 0.0 < d_f < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+
+    def _pairs(t: Column) -> Column:
+        m = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m),
+            lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+        )
+
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(bind_once(tokens_col(F.col(text_col)), _pairs))
+        .alias("_bg"),
+    ).select(
+        id_col,
+        F.col("_bg.p").alias("_prev"),
+        F.col("_bg.c").alias("_cur"),
+    )
+    big = pairs.groupBy("_prev", "_cur").agg(
+        F.count(F.lit(1)).alias("_bcnt")
+    )
+    # c(p,.) and N1+(p,.) fold together from the bigram-type table
+    ctx = big.groupBy("_prev").agg(
+        F.sum("_bcnt").alias("_ccnt"),
+        F.count(F.lit(1)).alias("_fanout"),
+    )
+    cont = big.groupBy("_cur").agg(F.count(F.lit(1)).alias("_lctx"))
+    types = big.agg(F.count(F.lit(1)).alias("_btypes"))
+    dd = "double"
+    return (
+        pairs.join(big, on=["_prev", "_cur"])
+        .join(ctx, on="_prev")
+        .join(cont, on="_cur")
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("bigram_cnt"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("_bcnt").cast(dd) - F.lit(d_f))
+                        / F.col("_ccnt").cast(dd)
+                        + F.lit(d_f)
+                        * F.col("_fanout").cast(dd)
+                        / F.col("_ccnt").cast(dd)
+                        * (F.col("_lctx").cast(dd)
+                           / F.col("_btypes").cast(dd))
+                    )
+                ), 6
+            ).alias("mean_logprob_kn"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR selection: Gumbel-top-k importance resampling over dsir_weights
 # ---------------------------------------------------------------------------

@@ -1762,6 +1762,41 @@ def test_bigram_logprob_separates_scrambled(spark):
     assert r[0].mean_logprob > r[6].mean_logprob
 
 
+def test_kn_bigram_hand_values(spark):
+    import math
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.kn_bigram_logprob(df).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1 -> types: (a,b),(b,a); B=2
+    # ctx a: ccnt=3 fanout=1; ctx b: ccnt=1 fanout=1
+    # cont b: lctx=1; cont a: lctx=1  -> P_cont = 1/2 each
+    d = 0.75
+    p_ab = (3 - d) / 3 + d * 1 / 3 * (1 / 2)
+    p_ba = (1 - d) / 1 + d * 1 / 1 * (1 / 2)
+    assert r[1].bigram_cnt == 1
+    assert r[1].mean_logprob_kn == pytest.approx(
+        round(math.log(p_ab), 6))
+    exp0 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert r[0].mean_logprob_kn == pytest.approx(exp0, abs=1e-6)
+    assert 2 not in r                      # one token: no pairs
+
+
+def test_kn_bigram_separates_scrambled(spark):
+    # same order-sensitivity property as t30, through the KN backoff
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on dog sat rug the cat the and on sat the"
+    df = spark.createDataFrame(
+        [(i, fluent) for i in range(6)] + [(6, scrambled)],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.kn_bigram_logprob(df).collect()}
+    assert r[0].mean_logprob_kn > r[6].mean_logprob_kn
+    # interpolated KN over observed pairs is a proper probability
+    assert all(x.mean_logprob_kn <= 0.0 for x in r.values())
+
+
 def test_dsir_select_topk(spark):
     docs = spark.createDataFrame(
         [(i, ("the quality corpus prose " * (1 + i % 3)).strip())
