@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t41_sketch_stats": _q_sketch_stats,
         "f41_retry_gate": _q_retry_gate,
         "t42_kn_bigram": _q_kn_bigram,
+        "f42_ip_schedule": _q_ip_schedule,
     }
 
 
@@ -4350,6 +4351,33 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_ip_schedule(spark, sf_dir):
+    # f42: per-IP politeness (Mercator §4.2 / Scrapy
+    # CONCURRENT_REQUESTS_PER_IP) — vhosts sharing a server share one
+    # courtesy budget; the resolution dim is a deterministic md5 fold
+    # of the host (both engines read md5 identically)
+    from hepcrawl_spark.frontier.politeness import ip_schedule
+
+    cand = _event_candidates(spark, sf_dir)
+    hosts = cand.select("url_host").distinct()
+    host_ip = hosts.select(
+        "url_host",
+        F.concat(F.lit("ip-"),
+                 F.substring(F.md5("url_host"), 1, 1)).alias("ip"),
+    )
+    ip_pol = host_ip.select("ip").distinct().select(
+        "ip",
+        F.lit(5.0).alias("download_delay"),
+        F.lit(2).alias("max_per_ip"),
+    )
+    out = ip_schedule(cand, host_ip, ip_pol, round_start=0.0)
+    return out.select(
+        "ip", "url_host", "seq",
+        F.col("ip_rank").cast("long").alias("ip_rank"),
+        "fetch_ts",
+    )
+
+
 def _q_kn_bigram(spark, sf_dir):
     # t42: interpolated Kneser-Ney bigram fluency — the smoothing
     # KenLM/CCNet actually use; backoff mass goes to the continuation
@@ -4496,6 +4524,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
+            FROM r
+        """,
+        # f42: per-IP politeness — f01's arithmetic keyed on the
+        # md5-derived resolution slot instead of the host
+        "f42_ip_schedule": f"""
+            WITH c AS (
+              SELECT {_CAND_HOST_SQL} AS url_host, event_id AS seq
+              FROM events
+            ), m AS (
+              SELECT url_host, seq,
+                     'ip-' || substr(md5(url_host), 1, 1) AS ip
+              FROM c
+            ), r AS (
+              SELECT ip, url_host, seq,
+                     row_number() OVER (
+                       PARTITION BY ip ORDER BY seq DESC
+                     )::BIGINT AS ip_rank
+              FROM m
+            )
+            SELECT ip, url_host, seq, ip_rank,
+                   floor((ip_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
         """,
         "f02_frontier_seen": f"""

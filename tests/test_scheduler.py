@@ -289,3 +289,41 @@ def test_weighted_budget_wires_pagerank(spark):
     q = {r.url_host: r.quota for r in quotas.collect()}
     assert sum(q.values()) == 30
     assert q["h1.x"] == max(q.values())   # everyone links to h1
+
+
+def test_ip_schedule_shared_slot(spark):
+    # f42: two vhosts on one IP share a single courtesy budget —
+    # per-host scheduling would fetch a.example and b.example
+    # concurrently at t=0; per-IP scheduling serializes them
+    from hepcrawl_spark.frontier.politeness import ip_schedule
+
+    reqs = [
+        (f"http://{h}/p/{i}", h, 0, s)
+        for s, (h, i) in enumerate(
+            (h, i) for i in range(3)
+            for h in ("a.example", "b.example", "solo.example")
+        )
+    ]
+    df = _frontier_df(spark, reqs)
+    host_ip = spark.createDataFrame(
+        [("a.example", "10.0.0.1"), ("b.example", "10.0.0.1")],
+        "url_host string, ip string",
+    )
+    ip_pol = spark.createDataFrame(
+        [("10.0.0.1", 1.0, 1), ("solo.example", 1.0, 1)],
+        "ip string, download_delay double, max_per_ip int",
+    )
+    out = ip_schedule(df, host_ip, ip_pol).collect()
+    shared = sorted(
+        ((r.seq, r.fetch_ts) for r in out if r.ip == "10.0.0.1"),
+        key=lambda x: -x[0],
+    )
+    # 6 urls through ONE slot at delay 1/conc 1: LIFO by seq, one
+    # per second — not two-at-a-time as host scheduling would give
+    assert [ts for _, ts in shared] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    # unmapped host falls back to its own name as the slot key
+    solo = sorted(
+        ((r.seq, r.fetch_ts) for r in out if r.ip == "solo.example"),
+        key=lambda x: -x[0],
+    )
+    assert [ts for _, ts in solo] == [0.0, 1.0, 2.0]
