@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f41_retry_gate": _q_retry_gate,
         "t42_kn_bigram": _q_kn_bigram,
         "f42_ip_schedule": _q_ip_schedule,
+        "f43_content_seen": _q_content_seen,
     }
 
 
@@ -4351,6 +4352,23 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_content_seen(spark, sf_dir):
+    # f43: Mercator's content-seen test — same page served under many
+    # URLs is processed once (earlier fetch wins); the crawl-loop
+    # integration (extraction + expansion skipped, state carried
+    # across rounds and resume) is exercised in tests/test_rounds.py
+    from hepcrawl_spark.frontier.fingerprint import content_seen_flag
+
+    d = _t(spark, sf_dir, "documents")
+    out = content_seen_flag(
+        d.select(F.col("doc_id").alias("seq"), "text"),
+        content_col="text", order_col="seq",
+    )
+    return out.select(
+        F.col("seq").alias("doc_id"), "content_fp", "content_dup"
+    )
+
+
 def _q_ip_schedule(spark, sf_dir):
     # f42: per-IP politeness (Mercator §4.2 / Scrapy
     # CONCURRENT_REQUESTS_PER_IP) — vhosts sharing a server share one
@@ -4525,6 +4543,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
+        """,
+        # f43: Mercator content-seen — first owner of each checksum
+        # in fetch order; every later URL carrying the same bytes is
+        # flagged
+        "f43_content_seen": """
+            SELECT doc_id, md5(text) AS content_fp,
+                   row_number() OVER (
+                     PARTITION BY md5(text) ORDER BY doc_id
+                   ) > 1 AS content_dup
+            FROM documents
         """,
         # f42: per-IP politeness — f01's arithmetic keyed on the
         # md5-derived resolution slot instead of the host

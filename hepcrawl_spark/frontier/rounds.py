@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..extract import extract_records
 from ..schema import POLITENESS_SCHEMA, ROBOTS_SCHEMA
 from .checkpoint import RoundStore
-from .fingerprint import with_url_identity
+from .fingerprint import content_seen_flag, with_url_identity
 from .politeness import schedule
 from .robots import effective_politeness, robots_filter
 from .seen import CANDIDATE_SCHEMA, filter_unseen
@@ -91,6 +91,14 @@ class CrawlConfig:
     blocked_domains: Tuple[str, ...] = ()
     blocked_extensions: Tuple[str, ...] = ()
     allowed_schemes: Tuple[str, ...] = ("http", "https")
+    # Mercator content-seen test (fingerprint.content_seen_flag): when
+    # on, fetched pages whose md5 checksum an earlier fetch already
+    # carried — this round (earlier seq wins) or any previous round
+    # (carried checksum state, resumed from the store's "content"
+    # table) — are NOT extracted and expand NO children; the fetch
+    # itself already happened, exactly as in Mercator.  Suppressed
+    # count lands in ``totals["content_dup"]``.
+    content_seen: bool = False
 
 
 def make_seeds(spark: SparkSession, seeds: List[Tuple[str, str, int]]) -> DataFrame:
@@ -355,6 +363,7 @@ def run_crawl(
     queue: Optional[DataFrame] = seeds
     seen_state: Optional[DataFrame] = None
     offsets: Optional[DataFrame] = None
+    content_state: Optional[DataFrame] = None
 
     if store is not None:
         last = store.last_committed_round()
@@ -362,10 +371,12 @@ def run_crawl(
             queue = store.read_table(last, "queue")
             seen_state = store.read_table(last, "seen")
             offsets = store.read_table(last, "offsets")
+            if config.content_seen:
+                content_state = store.read_table(last, "content")
             round_no = last + 1
 
     totals = {"records": 0, "errors": 0, "scheduled": 0, "blocked": 0,
-              "url_filtered": 0}
+              "url_filtered": 0, "content_dup": 0}
     pending_expand_cache: Optional[DataFrame] = None
 
     while queue is not None and round_no < config.max_rounds:
@@ -465,13 +476,40 @@ def run_crawl(
             totals.setdefault("fetch_plans", []).append(
                 fetched._jdf.queryExecution().executedPlan().toString()
             )
+        prev_content = None
+        if config.content_seen:
+            # content-seen (Mercator §4.1): within-round first owner
+            # by seq, then prior rounds' checksum state — NOT a
+            # broadcast (one fp per distinct document at corpus
+            # scale); both sides hash-partition on the near-unique
+            # checksum key
+            fetched = content_seen_flag(fetched, order_col=[
+                F.col("fetch_ts"),
+                F.col("eff_priority").desc(),
+                F.col("seq").desc(),
+            ])
+            if content_state is not None:
+                fetched = fetched.join(
+                    content_state.select("content_fp").withColumn(
+                        "_seen_before", F.lit(True)
+                    ),
+                    on="content_fp", how="left",
+                ).withColumn(
+                    "content_dup",
+                    F.col("content_dup")
+                    | F.coalesce("_seen_before", F.lit(False)),
+                ).drop("_seen_before")
         fetched = fetched.persist()
         miss_errors = fetched.filter(F.col("html").isNull()).select(
             "url", F.lit("FetchMiss: url not in corpus").alias("error")
         )
+        extract_src = fetched.filter(F.col("html").isNotNull())
+        if config.content_seen:
+            # the expensive half Mercator's test exists to skip:
+            # content-dup pages are neither extracted nor expanded
+            extract_src = extract_src.filter(~F.col("content_dup"))
         extracted = extract_records(
-            fetched.filter(F.col("html").isNotNull())
-            .select("url", "html", "format")
+            extract_src.select("url", "html", "format")
         ).persist()
 
         records = extracted.filter(F.col("error").isNull())
@@ -545,6 +583,11 @@ def run_crawl(
                 F.coalesce(F.sum(
                     F.when(F.col("html").isNull(), 1).otherwise(0)
                 ), F.lit(0)).alias("n_fetch_miss"),
+                *([F.coalesce(F.sum(
+                    F.when(F.col("content_dup")
+                           & F.col("html").isNotNull(), 1).otherwise(0)
+                ), F.lit(0)).alias("n_content_dup")]
+                  if config.content_seen else []),
             ))
             .crossJoin(scheduled.agg(
                 F.count(F.lit(1)).alias("n_scheduled"),
@@ -570,6 +613,21 @@ def run_crawl(
         totals["scheduled"] += n_scheduled
         totals["blocked"] += int(stats.n_blocked)
         totals["url_filtered"] += int(stats.n_url_filtered)
+        if config.content_seen:
+            totals["content_dup"] += int(stats.n_content_dup)
+            # carry the checksum state: everything fetched this round
+            # is now "seen" content.  Same round-boundary plan
+            # truncation / release discipline as the URL-seen state.
+            round_fps = fetched.filter(
+                F.col("html").isNotNull()
+            ).select("content_fp").distinct()
+            prev_content = content_state
+            content_state = (
+                round_fps if content_state is None
+                else content_state.unionByName(round_fps).distinct()
+            )
+            if store is None:
+                content_state = _local_ckpt(content_state)
 
         if store is not None:
             tables = {
@@ -581,6 +639,8 @@ def run_crawl(
             }
             if seen_state is not None and config.seen_mode != "off":
                 tables["seen"] = seen_state
+            if config.content_seen and content_state is not None:
+                tables["content"] = content_state
             store.commit_round(
                 round_no, tables,
                 meta={"scheduled": n_scheduled, "records": n_records,
@@ -600,6 +660,8 @@ def run_crawl(
             offsets = store.read_table(round_no, "offsets")
             if config.seen_mode != "off":
                 seen_state = store.read_table(round_no, "seen")
+            if config.content_seen:
+                content_state = store.read_table(round_no, "content")
 
         queue.unpersist()
         scheduled.unpersist()
@@ -614,6 +676,8 @@ def run_crawl(
             _release_local_checkpoint(prev_offsets)
             if prev_seen is not seen_state:
                 _release_local_checkpoint(prev_seen)
+            if prev_content is not content_state:
+                _release_local_checkpoint(prev_content)
             _release_local_checkpoint(queue)
         pending_expand_cache = expand_cache
         queue = next_queue

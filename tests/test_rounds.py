@@ -245,3 +245,76 @@ def test_url_blocklist_extension_and_default_off(spark, arxiv_pages):
     )
     assert plain["url_filtered"] == 0
     assert plain["records"] == 22
+
+
+def _html_pages(spark, pages):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in pages],
+        "url string, html binary",
+    )
+
+
+def test_content_seen_suppresses_dup_processing(spark):
+    # Mercator content-seen: two URLs serving byte-identical pages —
+    # the later fetch is neither extracted nor expanded
+    body = ("<html><title>Same</title><body>same words "
+            "<a href='http://x.test/kid'>k</a></body></html>")
+    pages = _html_pages(spark, [
+        ("http://x.test/a", body),
+        ("http://x.test/b", body),
+        ("http://x.test/kid",
+         "<html><title>Kid</title><body>leaf</body></html>"),
+    ])
+    seeds = make_seeds(spark, [
+        ("http://x.test/a", "html-generic", 0),
+        ("http://x.test/b", "html-generic", 0),
+    ])
+    summary = run_crawl(
+        spark, seeds, pages,
+        config=CrawlConfig(content_seen=True, seen_mode="exact"),
+    )
+    # one of a/b processed + kid = 2 records; the dup page counted
+    assert summary["records"] == 2
+    assert summary["content_dup"] == 1
+    # control: without the test both copies are processed
+    control = run_crawl(
+        spark, seeds, pages, config=CrawlConfig(seen_mode="exact"),
+    )
+    assert control["records"] == 3
+    assert control["content_dup"] == 0
+
+
+def test_content_seen_state_carries_across_rounds_and_resume(spark):
+    # a links to b; b serves the SAME bytes as a (self-link page) —
+    # round 1 must suppress b from the carried checksum state, even
+    # when the crawl resumes from a checkpoint between the rounds
+    body = ("<html><title>Loop</title><body>dup body "
+            "<a href='http://y.test/b'>b</a></body></html>")
+    pages = _html_pages(spark, [
+        ("http://y.test/a", body),
+        ("http://y.test/b", body),
+    ])
+    seeds = make_seeds(spark, [("http://y.test/a", "html-generic", 0)])
+    cfg = CrawlConfig(content_seen=True, seen_mode="off")
+    summary = run_crawl(spark, seeds, pages, config=cfg)
+    # without content-seen this corpus is an infinite self-loop
+    # (seen_mode off); the checksum state ends it at depth 1
+    assert summary["records"] == 1
+    assert summary["content_dup"] == 1
+    assert summary["rounds"] <= 3
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as ckpt:
+        first = run_crawl(
+            spark, seeds, pages, checkpoint_path=ckpt,
+            config=CrawlConfig(content_seen=True, seen_mode="off",
+                               max_rounds=1),
+        )
+        assert first["records"] == 1 and first["content_dup"] == 0
+        resumed = run_crawl(
+            spark, seeds, pages, checkpoint_path=ckpt,
+            config=cfg,
+        )
+        # the resumed half sees round 0's checksums from the store
+        assert resumed["records"] == 0
+        assert resumed["content_dup"] == 1
