@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t42_kn_bigram": _q_kn_bigram,
         "f42_ip_schedule": _q_ip_schedule,
         "f43_content_seen": _q_content_seen,
+        "t43_cms_heavy": _q_cms_heavy,
     }
 
 
@@ -3994,6 +3995,12 @@ _BIGRAM_LAM = 0.75
 # standard D=0.75 of Chen & Goodman 1999)
 _KN_DISCOUNT = 0.75
 
+# t43: Count-Min sketch shape + heavy-hitter threshold (integers —
+# the whole query is exact integer arithmetic on both engines)
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_MIN_EST = 64
+
 # t31: DSIR Gumbel-top-k selection size + uniform salt
 _DSIR_SELECT_K = 100
 _DSIR_SELECT_SALT = "dsir-rs"
@@ -4349,6 +4356,15 @@ def _q_bigram_logprob(spark, sf_dir):
     # the order-2 CCNet fluency signal (t10 is order 1)
     return textops.bigram_logprob(
         _t(spark, sf_dir, "documents"), lam=_BIGRAM_LAM
+    )
+
+
+def _q_cms_heavy(spark, sf_dir):
+    # t43: Count-Min heavy hitters — mergeable sketch (cell-wise sum)
+    # with deterministic md5 bucket hashes; est >= exact one-sided
+    return textops.cms_heavy_hitters(
+        _t(spark, sf_dir, "documents"),
+        depth=_CMS_DEPTH, width=_CMS_WIDTH, min_est=_CMS_MIN_EST,
     )
 
 
@@ -6790,6 +6806,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pr JOIN big USING (prev, cur) JOIN ctx USING (prev)
                  JOIN uni USING (cur), tot
             GROUP BY doc_id
+        """,
+        # t43: Count-Min heavy hitters — sketch folded from the
+        # unigram table with the portable 60-bit md5 bucket hash;
+        # estimate = min over the d cells a token maps to
+        "t43_cms_heavy": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS tok FROM documents
+            ), uni AS (
+              SELECT tok, count(*)::BIGINT AS ucnt FROM toks GROUP BY tok
+            ), keyed AS (
+              SELECT tok, ucnt, j,
+                     ('0x' || substr(md5(j || ':' || tok), 1, 15))::BIGINT
+                       % {_CMS_WIDTH} AS b
+              FROM uni, unnest([{", ".join(str(j) for j in range(_CMS_DEPTH))}]) r(j)
+            ), sk AS (
+              SELECT j, b, sum(ucnt)::BIGINT AS cell
+              FROM keyed GROUP BY j, b
+            ), est AS (
+              SELECT tok, min(cell)::BIGINT AS est_cnt,
+                     max(ucnt)::BIGINT AS exact_cnt
+              FROM keyed JOIN sk USING (j, b) GROUP BY tok
+            )
+            SELECT tok AS token, est_cnt, exact_cnt
+            FROM est WHERE est_cnt >= {_CMS_MIN_EST}
         """,
         # t42: interpolated Kneser-Ney (D = _KN_DISCOUNT) — same pair
         # generator as t30; the side tables fold from the bigram-TYPE

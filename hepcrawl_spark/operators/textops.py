@@ -1568,6 +1568,65 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
+                      depth: int = 4, width: int = 1024,
+                      min_est: int = 64) -> DataFrame:
+    """Heavy hitters through a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): tokens whose sketch ESTIMATE reaches
+    ``min_est``, with the estimate and the exact count side by side.
+    The CMS guarantee is one-sided — est ≥ exact always, and
+    est ≤ exact + εN with probability 1−δ for d = ln(1/δ) rows of
+    w = e/ε buckets — so thresholding on the estimate can only
+    over-admit near-threshold tokens, never drop a true heavy hitter.
+
+    Every count is exact integer arithmetic over deterministic
+    md5-derived bucket hashes (``token_hash`` idiom — identical in
+    Spark and the SQL mirror), so the sketch, the estimates and the
+    verdict reproduce bit-for-bit cross-engine.
+
+    100 TB shape: the token stream folds ONCE into the unigram count
+    table (hash groupBy, map-side partial agg); the sketch derives
+    from that table (vocab × d rows, weighted by count), never from
+    the stream, and lands at d·w cells — a few KB that BROADCASTS
+    back for the min-over-rows probe.  The sketch is the mergeable
+    artifact: shards/streams combine by cell-wise SUM, which is how
+    a fleet-wide heavy-hitter pass over 100 TB aggregates without
+    moving vocabularies — ship sketches, not counts.  Enumerating
+    probe candidates from the full vocab is the sandbox-exact
+    choice; at fleet scale the candidate set is each shard's local
+    top-k (a superset of any global heavy hitter by the pigeonhole
+    bound), probed against the merged sketch.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    uni = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("_tok")
+    ).groupBy("_tok").agg(F.count(F.lit(1)).alias("_ucnt"))
+    keyed = uni.select(
+        "_tok", "_ucnt",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"),
+    ).withColumn(
+        "_b",
+        F.pmod(
+            token_hash(F.concat(F.col("_j").cast("string"),
+                                F.lit(":"), F.col("_tok"))),
+            F.lit(width),
+        ),
+    )
+    sketch = keyed.groupBy("_j", "_b").agg(F.sum("_ucnt").alias("_cell"))
+    est = (
+        keyed.join(F.broadcast(sketch), on=["_j", "_b"])
+        .groupBy("_tok")
+        .agg(F.min("_cell").alias("est_cnt"),
+             F.max("_ucnt").alias("exact_cnt"))
+    )
+    return est.filter(F.col("est_cnt") >= int(min_est)).select(
+        F.col("_tok").alias("token"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+    )
+
+
 def kn_bigram_logprob(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       discount: float = 0.75) -> DataFrame:

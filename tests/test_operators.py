@@ -2514,3 +2514,32 @@ def test_range_join_matches_theta_and_handles_edges(spark):
     assert (0, 3) not in got           # empty interval excluded
     # multi-match is real: v=63 falls in intervals 0, 1 AND 2
     assert {(2, 0), (2, 1), (2, 2)} <= got
+
+
+def test_cms_overestimates_only_and_finds_heavies(spark):
+    # t43: est >= exact for every token (one-sided CMS error), and a
+    # planted heavy hitter is always admitted
+    docs = spark.createDataFrame(
+        [(i, ("common " * 20 + f"rare{i} unique{i}").strip())
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = textops.cms_heavy_hitters(docs, min_est=0).collect()
+    assert all(r.est_cnt >= r.exact_cnt for r in out)
+    by_tok = {r.token: r for r in out}
+    assert by_tok["common"].exact_cnt == 600
+    heavy = textops.cms_heavy_hitters(docs, min_est=500).collect()
+    assert "common" in {r.token for r in heavy}
+    # narrow sketch still never UNDER-counts (collisions only add)
+    tight = textops.cms_heavy_hitters(docs, width=8, min_est=0).collect()
+    assert all(r.est_cnt >= r.exact_cnt for r in tight)
+
+
+def test_cms_sketch_width_controls_error(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    wide = textops.cms_heavy_hitters(docs, width=4096, min_est=0).collect()
+    # 50-token vocab in 4096 buckets x 4 rows: min over rows is exact
+    assert all(r.est_cnt == r.exact_cnt for r in wide)
