@@ -716,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f42_ip_schedule": _q_ip_schedule,
         "f43_content_seen": _q_content_seen,
         "t43_cms_heavy": _q_cms_heavy,
+        "t44_gzip_ratio": _q_gzip_ratio,
+        "t45_gopher_lines": _q_gopher_lines,
     }
 
 
@@ -4359,6 +4361,19 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_gzip_ratio(spark, sf_dir):
+    # t44: compressibility quality signal (RedPajama-v2 family) —
+    # deflate is not SQL-expressible, so rows-only by contract;
+    # exactness vs direct zlib.compress is pinned in pytest
+    return textops.gzip_ratio(_t(spark, sf_dir, "documents"))
+
+
+def _q_gopher_lines(spark, sf_dir):
+    # t45: Gopher line-format rules — bullet-start / ellipsis-end
+    # line fractions with the published 90%/30% thresholds
+    return textops.gopher_line_rules(_t(spark, sf_dir, "documents"))
+
+
 def _q_cms_heavy(spark, sf_dir):
     # t43: Count-Min heavy hitters — mergeable sketch (cell-wise sum)
     # with deterministic md5 bucket hashes; est >= exact one-sided
@@ -6806,6 +6821,39 @@ def oracle_sql() -> dict[str, str]:
             FROM pr JOIN big USING (prev, cur) JOIN ctx USING (prev)
                  JOIN uni USING (cur), tot
             GROUP BY doc_id
+        """,
+        # t44_gzip_ratio: deflate — non-SQL-expressible (rows-only;
+        # zlib parity pinned in pytest).
+        # t45: Gopher line-format rules — same edge-trim as the
+        # tokenizer per line, empty lines out of the denominator
+        "t45_gopher_lines": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                         l -> regexp_replace(l,
+                           '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
+                           '', 'g')),
+                       l -> length(l) > 0) AS ls
+              FROM documents
+            ), fr AS (
+              SELECT doc_id, len(ls)::BIGINT AS line_cnt,
+                     CASE WHEN len(ls) > 0 THEN
+                       len(list_filter(ls,
+                         l -> substr(l, 1, 1) IN ('•', '-', '*')
+                       ))::DOUBLE / len(ls)::DOUBLE END AS bf,
+                     CASE WHEN len(ls) > 0 THEN
+                       len(list_filter(ls,
+                         l -> ends_with(l, '...') OR ends_with(l, '…')
+                       ))::DOUBLE / len(ls)::DOUBLE END AS ef
+              FROM s
+            )
+            SELECT doc_id, line_cnt,
+                   round(bf, 9) AS bullet_frac,
+                   round(ef, 9) AS ellipsis_frac,
+                   (coalesce(bf <= 0.9, true)
+                    AND coalesce(ef <= 0.3, true))::INT AS passes
+            FROM fr
         """,
         # t43: Count-Min heavy hitters — sketch folded from the
         # unigram table with the portable 60-bit md5 bucket hash;

@@ -1568,6 +1568,125 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gzip_ratio(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Compressibility quality signal (the RedPajama-v2 quality-signal
+    family's gzip-compression-ratio member): deflate the UTF-8 bytes
+    and report compressed/raw.  Highly repetitive spam compresses far
+    below fluent prose; random gibberish barely compresses at all —
+    a single scalar that catches both tails the token-level screens
+    (t19/t28) each see only half of.
+
+    zlib level is pinned (default 6) so the signal is deterministic
+    and reproducible across runs and machines (same zlib stream for
+    the same bytes).  No SQL engine exposes deflate, so this is a
+    rows-only driver entry; exactness is pinned in pytest against
+    direct ``zlib.compress`` on the same rows.
+
+    100 TB shape: one Arrow-batched pandas UDF over the pruned
+    (id, text) projection — embarrassingly parallel, no shuffle; the
+    raw length and the ratio stay JVM-side (``octet_length`` + one
+    codegen division).
+    """
+    lvl = int(level)
+    if not 1 <= lvl <= 9:
+        raise ValueError(f"zlib level must be 1..9, got {level}")
+
+    @pandas_udf("long")
+    def _gz_len(texts: pd.Series) -> pd.Series:
+        import zlib
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), lvl))
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("byte_len"),
+        _gz_len(F.col(text_col)).alias("gz_len"),
+    ).withColumn(
+        "gzip_ratio",
+        F.when(
+            F.col("byte_len") > 0,
+            F.round(F.col("gz_len").cast("double")
+                    / F.col("byte_len").cast("double"), 6),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+
+
+# Gopher line-format rules (Rae et al. 2021, Table A1): reject pages
+# that are mostly list chrome — >90% of lines starting with a bullet
+# glyph, or >30% ending with an ellipsis.  Literals shared with the
+# SQL mirror.
+GOPHER_BULLETS = ("•", "-", "*")
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+
+
+def gopher_line_rules(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_bullet_frac: float = GOPHER_MAX_BULLET_FRAC,
+                      max_ellipsis_frac: float = GOPHER_MAX_ELLIPSIS_FRAC,
+                      ) -> DataFrame:
+    """The LINE-layout half of the Gopher repetition/format battery
+    (Rae et al. 2021): fraction of lines starting with a bullet glyph
+    and fraction ending with an ellipsis ("..." or U+2026), with the
+    published 90%/30% rejection thresholds.  ``gopher_quality`` (t09)
+    carries the token-level rules; this completes the document-format
+    pair the paper applies alongside them.
+
+    Empty lines are excluded from the denominator (a page of prose
+    separated by blank lines is not "0% bullets of 40 lines" vs "0%
+    of 20" depending on spacing).  Documents with no non-empty lines
+    pass vacuously with NULL fractions — the same convention the C4
+    line filter (t20) uses.
+
+    100 TB shape: one codegen scan — ``split`` + two higher-order
+    ``filter`` folds over the once-bound line array; no Python, no
+    shuffle, verdict pushes into downstream filters.
+    """
+    def _build(ls: Column) -> Column:
+        nonempty = F.filter(ls, lambda l: F.length(l) > 0)
+        n = F.size(nonempty)
+        nd = n.cast("double")
+        bullets = F.size(F.filter(
+            nonempty,
+            lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
+        ))
+        ellipses = F.size(F.filter(
+            nonempty,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        ))
+        bullet_frac = F.when(n > 0, bullets.cast("double") / nd)
+        ellipsis_frac = F.when(n > 0, ellipses.cast("double") / nd)
+        passes = (
+            F.coalesce(bullet_frac <= F.lit(float(max_bullet_frac)),
+                       F.lit(True))
+            & F.coalesce(ellipsis_frac <= F.lit(float(max_ellipsis_frac)),
+                         F.lit(True))
+        )
+        return F.struct(
+            n.cast("long").alias("line_cnt"),
+            F.round(bullet_frac, 9).alias("bullet_frac"),
+            F.round(ellipsis_frac, 9).alias("ellipsis_frac"),
+            passes.cast("int").alias("passes"),
+        )
+
+    s = bind_once(
+        F.split(F.col(text_col), "\n", -1),
+        lambda ls: _build(F.transform(
+            ls,
+            lambda l: F.regexp_replace(l, WS_EDGE, ""),
+        )),
+    )
+    return docs.select(F.col(id_col), s.alias("_s")).select(
+        id_col,
+        F.col("_s.line_cnt").alias("line_cnt"),
+        F.col("_s.bullet_frac").alias("bullet_frac"),
+        F.col("_s.ellipsis_frac").alias("ellipsis_frac"),
+        F.col("_s.passes").alias("passes"),
+    )
+
+
 def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
                       depth: int = 4, width: int = 1024,
                       min_est: int = 64) -> DataFrame:

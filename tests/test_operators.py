@@ -2543,3 +2543,41 @@ def test_cms_sketch_width_controls_error(spark):
     wide = textops.cms_heavy_hitters(docs, width=4096, min_est=0).collect()
     # 50-token vocab in 4096 buckets x 4 rows: min over rows is exact
     assert all(r.est_cnt == r.exact_cnt for r in wide)
+
+
+def test_gzip_ratio_matches_zlib_and_orders_quality(spark):
+    import zlib
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog " * 3),
+        (1, "spam ham " * 200),                    # repetitive: tiny ratio
+        (2, "".join(  # non-repeating gibberish: barely compresses
+            __import__("random").Random(42).choices(
+                "abcdefghijklmnopqrstuvwxyz0123456789 ", k=300))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.gzip_ratio(df).collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        assert got[i].byte_len == len(b)
+        assert got[i].gz_len == len(zlib.compress(b, 6))
+    assert got[3].gzip_ratio is None
+    assert got[1].gzip_ratio < got[0].gzip_ratio < got[2].gzip_ratio
+
+
+def test_gopher_line_rules_thresholds(spark):
+    bullets = "\n".join(f"• item {i}" for i in range(20))
+    trailing = "\n".join(f"read more {i}..." for i in range(10))
+    prose = "A plain paragraph.\n\nAnother paragraph here."
+    df = spark.createDataFrame(
+        [(0, bullets), (1, trailing), (2, prose), (3, "\n\n\n")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.gopher_line_rules(df).collect()}
+    assert got[0].bullet_frac == 1.0 and got[0].passes == 0
+    assert got[1].ellipsis_frac == 1.0 and got[1].passes == 0
+    # blank lines excluded from the denominator
+    assert got[2].line_cnt == 2 and got[2].passes == 1
+    # no non-empty lines: vacuous pass, NULL fractions
+    assert got[3].line_cnt == 0 and got[3].passes == 1
+    assert got[3].bullet_frac is None
