@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t43_cms_heavy": _q_cms_heavy,
         "t44_gzip_ratio": _q_gzip_ratio,
         "t45_gopher_lines": _q_gopher_lines,
+        "p23_clean_gopherlines": _q_clean_gopherlines,
     }
 
 
@@ -804,6 +805,36 @@ _P01_SQL_TMPL = f"""
     FROM k WHERE rn = 1
 """
 _P01_SQL = _P01_SQL_TMPL.format(extra_gate="")
+
+# p23: line-structured input synthesis (4-token re-chunk; bullet /
+# ellipsis decoration by doc_id class) + the t45 line-format gate as
+# an extra WHERE term — the trimmed-nonempty-lines expression is one
+# Python constant expanded in place so the four uses cannot drift
+_P23_CTES = f"""p23toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), p23_docs AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range((len(t)+3) // 4),
+                  i -> CASE WHEN doc_id % 5 = 0 THEN '•' ELSE '' END
+                       || array_to_string(t[i*4+1:i*4+4], ' ')
+                       || CASE WHEN doc_id % 5 = 1 THEN '…' ELSE '' END),
+                  chr(10)) AS text
+              FROM p23toks
+            )"""
+_P23_NL = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "l -> regexp_replace(l, "
+    "'^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g')), "
+    "l -> length(l) > 0)"
+)
+_P23_LINE_GATE = (
+    f" AND coalesce((len(list_filter({_P23_NL},"
+    f" l -> substr(l, 1, 1) IN ('•', '-', '*')))::DOUBLE"
+    f" / len({_P23_NL})::DOUBLE) <= 0.9, true)"
+    f" AND coalesce((len(list_filter({_P23_NL},"
+    f" l -> ends_with(l, '...') OR ends_with(l, '…')))::DOUBLE"
+    f" / len({_P23_NL})::DOUBLE) <= 0.3, true)"
+)
 
 
 # f40/f41 shared retry-state SQL: synthesized attempt log, status
@@ -2034,6 +2065,47 @@ def _q_c4_filter(spark, sf_dir):
         _c4_input_docs(_t(spark, sf_dir, "documents")), min_words=4
     ).select(
         "doc_id", "line_cnt", "kept_cnt", "page_ok", "cleaned_text"
+    )
+
+
+def _lines_input_docs(docs):
+    # shared p23 input construction: the d10 4-token re-chunk gives
+    # line structure; every doc_id % 5 == 0 page becomes a bullet
+    # list ('•' prefixed to each line — chosen so the GOPHER token
+    # rules still pass and only the line rule fires) and every
+    # doc_id % 5 == 1 page an ellipsis-teaser list ('…' appended —
+    # deliberately NOT '...', which t09's symbol-ratio rule would
+    # already kill); mirrored verbatim in the oracle CTEs
+    def _mk(t):
+        n_chunks = F.floor((F.size(t) + 3) / 4).cast("int")
+        bullet = F.col("doc_id") % 5 == 0
+        ell = F.col("doc_id") % 5 == 1
+        lines = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat(
+                F.when(bullet, F.lit("•")).otherwise(F.lit("")),
+                F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+                F.when(ell, F.lit("…")).otherwise(F.lit("")),
+            ),
+        )
+        return F.array_join(lines, "\n")
+
+    return docs.withColumn(
+        "text", textops.bind_once(textops.tokens_col(F.col("text")),
+                                  _mk)
+    )
+
+
+def _q_clean_gopherlines(spark, sf_dir):
+    # p23: line-format-gated clean corpus — t45's verdict ANDed into
+    # the p01 gate scan (zero extra passes); bullet-list and
+    # ellipsis-teaser pages die at the gate, everything else flows
+    # through the standard gate → exact-dedup tail
+    from hepcrawl_spark.operators.corpus import clean_corpus
+
+    docs = _lines_input_docs(_t(spark, sf_dir, "documents"))
+    return clean_corpus(docs, line_rules=True).select(
+        "doc_id", "guessed_lang", "token_cnt", "fingerprint"
     )
 
 
@@ -5425,6 +5497,16 @@ def oracle_sql() -> dict[str, str]:
         # the cleaned pages, page_ok survivors shadow `documents`,
         # and the p01 SQL body runs verbatim over them (same swap
         # pattern as p10, so the two pipeline mirrors cannot drift)
+        # p23: line-format-gated clean corpus — p01's body over the
+        # synthesized line-structured pages, with the t45 verdict as
+        # an extra gate term (same swap pattern as p11)
+        "p23_clean_gopherlines": _P01_SQL_TMPL.format(
+            extra_gate=_P23_LINE_GATE
+        ).replace(
+            "WITH s AS (",
+            "WITH " + _P23_CTES + ", s AS (",
+            1,
+        ).replace("AS toks FROM documents", "AS toks FROM p23_docs", 1),
         "p11_clean_c4": _P01_SQL_TMPL.format(extra_gate="").replace(
             "WITH s AS (",
             "WITH " + _C4_CTES + f""", c4_docs AS (

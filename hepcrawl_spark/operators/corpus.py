@@ -254,6 +254,9 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
                entropy_min_chars: int = 64,
                fre_min: float | None = None,
                fre_max: float | None = None,
+               line_rules: bool = False,
+               max_bullet_frac: float | None = None,
+               max_ellipsis_frac: float | None = None,
                **gopher_thresholds) -> DataFrame:
     """The stateless body shared by ``clean_corpus`` (batch) and
     ``streaming.pipeline.stream_clean_corpus``: one codegen scan pass
@@ -285,11 +288,19 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
     fold rides the same bound token array and the sentence count is
     one more regex on the text column, so the band too costs zero
     extra scans.
+
+    Pass ``line_rules=True`` to AND the Gopher line-format verdict
+    (``textops.gopher_line_rules`` semantics: bullet-start /
+    ellipsis-end line fractions under the published 90%/30% caps, or
+    ``max_bullet_frac``/``max_ellipsis_frac`` overrides) into the
+    gate — the line folds read the text column directly in the same
+    projection, like the entropy screen: zero extra scans.
     """
     cls = classifier_weights is not None
     bw = bool(badwords)
     ent = min_entropy is not None
     fre = fre_min is not None or fre_max is not None
+    lr = bool(line_rules)
 
     def _sig(t):
         cols = [
@@ -343,6 +354,22 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
         # NULL entropy (zero sampled chars) never satisfies `low` on
         # either engine: FALSE AND NULL = FALSE
         gate = gate & ~low
+    if lr:
+        from .textops import (GOPHER_MAX_BULLET_FRAC,
+                              GOPHER_MAX_ELLIPSIS_FRAC)
+
+        bf_cap = (GOPHER_MAX_BULLET_FRAC if max_bullet_frac is None
+                  else float(max_bullet_frac))
+        ef_cap = (GOPHER_MAX_ELLIPSIS_FRAC if max_ellipsis_frac is None
+                  else float(max_ellipsis_frac))
+        # NULL fractions (no non-empty lines) pass vacuously — same
+        # coalesce the standalone t45 verdict uses
+        gate = gate & (
+            F.coalesce(F.col("_l.bullet_frac") <= F.lit(bf_cap),
+                       F.lit(True))
+            & F.coalesce(F.col("_l.ellipsis_frac") <= F.lit(ef_cap),
+                         F.lit(True))
+        )
     if fre:
         from .textops import (FRE_BASE, FRE_SPW, FRE_WPS, SENTENCE_RE)
 
@@ -373,6 +400,10 @@ def gated_docs(docs: DataFrame, text_col: str = "text",
             entropy_struct(F.col(text_col), entropy_max_chars)
             .alias("_e")
         )
+    if lr:
+        from .textops import line_format_struct
+
+        cols.append(line_format_struct(F.col(text_col)).alias("_l"))
     return (
         docs.select(*cols)
         .filter(gate)
@@ -393,6 +424,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  min_entropy: float | None = None,
                  fre_min: float | None = None,
                  fre_max: float | None = None,
+                 line_rules: bool = False,
                  **gopher_thresholds) -> DataFrame:
     """Documents that pass the Gopher rules, exact-deduped by content
     hash (smallest id survives), tagged with language guess, token
@@ -407,6 +439,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                       lang_threshold=lang_threshold,
                       min_entropy=min_entropy,
                       fre_min=fre_min, fre_max=fre_max,
+                      line_rules=line_rules,
                       **gopher_thresholds)
     w = Window.partitionBy("_md5").orderBy(F.col(id_col).asc())
     return (

@@ -1622,6 +1622,40 @@ GOPHER_MAX_BULLET_FRAC = 0.9
 GOPHER_MAX_ELLIPSIS_FRAC = 0.3
 
 
+def line_format_struct(text: Column) -> Column:
+    """Struct(line_cnt, bullet_frac, ellipsis_frac) over the trimmed
+    non-empty lines of ``text`` — the shared body of
+    ``gopher_line_rules`` and the ``clean_corpus`` gate option
+    (fractions unrounded; callers round for display and compare raw
+    against thresholds so the verdict never depends on rounding)."""
+    def _build(ls: Column) -> Column:
+        nonempty = F.filter(ls, lambda l: F.length(l) > 0)
+        n = F.size(nonempty)
+        nd = n.cast("double")
+        bullets = F.size(F.filter(
+            nonempty,
+            lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
+        ))
+        ellipses = F.size(F.filter(
+            nonempty,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        ))
+        return F.struct(
+            n.cast("long").alias("line_cnt"),
+            F.when(n > 0, bullets.cast("double") / nd)
+            .alias("bullet_frac"),
+            F.when(n > 0, ellipses.cast("double") / nd)
+            .alias("ellipsis_frac"),
+        )
+
+    return bind_once(
+        F.split(text, "\n", -1),
+        lambda ls: _build(F.transform(
+            ls, lambda l: F.regexp_replace(l, WS_EDGE, ""),
+        )),
+    )
+
+
 def gopher_line_rules(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       max_bullet_frac: float = GOPHER_MAX_BULLET_FRAC,
@@ -1644,46 +1678,21 @@ def gopher_line_rules(docs: DataFrame, text_col: str = "text",
     ``filter`` folds over the once-bound line array; no Python, no
     shuffle, verdict pushes into downstream filters.
     """
-    def _build(ls: Column) -> Column:
-        nonempty = F.filter(ls, lambda l: F.length(l) > 0)
-        n = F.size(nonempty)
-        nd = n.cast("double")
-        bullets = F.size(F.filter(
-            nonempty,
-            lambda l: F.substring(l, 1, 1).isin(*GOPHER_BULLETS),
-        ))
-        ellipses = F.size(F.filter(
-            nonempty,
-            lambda l: l.endswith("...") | l.endswith("…"),
-        ))
-        bullet_frac = F.when(n > 0, bullets.cast("double") / nd)
-        ellipsis_frac = F.when(n > 0, ellipses.cast("double") / nd)
-        passes = (
-            F.coalesce(bullet_frac <= F.lit(float(max_bullet_frac)),
-                       F.lit(True))
-            & F.coalesce(ellipsis_frac <= F.lit(float(max_ellipsis_frac)),
-                         F.lit(True))
-        )
-        return F.struct(
-            n.cast("long").alias("line_cnt"),
-            F.round(bullet_frac, 9).alias("bullet_frac"),
-            F.round(ellipsis_frac, 9).alias("ellipsis_frac"),
-            passes.cast("int").alias("passes"),
-        )
-
-    s = bind_once(
-        F.split(F.col(text_col), "\n", -1),
-        lambda ls: _build(F.transform(
-            ls,
-            lambda l: F.regexp_replace(l, WS_EDGE, ""),
-        )),
+    s = line_format_struct(F.col(text_col))
+    passes = (
+        F.coalesce(
+            F.col("_s.bullet_frac") <= F.lit(float(max_bullet_frac)),
+            F.lit(True))
+        & F.coalesce(
+            F.col("_s.ellipsis_frac") <= F.lit(float(max_ellipsis_frac)),
+            F.lit(True))
     )
     return docs.select(F.col(id_col), s.alias("_s")).select(
         id_col,
         F.col("_s.line_cnt").alias("line_cnt"),
-        F.col("_s.bullet_frac").alias("bullet_frac"),
-        F.col("_s.ellipsis_frac").alias("ellipsis_frac"),
-        F.col("_s.passes").alias("passes"),
+        F.round(F.col("_s.bullet_frac"), 9).alias("bullet_frac"),
+        F.round(F.col("_s.ellipsis_frac"), 9).alias("ellipsis_frac"),
+        passes.cast("int").alias("passes"),
     )
 
 

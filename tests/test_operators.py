@@ -2581,3 +2581,20 @@ def test_gopher_line_rules_thresholds(spark):
     # no non-empty lines: vacuous pass, NULL fractions
     assert got[3].line_cnt == 0 and got[3].passes == 1
     assert got[3].bullet_frac is None
+
+
+def test_clean_corpus_line_rules_gate(spark):
+    from hepcrawl_spark.operators.corpus import clean_corpus
+    lines = "\n".join(
+        f"the word{4*i} of word{4*i+1} is word{4*i+2} and word{4*i+3}"
+        for i in range(10))
+    bullets = "\n".join("• " + l for l in lines.split("\n"))
+    df = spark.createDataFrame(
+        [(0, lines), (1, bullets)], "doc_id long, text string",
+    )
+    base = {r.doc_id for r in clean_corpus(df).collect()}
+    gated = {r.doc_id for r in
+             clean_corpus(df, line_rules=True).collect()}
+    # both pages pass the token rules; only the line rule separates
+    assert base == {0, 1}
+    assert gated == {0}
