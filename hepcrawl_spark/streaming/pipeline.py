@@ -241,7 +241,8 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
                        blocked_domains: tuple = (),
                        blocked_extensions: tuple = (),
                        allowed_schemes: tuple = ("http", "https"),
-                       host_priorities: Optional[DataFrame] = None):
+                       host_priorities: Optional[DataFrame] = None,
+                       content_seen: bool = False):
     """The FULL streaming crawl engine — every stage of the batch
     round body (``frontier.rounds.run_crawl``) composed into one
     continuous query, closing the frontier loop through the watched
@@ -298,6 +299,7 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
     cand_cols = CANDIDATE_SCHEMA.fieldNames()
     offsets_path = os.path.join(work_dir, "offsets")
     records_path = os.path.join(work_dir, "records")
+    content_path = os.path.join(work_dir, "content")
     pol = effective_politeness(politeness, robots)
     pages_slim = pages.select("url", "html")
 
@@ -343,9 +345,49 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
                                   f"epoch-{epoch:09d}"))
         )
         fetched = scheduled.join(pages_slim, on="url", how="left")
+        if content_seen:
+            # Mercator content-seen, streaming form: the checksum
+            # ledger is epoch-versioned parquet exactly like the
+            # offsets ledger (retried epochs idempotently rebuild
+            # from epoch-1's basis); within-batch first owner by the
+            # schedule's real fetch-order keys, like the batch loop
+            from ..frontier.fingerprint import content_seen_flag
+
+            cprior = sorted(glob.glob(
+                os.path.join(content_path, "epoch-*")))
+            cprior = [p for p in cprior
+                      if int(p.rsplit("-", 1)[1]) < epoch]
+            prior_fps = (spark.read.parquet(cprior[-1])
+                         if cprior else None)
+            fetched = content_seen_flag(fetched, order_col=[
+                F.col("fetch_ts"),
+                F.col("eff_priority").desc(),
+                F.col("seq").desc(),
+            ])
+            if prior_fps is not None:
+                fetched = fetched.join(
+                    prior_fps.select("content_fp").withColumn(
+                        "_seen_before", F.lit(True)),
+                    on="content_fp", how="left",
+                ).withColumn(
+                    "content_dup",
+                    F.col("content_dup")
+                    | F.coalesce("_seen_before", F.lit(False)),
+                ).drop("_seen_before")
+            fetched = fetched.persist()
+            batch_fps = fetched.filter(
+                F.col("html").isNotNull()
+            ).select("content_fp").distinct()
+            new_fps = (batch_fps if prior_fps is None
+                       else prior_fps.unionByName(batch_fps).distinct())
+            new_fps.write.mode("overwrite").parquet(
+                os.path.join(content_path, f"epoch-{epoch:09d}")
+            )
+        extract_src = fetched.filter(F.col("html").isNotNull())
+        if content_seen:
+            extract_src = extract_src.filter(~F.col("content_dup"))
         extracted = extract_records(
-            fetched.filter(F.col("html").isNotNull())
-            .select("url", "html", "format")
+            extract_src.select("url", "html", "format")
         ).persist()
         records = extracted.filter(F.col("error").isNull())
         (
@@ -395,6 +437,8 @@ def stream_crawl_round(spark: SparkSession, frontier_path: str,
         if expand_cache is not None:
             expand_cache.unpersist()
         extracted.unpersist()
+        if content_seen:
+            fetched.unpersist()
         scheduled.unpersist()
 
     writer = (

@@ -747,3 +747,35 @@ def test_stream_clean_corpus_entropy_gate_parity(spark, tmp_path):
     assert sorted(r.doc_id for r in sink) == want
     assert 20 not in {r.doc_id for r in sink}
     assert 0 in {r.doc_id for r in sink}      # prose survives
+
+
+def test_stream_content_seen_ends_mirror_loop(spark, tmp_path):
+    """Streaming content-seen: a links to b, b serves the SAME bytes
+    (self-link page) — without the checksum ledger and with URL-seen
+    sharded off the dup URL, the loop would re-expand forever; the
+    ledger ends it, and the state survives the per-round restarts."""
+    from hepcrawl_spark.frontier.rounds import make_seeds
+    from hepcrawl_spark.frontier.seen import CANDIDATE_SCHEMA
+    from hepcrawl_spark.streaming.pipeline import drive_stream_crawl
+
+    body = ("<html><title>Loop</title><body>dup body "
+            "<a href='http://z.test/b'>b</a></body></html>").encode()
+    pages = spark.createDataFrame(
+        [("http://z.test/a", body, "html-generic"),
+         ("http://z.test/b", body, "html-generic")],
+        "url string, html binary, format string",
+    )
+    seeds = make_seeds(spark, [("http://z.test/a", "html-generic", 0)])
+    frontier = tmp_path / "frontier"
+    frontier.mkdir()
+    seeds.select(CANDIDATE_SCHEMA.fieldNames()).coalesce(1) \
+        .write.mode("append").parquet(str(frontier))
+    out = drive_stream_crawl(
+        spark, str(frontier), pages, str(tmp_path / "work"),
+        num_shards=2, max_depth=6, content_seen=True,
+    )
+    assert out["drained"]
+    recs = spark.read.parquet(out["records_path"] + "/epoch-*") \
+        .select("url").collect()
+    # only the first copy was ever processed
+    assert [r.url for r in recs] == ["http://z.test/a"]
