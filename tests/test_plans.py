@@ -872,3 +872,71 @@ def test_q11_range_join_is_bucketized_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_t42_kn_bigram_no_python_no_window_broadcast_types(spark):
+    # KN statistics fold from the bigram-TYPE table; the 1-row type
+    # count rides a broadcast — no Python, no window anywhere
+    plan = _plan(em.queries()["t42_kn_bigram"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "windowspecdefinition" not in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_t43_cms_broadcast_sketch_pure_codegen(spark):
+    # the d·w-cell sketch BROADCASTS back onto the probe side; the
+    # whole query is JVM integer arithmetic
+    plan = _plan(em.queries()["t43_cms_heavy"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t44_gzip_arrow_only_pruned_scan(spark):
+    # deflate runs as ONE Arrow pandas UDF over the pruned (id, text)
+    # projection; no row-at-a-time Python, no shuffle
+    plan = _plan(em.queries()["t44_gzip_ratio"](spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_t45_gopher_lines_single_codegen_scan(spark):
+    # line rules are HOF folds over the once-bound line array: one
+    # scan, zero Exchange, zero Python
+    plan = _plan(em.queries()["t45_gopher_lines"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_f42_ip_schedule_broadcast_dims_no_unpartitioned_window(spark):
+    # resolution + budget dims broadcast; the rank is the two-phase
+    # slot-bucketed shape — every window carries a partition spec
+    plan = _plan(em.queries()["f42_ip_schedule"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    lowered = plan.lower()
+    for frag in lowered.split("windowspecdefinition")[1:]:
+        head = frag.split(")", 1)[0]
+        assert "specifiedwindowframe" in frag or head, frag[:80]
+    assert "windowspecdefinition()" not in lowered.replace(" ", "")
+    assert "BatchEvalPython" not in plan
+
+
+def test_f43_content_seen_checksum_partitioned_window(spark):
+    # the dup flag is ONE window partitioned by the md5 checksum —
+    # near-unique key, no Python, no join in the standalone form
+    plan = _plan(em.queries()["f43_content_seen"](spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.lower().count("windowspecdefinition") >= 1
+    assert "md5" in plan.lower()
+
+
+def test_p23_line_gate_keeps_p01_shape(spark):
+    # folding t45 into the gate must not add a scan or an Exchange
+    # beyond p01's single content-hash shuffle + rank window
+    plan = _plan(em.queries()["p23_clean_gopherlines"](spark, SF))
+    assert "EvalPython" not in plan
+    base = _plan(em.queries()["p01_clean_corpus"](spark, SF))
+    assert plan.count("Exchange") == base.count("Exchange")
