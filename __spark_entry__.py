@@ -719,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t44_gzip_ratio": _q_gzip_ratio,
         "t45_gopher_lines": _q_gopher_lines,
         "p23_clean_gopherlines": _q_clean_gopherlines,
+        "d17_cross_corpus_lsh": _q_cross_corpus_lsh,
     }
 
 
@@ -2192,6 +2193,31 @@ def _q_cross_corpus(spark, sf_dir):
     return dedup.cross_corpus_dedup(
         new_docs, ref_docs, n=3, threshold=0.8
     ).select("doc_id", "exact_dup", "near_cnt", "max_jaccard", "keep")
+
+
+def _q_cross_corpus_lsh(spark, sf_dir):
+    # d17: the banded-MinHash scale path of d11 — same new/ref split
+    # and planted exact dups; candidates from the NEW x REF band
+    # equi-join, exact shingle-Jaccard verify (d11 mirror shared)
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    ref_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    inner = dedup.cross_corpus_lsh(
+        new_docs, ref_docs, n=3, threshold=0.8
+    )
+    out = inner.select(
+        "doc_id", "exact_dup", "near_cnt", "max_jaccard", "keep"
+    )
+    out._lsh_caches = inner._lsh_caches
+    return out
 
 
 def _q_normalize_punct(spark, sf_dir):
@@ -4544,7 +4570,7 @@ def _q_split_pack(spark, sf_dir):
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
@@ -7308,3 +7334,10 @@ def oracle_sql() -> dict[str, str]:
                ).format(toks=_TOKS)
         ),
     }
+    # d17: the banded-MinHash scale path verifies candidates with the
+    # exact distinct-shingle Jaccard, so its semantics — and its
+    # mirror — are d11's VERBATIM (shared dict entry: cannot drift);
+    # the LSH recall gap (~5e-8 at τ=0.8, r=4, b=32) is the only
+    # difference, and the correctness gate measures it as zero here
+    sql["d17_cross_corpus_lsh"] = sql["d11_cross_corpus"]
+    return sql

@@ -2598,3 +2598,34 @@ def test_clean_corpus_line_rules_gate(spark):
     # both pages pass the token rules; only the line rule separates
     assert base == {0, 1}
     assert gated == {0}
+
+
+def test_cross_corpus_lsh_matches_exact_path(spark):
+    # d17 ⊇ semantics: at high similarity the banded path reproduces
+    # the exact d11 verdict row-for-row (recall gap ~5e-8 at τ=0.8)
+    from hepcrawl_spark.operators import dedup
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again on this very fine morning in the park")
+    nd = spark.createDataFrame(
+        [(1, base + " extra"), (3, "totally different words here"),
+         (5, base)],
+        "doc_id long, text string",
+    )
+    rd = spark.createDataFrame(
+        [(0, base), (2, "other reference text entirely unrelated")],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r for r in
+             dedup.cross_corpus_dedup(nd, rd, threshold=0.8).collect()}
+    got = dedup.cross_corpus_lsh(nd, rd, threshold=0.8)
+    rows = {r.doc_id: r for r in got.collect()}
+    for c in got._lsh_caches:
+        c.unpersist()
+    assert rows.keys() == exact.keys()
+    for k, e in exact.items():
+        r = rows[k]
+        assert (r.exact_dup, r.near_cnt, r.max_jaccard, r.keep) == \
+            (e.exact_dup, e.near_cnt, e.max_jaccard, e.keep), k
+    assert rows[5].exact_dup == 1 and rows[5].keep == 0
+    assert rows[1].near_cnt >= 1 and rows[1].keep == 0
+    assert rows[3].keep == 1
