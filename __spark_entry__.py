@@ -720,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t45_gopher_lines": _q_gopher_lines,
         "p23_clean_gopherlines": _q_clean_gopherlines,
         "d17_cross_corpus_lsh": _q_cross_corpus_lsh,
+        "f44_politeness_audit": _q_politeness_audit,
     }
 
 
@@ -4481,6 +4482,30 @@ def _q_cms_heavy(spark, sf_dir):
     )
 
 
+def _q_politeness_audit(spark, sf_dir):
+    # f44: courtesy-adherence audit — f01's executed schedule plus
+    # planted violations (two too-fast refetches, one oversized
+    # wave); the audit must flag exactly those hosts
+    from hepcrawl_spark.frontier.politeness import politeness_audit
+
+    cand = _event_candidates(spark, sf_dir)
+    pol = cand.select("url_host").distinct().select(
+        "url_host",
+        F.lit(5.0).alias("download_delay"),
+        F.lit(2).alias("max_per_host"),
+    )
+    sched, _, _ = schedule(cand, pol, None, round_start=0.0,
+                           horizon=None)
+    planted = spark.createDataFrame(
+        [("h0.example.com", 2.5), ("h7.example.com", 2.5),
+         ("h3.example.com", 0.0), ("h3.example.com", 0.0),
+         ("h3.example.com", 0.0)],
+        "url_host string, fetch_ts double",
+    )
+    log = sched.select("url_host", "fetch_ts").unionByName(planted)
+    return politeness_audit(log, pol)
+
+
 def _q_content_seen(spark, sf_dir):
     # f43: Mercator's content-seen test — same page served under many
     # URLs is processed once (earlier fetch wins); the crawl-loop
@@ -4672,6 +4697,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
+        """,
+        # f44: politeness audit — f01's schedule as the fetch log,
+        # plus the same planted violations; waves = identical-ts
+        # groups, gaps via lag over the per-host wave table
+        "f44_politeness_audit": f"""
+            WITH c AS (
+              SELECT {_CAND_HOST_SQL} AS url_host, event_id AS seq
+              FROM events
+            ), r AS (
+              SELECT url_host,
+                     row_number() OVER (
+                       PARTITION BY url_host ORDER BY seq DESC
+                     )::BIGINT AS host_rank
+              FROM c
+            ), log AS (
+              SELECT url_host,
+                     floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
+              FROM r
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('h0.example.com', 2.5), ('h7.example.com', 2.5),
+                ('h3.example.com', 0.0), ('h3.example.com', 0.0),
+                ('h3.example.com', 0.0)) v(url_host, fetch_ts)
+            ), waves AS (
+              SELECT url_host, fetch_ts AS ts,
+                     count(*)::BIGINT AS wave
+              FROM log GROUP BY 1, 2
+            ), gaps AS (
+              SELECT url_host, wave,
+                     ts - lag(ts) OVER (
+                       PARTITION BY url_host ORDER BY ts) AS gap
+              FROM waves
+            )
+            SELECT url_host, sum(wave)::BIGINT AS n_fetches,
+                   count(*)::BIGINT AS n_waves,
+                   max(wave)::BIGINT AS max_wave,
+                   round(min(gap), 6) AS min_gap,
+                   sum(CASE WHEN wave > 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS wave_violations,
+                   sum(CASE WHEN gap < 5.0 THEN 1 ELSE 0 END)::BIGINT
+                     AS gap_violations,
+                   (sum(CASE WHEN wave > 2 THEN 1 ELSE 0 END) = 0
+                    AND sum(CASE WHEN gap < 5.0 THEN 1 ELSE 0 END) = 0
+                   )::INT AS ok
+            FROM gaps GROUP BY url_host
         """,
         # f43: Mercator content-seen — first owner of each checksum
         # in fetch order; every later URL carrying the same bytes is

@@ -664,3 +664,76 @@ def ip_schedule(
         .drop("_delay", "_conc")
     )
     return df
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    politeness: Optional[DataFrame] = None,
+    host_col: str = "url_host",
+    ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """Audit an EXECUTED fetch log against the per-host courtesy
+    contract — the verification half of ``schedule``: given what was
+    actually fetched when, report per host whether the budget held.
+    Real crawl operations run exactly this check over fetch logs
+    (was any host hit faster than its crawl-delay? did a burst exceed
+    the concurrency cap?) to catch scheduler regressions and
+    misconfigured overrides before a webmaster does.
+
+    A host's fetches group into WAVES (identical ``ts_col``); the
+    contract is: no wave larger than ``max_per_host``, and
+    successive waves at least ``download_delay`` apart.  Output per
+    host: n_fetches, n_waves, max_wave, min_gap (NULL for
+    single-wave hosts), wave_violations, gap_violations, ok.
+
+    100 TB shape: the log folds to one row per (host, wave) in a
+    single partial-agg groupBy — the only corpus-sized shuffle; the
+    lag window then runs over the per-host-tiny wave table, and the
+    budget dimension joins broadcast.  No Python.
+    """
+    waves = fetch_log.groupBy(
+        F.col(host_col).alias("url_host"), F.col(ts_col).alias("_ts")
+    ).agg(F.count(F.lit(1)).alias("_wave"))
+    if politeness is not None:
+        waves = waves.join(
+            F.broadcast(politeness.select(
+                "url_host",
+                F.col("download_delay").alias("_delay"),
+                F.col("max_per_host").alias("_conc"),
+            )),
+            on="url_host", how="left",
+        )
+    else:
+        waves = waves.withColumn(
+            "_delay", F.lit(None).cast("double")
+        ).withColumn("_conc", F.lit(None).cast("int"))
+    waves = (
+        waves.withColumn("_delay",
+                         F.coalesce("_delay", F.lit(DEFAULT_DELAY)))
+        .withColumn("_conc",
+                    F.coalesce("_conc", F.lit(DEFAULT_MAX_PER_HOST)))
+    )
+    w = Window.partitionBy("url_host").orderBy("_ts")
+    gaps = waves.withColumn(
+        "_gap", F.col("_ts") - F.lag("_ts").over(w)
+    )
+    return (
+        gaps.groupBy("url_host")
+        .agg(
+            F.sum("_wave").cast("long").alias("n_fetches"),
+            F.count(F.lit(1)).cast("long").alias("n_waves"),
+            F.max("_wave").cast("long").alias("max_wave"),
+            F.round(F.min("_gap"), 6).alias("min_gap"),
+            F.sum(
+                F.when(F.col("_wave") > F.col("_conc"), 1).otherwise(0)
+            ).cast("long").alias("wave_violations"),
+            F.sum(
+                F.when(F.col("_gap") < F.col("_delay"), 1).otherwise(0)
+            ).cast("long").alias("gap_violations"),
+        )
+        .withColumn(
+            "ok",
+            ((F.col("wave_violations") == 0)
+             & (F.col("gap_violations") == 0)).cast("int"),
+        )
+    )

@@ -327,3 +327,31 @@ def test_ip_schedule_shared_slot(spark):
         key=lambda x: -x[0],
     )
     assert [ts for _, ts in solo] == [0.0, 1.0, 2.0]
+
+
+def test_politeness_audit_flags_planted_violations(spark):
+    from hepcrawl_spark.frontier.politeness import politeness_audit
+    pol = _budget_df(spark, {"a.x": HostBudget(5.0, 2)})
+    log = spark.createDataFrame(
+        # a.x: clean waves at 0 (x2) and 5 (x2); b.x: wave of 3 at 0
+        # then a refetch 2s later — both sides of the contract broken
+        [("a.x", 0.0), ("a.x", 0.0), ("a.x", 5.0), ("a.x", 5.0),
+         ("b.x", 0.0), ("b.x", 0.0), ("b.x", 0.0), ("b.x", 2.0)],
+        "url_host string, fetch_ts double",
+    )
+    pol2 = spark.createDataFrame(
+        [("a.x", 5.0, 2), ("b.x", 5.0, 2)],
+        "url_host string, download_delay double, max_per_host int",
+    )
+    got = {r.url_host: r for r in politeness_audit(log, pol2).collect()}
+    a, b = got["a.x"], got["b.x"]
+    assert (a.ok, a.wave_violations, a.gap_violations) == (1, 0, 0)
+    assert a.min_gap == 5.0 and a.max_wave == 2
+    assert (b.ok, b.wave_violations, b.gap_violations) == (0, 1, 1)
+    assert b.min_gap == 2.0 and b.max_wave == 3
+    # schedule() output itself always audits clean
+    reqs = [(f"http://a.x/{i}", "a.x", 0, i) for i in range(9)]
+    sched, _, _ = schedule(_frontier_df(spark, reqs), pol)
+    clean = politeness_audit(sched.select("url_host", "fetch_ts"),
+                             pol).collect()
+    assert all(r.ok == 1 for r in clean)
