@@ -21,7 +21,7 @@ Three modes:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import pandas as pd
 
@@ -236,3 +236,55 @@ def filter_unseen(
         return admitted, new_state
 
     raise ValueError(f"unknown seen mode: {mode!r}")
+
+
+def merge_seen_states(state_a: Optional[DataFrame],
+                      state_b: Optional[DataFrame],
+                      mode: str = "exact") -> Optional[DataFrame]:
+    """Union two crawls' URL-seen states into one — the fleet-merge
+    operation a distributed crawler needs when frontiers combine: a
+    vertical crawl folds into the main crawl, or a rendezvous
+    re-shard (``sharding.hrw_shard``) moves a host group onto a
+    worker that already holds state for the shard.
+
+    ``mode="exact"``: fingerprint-set union — one DISTINCT over the
+    concatenated frames, hash-partitioned on the fingerprint.
+
+    ``mode="bloom"``: per-shard blob union by bitwise OR — Bloom's
+    headline algebraic property (``BloomShard.merge``), which cuckoo
+    deliberately does not offer (deletion instead).  Shards pair by
+    id in one cogroup; a shard present on one side passes through
+    unchanged.  Merging never loses a member (no false negatives,
+    before or after), and the union's false-positive rate is that of
+    the OR'd bit pattern — budget fill accordingly.
+
+    Both directions of error stay one-sided after a merge, so the
+    gate's admitted ⊆ exact-admitted contract survives fleet
+    reorganizations.
+    """
+    if state_a is None:
+        return state_b
+    if state_b is None:
+        return state_a
+    if mode == "exact":
+        return state_a.unionByName(state_b).distinct()
+    if mode != "bloom":
+        raise ValueError(f"unsupported merge mode {mode!r}")
+
+    
+    def _or_blobs(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        blobs = list(a_pdf["blob"]) + list(b_pdf["blob"])
+        if not blobs:
+            return pd.DataFrame({"shard": [], "blob": []})
+        merged = BloomShard.from_bytes(bytes(blobs[0]))
+        for blob in blobs[1:]:
+            merged = merged.merge(BloomShard.from_bytes(bytes(blob)))
+        return pd.DataFrame(
+            {"shard": [key[0]], "blob": [merged.to_bytes()]}
+        )
+
+    return (
+        state_a.groupBy("shard")
+        .cogroup(state_b.groupBy("shard"))
+        .applyInPandas(_or_blobs, schema=CUCKOO_STATE_SCHEMA)
+    )

@@ -182,3 +182,35 @@ def test_bloom_state_persists_blobs(spark):
     blobs = state.collect()
     assert {r.shard for r in blobs} <= set(range(4))
     assert all(r.blob is not None and len(r.blob) > 24 for r in blobs)
+
+
+@pytest.mark.parametrize("mode", ["exact", "bloom"])
+def test_merge_seen_states_unions_two_crawls(spark, mode):
+    """Fleet merge: two independently built states union into one
+    that refuses BOTH crawls' URLs and still admits fresh ones."""
+    from hepcrawl_spark.frontier.seen import merge_seen_states
+
+    urls_a = [f"http://h{i % 4}.org/a{i}" for i in range(40)]
+    urls_b = [f"http://h{i % 4}.org/b{i}" for i in range(40)]
+    _, state_a = filter_unseen(
+        _candidates(spark, urls_a), None, mode=mode, num_shards=4)
+    _, state_b = filter_unseen(
+        _candidates(spark, urls_b, start_seq=1000), None,
+        mode=mode, num_shards=4)
+    merged = merge_seen_states(state_a, state_b, mode=mode)
+
+    probe = _candidates(
+        spark, urls_a[:10] + urls_b[:10]
+        + [f"http://h9.org/fresh{i}" for i in range(5)],
+        start_seq=5000,
+    )
+    admitted, _ = filter_unseen(probe, merged, mode=mode, num_shards=4)
+    got = sorted(r.url for r in admitted.collect())
+    assert got == sorted(f"http://h9.org/fresh{i}" for i in range(5))
+    # one-sided after merge too: nothing inserted is ever admitted
+    # (no false negatives) — checked by the empty intersection above
+    if mode == "bloom":
+        assert {r.shard for r in merged.collect()} <= set(range(4))
+    # None passthrough
+    assert merge_seen_states(None, state_a, mode=mode) is state_a
+    assert merge_seen_states(state_a, None, mode=mode) is state_a
