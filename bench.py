@@ -163,7 +163,8 @@ def main():
         # later queries' timings don't share their memory
         for cache in (getattr(df, "_caches", None)
                       or [getattr(df, "_cumsum_cache", None),
-                          getattr(df, "_lsh_cache", None)]):
+                          getattr(df, "_lsh_cache", None),
+                          *(getattr(df, "_lsh_caches", None) or ())]):
             if cache is not None:
                 cache.unpersist()
     suite_sec = round(time.time() - suite_t0, 3)
