@@ -721,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p23_clean_gopherlines": _q_clean_gopherlines,
         "d17_cross_corpus_lsh": _q_cross_corpus_lsh,
         "f44_politeness_audit": _q_politeness_audit,
+        "m07_scene_cuts": _q_scene_cuts,
     }
 
 
@@ -4391,6 +4392,14 @@ def _q_media_phash(spark, sf_dir):
     return multimodal.phash_media(media)
 
 
+def _q_scene_cuts(spark, sf_dir):
+    # m07: shot-boundary detection — per-frame aHash over the m03
+    # frame grid, lag-window Hamming distance, cut where consecutive
+    # frames diverge past the threshold
+    media = multimodal.with_media_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_scene_cuts(media, hamming_thresh=12)
+
+
 def _planted_media(spark, sf_dir):
     # m06 input: groups of 5 docs share a base text (the group
     # leader's) with a same-length last-character substitution — the
@@ -7151,6 +7160,52 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + _PHASH_DEFAULT_PM + _PHASH_TAIL
             + "\nSELECT doc_id, n_bytes, phash FROM ph"
         ),
+        # m07: scene cuts — the m03 frame arithmetic (stride, ≤4
+        # offsets) + the m05 aHash fold per frame slice (absolute
+        # hex-offset sampling), lag window per doc
+        "m07_scene_cuts": (
+            "WITH " + _PHASH_DEFAULT_PM + f""", fr AS (
+              SELECT doc_id, media,
+                     octet_length(media)::BIGINT AS n,
+                     greatest(1, octet_length(media) // 4)::BIGINT
+                       AS stride
+              FROM pm WHERE octet_length(media) > 0
+            ), fx AS (
+              SELECT doc_id, media, n, stride, i::BIGINT AS frame_id,
+                     (i * stride)::BIGINT AS off,
+                     least(stride, n - i * stride)::BIGINT AS flen
+              FROM fr, unnest([0, 1, 2, 3]) r(i)
+              WHERE i * stride < n
+            ), fs AS (
+              SELECT doc_id, frame_id, off,
+                     list_transform(range({_PHASH_S}), j ->
+                       ('0x' || substring(hex(media),
+                          2 * (off + (j * flen) // {_PHASH_S}) + 1,
+                          2))::BIGINT) AS sm
+              FROM fx
+            ), fp AS (
+              SELECT doc_id, frame_id, off AS "offset",
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(sm, x ->
+                         CASE WHEN {_PHASH_S} * x > list_sum(sm)
+                              THEN 1::BIGINT ELSE 0::BIGINT END)),
+                       (a, x) -> a * 2 + x)::BIGINT AS phash
+              FROM fs
+            ), lagd AS (
+              SELECT doc_id, frame_id, "offset", phash,
+                     lag(phash) OVER (
+                       PARTITION BY doc_id ORDER BY frame_id) AS prev
+              FROM fp
+            )
+            SELECT doc_id, frame_id, "offset", phash,
+                   CASE WHEN prev IS NOT NULL THEN
+                     bit_count(xor(phash, prev))::INT END
+                     AS hamming_prev,
+                   (prev IS NULL
+                    OR bit_count(xor(phash, prev)) > 12)::INT
+                     AS scene_cut
+            FROM lagd
+        """),
         # m06: the FULL pair join filtered to the Hamming ball — the
         # closed form the band-pigeonhole join must reproduce exactly
         # at radius <= 3; input = the planted near-dup payload groups

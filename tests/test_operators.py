@@ -2629,3 +2629,26 @@ def test_cross_corpus_lsh_matches_exact_path(spark):
     assert rows[5].exact_dup == 1 and rows[5].keep == 0
     assert rows[1].near_cnt >= 1 and rows[1].keep == 0
     assert rows[3].keep == 1
+
+
+def test_frame_scene_cuts_flags_divergent_frames(spark):
+    from hepcrawl_spark.operators import multimodal
+    same = "abcd" * 40                      # four identical quarters
+    mixed = "aaaa" * 30 + "zz9!" * 30       # halfway shot change
+    media = spark.createDataFrame(
+        [(0, bytearray(same.encode()), "image/fake"),
+         (1, bytearray(mixed.encode()), "image/fake")],
+        "doc_id long, media binary, media_type string",
+    )
+    rows = multimodal.frame_scene_cuts(media, hamming_thresh=3).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    for frames in by.values():
+        frames.sort(key=lambda r: r.frame_id)
+        assert frames[0].scene_cut == 1          # first frame opens
+        assert frames[0].hamming_prev is None
+    # identical quarters: no further cuts
+    assert [f.scene_cut for f in by[0][1:]] == [0, 0, 0]
+    # the a->z boundary lands at frame 2
+    assert by[1][2].scene_cut == 1
