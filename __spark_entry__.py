@@ -722,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_cross_corpus_lsh": _q_cross_corpus_lsh,
         "f44_politeness_audit": _q_politeness_audit,
         "m07_scene_cuts": _q_scene_cuts,
+        "t46_subword_stats": _q_subword_stats,
     }
 
 
@@ -4469,6 +4470,12 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_subword_stats(spark, sf_dir):
+    # t46: BPE-ish token counting — the GPT-2 pre-tokenizer in its
+    # lookaround-free cross-engine form; fertility = subwords/word
+    return textops.subword_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_gzip_ratio(spark, sf_dir):
     # t44: compressibility quality signal (RedPajama-v2 family) —
     # deflate is not SQL-expressible, so rows-only by contract;
@@ -7011,6 +7018,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # t44_gzip_ratio: deflate — non-SQL-expressible (rows-only;
         # zlib parity pinned in pytest).
+        # t46: BPE-ish subword counting — same GPT-2-style pattern
+        # (lookaround-free; \p classes and the explicit whitespace
+        # class read identically in Java regex and RE2)
+        "t46_subword_stats": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\f\\r\\p{{L}}\\p{{N}}]+|[ \\t\\n\\f\\r]+')
+                       AS mt,
+                     {_TOKS} AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(mt)::BIGINT AS match_cnt,
+                     list_filter(mt, x ->
+                       NOT regexp_matches(x,
+                         '^[ \\t\\n\\f\\r]+$')) AS nw,
+                     len(t)::BIGINT AS word_cnt
+              FROM m
+            )
+            SELECT doc_id, match_cnt,
+                   len(nw)::BIGINT AS subword_cnt, word_cnt,
+                   CASE WHEN word_cnt > 0 THEN
+                     round(len(nw)::DOUBLE / word_cnt::DOUBLE, 9)
+                   END AS fertility,
+                   CASE WHEN len(nw) > 0 THEN
+                     round(list_reduce(list_prepend(0::BIGINT,
+                       list_transform(nw, x -> length(x)::BIGINT)),
+                       (a, b) -> a + b)::DOUBLE
+                       / len(nw)::DOUBLE, 9)
+                   END AS chars_per_subword
+            FROM s
+        """,
         # t45: Gopher line-format rules — same edge-trim as the
         # tokenizer per line, empty lines out of the denominator
         "t45_gopher_lines": """

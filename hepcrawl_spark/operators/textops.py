@@ -1568,6 +1568,83 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019), in the lookaround-
+# free form both engines read identically: Java regex and RE2 agree
+# on \p{L}/\p{N} and on the explicit whitespace class (the repo-wide
+# rule — never \s, which Java widens with \x0b), and the original
+# pattern's `\s+(?!\S)` alternative is dropped (RE2 has no lookahead;
+# its only effect is where trailing-space runs split, not how many
+# tokens result per run).  Contractions first so "don't" yields
+# ["don", "'t"], then letter runs, digit runs, punctuation runs,
+# whitespace runs.
+SUBWORD_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\f\\r]+"
+)
+
+
+def subword_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Subword-level token counting with a BPE-ish pre-tokenizer —
+    the second half of the brief's token-counting pair (whitespace +
+    BPE-ish regex): the GPT-2 pre-tokenization pattern splits text
+    into the pieces a byte-pair vocabulary would merge within, so
+    ``subword_cnt`` tracks real LLM token counts far more closely
+    than whitespace words, and ``fertility`` (subwords per word) is
+    the standard tokenizer-cost estimate corpus audits report —
+    prose sits near 1.2-1.5, code and non-Latin text higher, so the
+    ratio doubles as a cheap domain signal.
+
+    Whitespace runs count as pre-tokens here (they carry through
+    BPE as space-prefixed pieces); ``fertility`` therefore uses the
+    non-whitespace match count against the t01 word count.
+
+    100 TB shape: one codegen scan — ``regexp_extract_all`` + array
+    folds, no Python, no shuffle; every ratio is a single division,
+    NULL on empty documents.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(SUBWORD_RE), 0)
+
+    def _build(m: Column) -> Column:
+        nonws = F.filter(
+            m, lambda x: ~x.rlike("^[ \\t\\n\\f\\r]+$"))
+        n_sub = F.size(nonws)
+        chars = F.aggregate(
+            nonws, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        return F.struct(
+            F.size(m).cast("long").alias("match_cnt"),
+            n_sub.cast("long").alias("subword_cnt"),
+            chars.alias("subword_chars"),
+        )
+
+    s = bind_once(toks, _build)
+    # word_cnt = t01's count exactly (including its [''] = 1
+    # empty-input convention), so fertility joins against the same
+    # denominator the corpus stats already report
+    ws = F.size(tokens_col(F.col(text_col)))
+    return docs.select(
+        F.col(id_col), s.alias("_s"), ws.cast("long").alias("word_cnt"),
+    ).select(
+        id_col,
+        F.col("_s.match_cnt").alias("match_cnt"),
+        F.col("_s.subword_cnt").alias("subword_cnt"),
+        "word_cnt",
+        F.when(
+            F.col("word_cnt") > 0,
+            F.round(F.col("_s.subword_cnt").cast("double")
+                    / F.col("word_cnt").cast("double"), 9),
+        ).alias("fertility"),
+        F.when(
+            F.col("_s.subword_cnt") > 0,
+            F.round(F.col("_s.subword_chars").cast("double")
+                    / F.col("_s.subword_cnt").cast("double"), 9),
+        ).alias("chars_per_subword"),
+    )
+
+
 def gzip_ratio(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", level: int = 6) -> DataFrame:
     """Compressibility quality signal (the RedPajama-v2 quality-signal

@@ -2652,3 +2652,19 @@ def test_frame_scene_cuts_flags_divergent_frames(spark):
     assert [f.scene_cut for f in by[0][1:]] == [0, 0, 0]
     # the a->z boundary lands at frame 2
     assert by[1][2].scene_cut == 1
+
+
+def test_subword_stats_gpt2_style_splits(spark):
+    df = spark.createDataFrame(
+        [(0, "don't stop believing, it's 2026!"),
+         (1, "hello world"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.subword_stats(df).collect()}
+    # don|'t| stop| believing|,| it|'s| 2026|!
+    assert got[0].subword_cnt == 9 and got[0].word_cnt == 5
+    assert got[0].fertility == pytest.approx(1.8)
+    assert got[1].subword_cnt == 2 and got[1].fertility == 1.0
+    # empty text: t01's [''] convention -> word_cnt 1, zero subwords
+    assert got[2].subword_cnt == 0 and got[2].word_cnt == 1
+    assert got[2].chars_per_subword is None
