@@ -723,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f44_politeness_audit": _q_politeness_audit,
         "m07_scene_cuts": _q_scene_cuts,
         "t46_subword_stats": _q_subword_stats,
+        "p24_subword_pack": _q_subword_pack,
     }
 
 
@@ -4098,6 +4099,18 @@ _BIGRAM_LAM = 0.75
 # standard D=0.75 of Chen & Goodman 1999)
 _KN_DISCOUNT = 0.75
 
+# t46/p24 shared: the GPT-2-style pre-tokenizer pattern as a DuckDB
+# string literal (leading apostrophe doubled), and the non-whitespace
+# match filter — one constant so the two mirrors cannot drift
+_SUBWORD_RE_SQL = (
+    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+'"
+)
+_SUBWORD_NW_SQL = (
+    "list_filter(regexp_extract_all(text, " + _SUBWORD_RE_SQL + "), "
+    "x -> NOT regexp_matches(x, '^[ \\t\\n\\f\\r]+$'))"
+)
+
 # t43: Count-Min sketch shape + heavy-hitter threshold (integers —
 # the whole query is exact integer arithmetic on both engines)
 _CMS_DEPTH = 4
@@ -4468,6 +4481,21 @@ def _q_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob(
         _t(spark, sf_dir, "documents"), lam=_BIGRAM_LAM
     )
+
+
+def _q_subword_pack(spark, sf_dir):
+    # p24: pack by LLM-token budget — t46's subword counter feeds
+    # p02's exact two-phase cumsum unchanged
+    from hepcrawl_spark.operators.corpus import pack_sequences
+
+    counted = textops.subword_stats(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("subword_cnt").alias("token_cnt"))
+    inner = pack_sequences(counted, capacity=512,
+                           count_col="token_cnt")
+    out = inner.select("doc_id", "token_cnt", "seq_id", "seq_offset")
+    out._cumsum_cache = inner._cumsum_cache
+    return out
 
 
 def _q_subword_stats(spark, sf_dir):
@@ -5206,6 +5234,27 @@ def oracle_sql() -> dict[str, str]:
         "p02_pack_sequences": f"""
             WITH s AS (
               SELECT doc_id, len({_TOKS})::BIGINT AS token_cnt
+              FROM documents
+            ), c AS (
+              SELECT doc_id, token_cnt,
+                     COALESCE(SUM(token_cnt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM s
+            )
+            SELECT doc_id, token_cnt,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
+        """,
+        # p24: packing budgeted in SUBWORD tokens — p02's cumsum
+        # arithmetic with t46's counter as the stream (shared
+        # _SUBWORD_* constants; real pretraining layouts budget in
+        # LLM tokens, not words)
+        "p24_subword_pack": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len({_SUBWORD_NW_SQL})::BIGINT AS token_cnt
               FROM documents
             ), c AS (
               SELECT doc_id, token_cnt,
@@ -7024,8 +7073,7 @@ def oracle_sql() -> dict[str, str]:
         "t46_subword_stats": f"""
             WITH m AS (
               SELECT doc_id,
-                     regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\f\\r\\p{{L}}\\p{{N}}]+|[ \\t\\n\\f\\r]+')
+                     regexp_extract_all(text, {_SUBWORD_RE_SQL})
                        AS mt,
                      {_TOKS} AS t
               FROM documents
