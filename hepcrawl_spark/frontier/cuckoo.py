@@ -90,6 +90,27 @@ class CuckooShard:
         self.overflow += 1
         return False
 
+    def delete(self, h: int) -> bool:
+        """Remove one copy of ``h``'s fingerprint — THE operation
+        cuckoo filters exist to offer over Bloom (Fan et al. 2014):
+        a recrawl scheduler evicts due URLs from the seen set so they
+        re-enter the frontier, without rebuilding the filter.  Safe
+        only for keys actually inserted (the standard cuckoo-delete
+        contract; deleting a never-inserted key may erase a colliding
+        fingerprint).  Returns False if the fingerprint is absent
+        from both candidate buckets (e.g. it was dropped as overflow).
+        """
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.buckets[i]
+            hit = np.nonzero(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = _EMPTY
+                self.count -= 1
+                return True
+        return False
+
     # -- vectorized batch probe ----------------------------------------------
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:

@@ -288,3 +288,59 @@ def merge_seen_states(state_a: Optional[DataFrame],
         .cogroup(state_b.groupBy("shard"))
         .applyInPandas(_or_blobs, schema=CUCKOO_STATE_SCHEMA)
     )
+
+
+def evict_seen(state: Optional[DataFrame], evictions: DataFrame,
+               mode: str = "exact",
+               num_shards: int = 64) -> Optional[DataFrame]:
+    """Remove URLs from the seen state so they can be fetched again —
+    the recrawl loop's missing half: ``recrawl.recrawl_candidates``
+    decides WHAT is due, and this makes the gate forget it, without
+    rebuilding the filter.  ``evictions`` must carry ``fingerprint``
+    (and ``url_host`` for the sharded mode).
+
+    ``mode="exact"``: one anti-join on the fingerprint key.
+    ``mode="cuckoo"``: per-shard ``CuckooShard.delete`` in one
+    cogroup — deletion is THE capability cuckoo filters trade
+    fp-rate for over Bloom (Fan et al. 2014), and this is the
+    operation that justifies carrying it.  ``mode="bloom"`` raises:
+    a Bloom filter cannot unset shared bits — schedule recrawls with
+    the cuckoo or exact backend (the documented trade in bloom.py).
+
+    State shards without evictions pass through unchanged; evictions
+    for absent shards are no-ops.
+    """
+    if state is None:
+        return None
+    if mode == "exact":
+        return state.join(
+            evictions.select("fingerprint").distinct(),
+            on="fingerprint", how="left_anti",
+        )
+    if mode == "bloom":
+        raise ValueError(
+            "bloom seen-state cannot delete (shared bits); use the "
+            "cuckoo or exact backend for recrawl eviction"
+        )
+    if mode != "cuckoo":
+        raise ValueError(f"unsupported evict mode {mode!r}")
+
+    ev = evictions.select(
+        shard_of_host(F.col("url_host"), num_shards).alias("shard"),
+        "fingerprint",
+    )
+
+    def _evict(key, st_pdf: pd.DataFrame, ev_pdf: pd.DataFrame):
+        if not len(st_pdf):
+            return pd.DataFrame({"shard": [], "blob": []})
+        shard = CuckooShard.from_bytes(bytes(st_pdf["blob"].iloc[0]))
+        for fp in ev_pdf["fingerprint"]:
+            shard.delete(int(fp))  # raw signed, same as the gate
+        return pd.DataFrame({"shard": [key[0]],
+                             "blob": [shard.to_bytes()]})
+
+    return (
+        state.groupBy("shard")
+        .cogroup(ev.groupBy("shard"))
+        .applyInPandas(_evict, schema=CUCKOO_STATE_SCHEMA)
+    )

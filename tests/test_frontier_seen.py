@@ -214,3 +214,35 @@ def test_merge_seen_states_unions_two_crawls(spark, mode):
     # None passthrough
     assert merge_seen_states(None, state_a, mode=mode) is state_a
     assert merge_seen_states(state_a, None, mode=mode) is state_a
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+def test_evict_seen_reopens_recrawl_urls(spark, mode):
+    """Recrawl loop: evicting a due URL makes the gate admit it again
+    while everything else stays refused."""
+    from hepcrawl_spark.frontier.seen import evict_seen
+
+    urls = [f"http://h{i % 4}.org/page{i}" for i in range(20)]
+    cand = _candidates(spark, urls)
+    _, state = filter_unseen(cand, None, mode=mode, num_shards=4)
+
+    from pyspark.sql import functions as F
+
+    due = cand.filter(F.col("url").contains("page3") |
+                      F.col("url").contains("page7"))
+    state2 = evict_seen(state, due, mode=mode, num_shards=4)
+
+    probe = _candidates(spark, urls, start_seq=100)
+    admitted, _ = filter_unseen(probe, state2, mode=mode, num_shards=4)
+    got = sorted(r.url for r in admitted.collect())
+    assert got == sorted(
+        ["http://h3.org/page3", "http://h3.org/page7"])
+
+
+def test_evict_seen_bloom_refuses(spark):
+    from hepcrawl_spark.frontier.seen import evict_seen
+
+    cand = _candidates(spark, ["http://h0.org/a"])
+    _, state = filter_unseen(cand, None, mode="bloom", num_shards=4)
+    with pytest.raises(ValueError, match="cannot delete"):
+        evict_seen(state, cand, mode="bloom")
