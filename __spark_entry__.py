@@ -4102,9 +4102,15 @@ _KN_DISCOUNT = 0.75
 # t46/p24 shared: the GPT-2-style pre-tokenizer pattern as a DuckDB
 # string literal (leading apostrophe doubled), and the non-whitespace
 # match filter — one constant so the two mirrors cannot drift
+# explicit code-point ranges, not \p{L}/\p{N}: Unicode category
+# tables skew between Java 17 and RE2 on supplementary planes
+# (found by hypothesis) — see textops.SUBWORD_RE
 _SUBWORD_RE_SQL = (
-    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
-    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+'"
+    "'''(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z\\x{00C0}-\\x{10FFFF}]+"
+    "| ?[0-9]+"
+    "| ?[^ \\t\\n\\f\\r A-Za-z0-9\\x{00C0}-\\x{10FFFF}]+"
+    "|[ \\t\\n\\f\\r]+'"
 )
 _SUBWORD_NW_SQL = (
     "list_filter(regexp_extract_all(text, " + _SUBWORD_RE_SQL + "), "

@@ -1569,19 +1569,29 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
 
 
 # GPT-2-style pre-tokenizer (Radford et al. 2019), in the lookaround-
-# free form both engines read identically: Java regex and RE2 agree
-# on \p{L}/\p{N} and on the explicit whitespace class (the repo-wide
-# rule — never \s, which Java widens with \x0b), and the original
-# pattern's `\s+(?!\S)` alternative is dropped (RE2 has no lookahead;
-# its only effect is where trailing-space runs split, not how many
-# tokens result per run).  Contractions first so "don't" yields
-# ["don", "'t"], then letter runs, digit runs, punctuation runs,
-# whitespace runs.
+# free, UNICODE-VERSION-INDEPENDENT form both engines read
+# identically.  Three deliberate portability deviations from the
+# original, each forced by a measured engine divergence:
+# - explicit whitespace class, never \s (Java widens \s with \x0b;
+#   the repo-wide contract);
+# - `\s+(?!\S)` dropped (RE2 has no lookahead; only changes where
+#   trailing-space runs split, not how many tokens result);
+# - explicit code-point ranges instead of \p{L}/\p{N}: hypothesis
+#   found live skew between Java 17's and DuckDB/RE2's Unicode
+#   category tables on supplementary-plane points (CJK extensions,
+#   private-use), so the "letter" class is [A-Za-z] plus EVERYTHING
+#   >= U+00C0 — a byte-level-BPE-faithful simplification (GPT-2's
+#   BPE handles non-ASCII at the byte level regardless of category),
+#   and explicit ranges mean the two engines cannot disagree on any
+#   code point, assigned or not.  "digit" is [0-9]; the punctuation
+#   run covers ASCII punctuation + U+007F–U+00BF.
+# Contractions first so "don't" yields ["don", "'t"], then
+# letter-ish runs, digit runs, punctuation runs, whitespace runs.
 SUBWORD_RE = (
     "'(?:s|t|re|ve|m|ll|d)"
-    "| ?\\p{L}+"
-    "| ?\\p{N}+"
-    "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
+    "| ?[A-Za-z\\x{00C0}-\\x{10FFFF}]+"
+    "| ?[0-9]+"
+    "| ?[^ \\t\\n\\f\\r A-Za-z0-9\\x{00C0}-\\x{10FFFF}]+"
     "|[ \\t\\n\\f\\r]+"
 )
 

@@ -35,6 +35,9 @@ FUZZED_QUERIES = [
     "t18_badwords",
     "t28_char_entropy",
     "t30_bigram_logprob",
+    "t42_kn_bigram",
+    "t45_gopher_lines",
+    "t46_subword_stats",
 ]
 
 # the tokenizer fuzz's adversarial alphabet: unicode whitespace,
@@ -110,6 +113,7 @@ LINE_FUZZED_QUERIES = [
     "p06_clean_span_rewritten",
     "p08_clean_decontam_rewritten",
     "d10_dedup_lines_global",
+    "t45_gopher_lines",
 ]
 
 

@@ -2668,3 +2668,30 @@ def test_subword_stats_gpt2_style_splits(spark):
     # empty text: t01's [''] convention -> word_cnt 1, zero subwords
     assert got[2].subword_cnt == 0 and got[2].word_cnt == 1
     assert got[2].chars_per_subword is None
+
+
+def test_subword_stats_unicode_version_independent(spark):
+    # regression: hypothesis found Java-vs-RE2 Unicode-table skew on
+    # supplementary-plane points under \p{L}; the explicit-range
+    # pattern must agree with its DuckDB mirror on exactly those
+    import duckdb
+    import __spark_entry__ as em
+    texts = [
+        "2\x0e\U0007eff0\x83\x9c",                 # unassigned plane 7
+        "c\x98\U000f33be\U00032160¶§¸i\x12Ån\x14%\U0010ac39",
+        "𝟙①٣Ⅷﬁｱｲｳ÷×",                           # exotic N/L boundary
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.match_cnt, r.subword_cnt)
+           for r in textops.subword_stats(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        em.oracle_sql()["t46_subword_stats"]).fetchall()}
+    con.close()
+    assert got == want
