@@ -724,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m07_scene_cuts": _q_scene_cuts,
         "t46_subword_stats": _q_subword_stats,
         "p24_subword_pack": _q_subword_pack,
+        "p25_curriculum_pack": _q_curriculum_pack,
     }
 
 
@@ -4489,6 +4490,23 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_curriculum_pack(spark, sf_dir):
+    # p25: quality-curriculum layout — t12's rounded logistic score
+    # orders the packed stream (score DESC, id ASC), p02's exact
+    # two-phase cumsum cuts it; oracle shares t12's score CTEs
+    from hepcrawl_spark.operators.corpus import curriculum_pack
+
+    scored = textops.classifier_score(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "token_cnt", "cls_score")
+    inner = curriculum_pack(scored, capacity=512)
+    out = inner.select(
+        "doc_id", "token_cnt", "cls_score", "seq_id", "seq_offset"
+    )
+    out._cumsum_cache = inner._cumsum_cache
+    return out
+
+
 def _q_subword_pack(spark, sf_dir):
     # p24: pack by LLM-token budget — t46's subword counter feeds
     # p02's exact two-phase cumsum unchanged
@@ -5253,6 +5271,23 @@ def oracle_sql() -> dict[str, str]:
                    (prev % 512)::BIGINT AS seq_offset
             FROM c
         """,
+        # p25: curriculum packing — t12's score CTEs verbatim, the
+        # p02 cumsum arithmetic over (cls_score DESC, doc_id): the
+        # ROUNDED score orders, so ordering cannot drift cross-engine
+        "p25_curriculum_pack": (
+            "WITH " + _CLS_SCORE_CTES + """, c AS (
+              SELECT doc_id, token_cnt, cls_score,
+                     COALESCE(SUM(token_cnt) OVER (
+                       ORDER BY cls_score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev
+              FROM clsm
+            )
+            SELECT doc_id, token_cnt, cls_score,
+                   (prev // 512)::BIGINT AS seq_id,
+                   (prev % 512)::BIGINT AS seq_offset
+            FROM c
+        """),
         # p24: packing budgeted in SUBWORD tokens — p02's cumsum
         # arithmetic with t46's counter as the stream (shared
         # _SUBWORD_* constants; real pretraining layouts budget in

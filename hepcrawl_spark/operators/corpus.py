@@ -127,6 +127,44 @@ def pack_sequences(docs: DataFrame, capacity: int = 512,
     return out
 
 
+def curriculum_pack(scored: DataFrame, capacity: int = 512,
+                    id_col: str = "doc_id",
+                    count_col: str = "token_cnt",
+                    score_col: str = "cls_score") -> DataFrame:
+    """Curriculum-ordered packing (Bengio et al. 2009 ordering, the
+    data-ordering half of quality-curriculum pretraining recipes):
+    identical exact layout arithmetic to :func:`pack_sequences`, but
+    the deterministic token stream runs highest-quality-first —
+    (score DESC, id ASC; the score arrives ROUNDED from
+    ``classifier_score``'s 6-digit contract, so ordering and
+    therefore the whole layout is bit-identical cross-engine).
+
+    Input is an already-scored frame (e.g. ``textops.
+    classifier_score`` output); every input column is preserved
+    alongside the layout, like ``pack_sequences(count_col=…)``.
+
+    100 TB shape: unchanged from p02 — the only global state is the
+    exclusive running count via ``two_phase_cumsum`` (range buckets
+    on the NEW sort key + prefix re-base; never a single-task
+    window).  Ordering by score instead of id costs nothing: the
+    range partitioner ranges over (score, id) exactly as it ranged
+    over id.
+    """
+    c = two_phase_cumsum(
+        scored, count_col,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        out_col="_prev",
+    )
+    out = c.select(
+        *scored.columns,
+        F.expr(f"_prev div {capacity}").alias("seq_id"),
+        F.pmod(F.col("_prev"), F.lit(capacity)).cast("long")
+        .alias("seq_offset"),
+    )
+    out._cumsum_cache = c._cumsum_cache
+    return out
+
+
 def _shard_match(group_cols: tuple[str, ...], key) -> Column:
     """Equality conjunction for one mixing-table key (a str or tuple
     aligned with ``group_cols``)."""

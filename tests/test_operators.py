@@ -2695,3 +2695,20 @@ def test_subword_stats_unicode_version_independent(spark):
         em.oracle_sql()["t46_subword_stats"]).fetchall()}
     con.close()
     assert got == want
+
+
+def test_curriculum_pack_orders_by_score(spark):
+    from hepcrawl_spark.operators.corpus import curriculum_pack
+    scored = spark.createDataFrame(
+        [(0, 10, 0.2), (1, 20, 0.9), (2, 30, 0.5), (3, 40, 0.9)],
+        "doc_id long, token_cnt long, cls_score double",
+    )
+    out = curriculum_pack(scored, capacity=32)
+    rows = {r.doc_id: r for r in out.collect()}
+    out._cumsum_cache.unpersist()
+    # stream order: 1 (0.9), 3 (0.9, higher id), 2 (0.5), 0 (0.2)
+    assert (rows[1].seq_id, rows[1].seq_offset) == (0, 0)
+    assert (rows[3].seq_id, rows[3].seq_offset) == (0, 20)
+    # doc 3 ends at 60 -> doc 2 opens at offset 60 % 32 = 28, seq 1
+    assert (rows[2].seq_id, rows[2].seq_offset) == (1, 28)
+    assert (rows[0].seq_id, rows[0].seq_offset) == (2, 26)
