@@ -725,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t46_subword_stats": _q_subword_stats,
         "p24_subword_pack": _q_subword_pack,
         "p25_curriculum_pack": _q_curriculum_pack,
+        "f45_aged_budget": _q_aged_budget,
     }
 
 
@@ -4550,6 +4551,31 @@ def _q_cms_heavy(spark, sf_dir):
     )
 
 
+def _q_aged_budget(spark, sf_dir):
+    # f45: priority aging under a per-host budget — entries that
+    # waited longer outrank fresh arrivals, so budget shedding can
+    # never starve a URL forever
+    from hepcrawl_spark.frontier.politeness import (
+        age_priorities,
+        queue_budget,
+    )
+
+    cand = _event_candidates(spark, sf_dir)
+    q = cand.withColumn(
+        "enqueue_round", (F.col("seq") % 9).cast("long")
+    ).withColumn(
+        "priority",
+        F.when(F.col("seq") % 4 == 0, F.lit(2))
+        .otherwise(F.lit(0)).cast("long"),
+    )
+    aged = age_priorities(q, current_round=10, rate=1.0)
+    kept, _ = queue_budget(
+        aged.withColumn("priority", F.col("aged_priority")),
+        per_host=3,
+    )
+    return kept.select("url_host", "seq", "aged_priority")
+
+
 def _q_politeness_audit(spark, sf_dir):
     # f44: courtesy-adherence audit — f01's executed schedule plus
     # planted violations (two too-fast refetches, one oversized
@@ -4765,6 +4791,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
+        """,
+        # f45: aged per-host budget — same synthesized priorities and
+        # enqueue rounds; keep each host's best 3 by AGED order
+        "f45_aged_budget": f"""
+            WITH c AS (
+              SELECT {_CAND_HOST_SQL} AS url_host, event_id AS seq
+              FROM events
+            ), q AS (
+              SELECT url_host, seq,
+                     CASE WHEN seq % 4 = 0 THEN 2 ELSE 0 END
+                       AS priority,
+                     seq % 9 AS enq
+              FROM c
+            ), a AS (
+              SELECT url_host, seq,
+                     (priority
+                      + floor((10 - enq) * 1.0))::BIGINT
+                       AS aged_priority
+              FROM q
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY url_host
+                ORDER BY aged_priority DESC, seq DESC) AS rn
+              FROM a
+            )
+            SELECT url_host, seq, aged_priority FROM r WHERE rn <= 3
         """,
         # f44: politeness audit — f01's schedule as the fetch log,
         # plus the same planted violations; waves = identical-ts

@@ -737,3 +737,37 @@ def politeness_audit(
              & (F.col("gap_violations") == 0)).cast("int"),
         )
     )
+
+
+def age_priorities(queue: DataFrame, current_round: int,
+                   rate: float = 1.0,
+                   round_col: str = "enqueue_round",
+                   priority_col: str = "priority") -> DataFrame:
+    """Starvation-freedom for the budgeted frontier: a queue entry's
+    effective priority grows with the number of rounds it has waited
+    (``aged_priority = priority + floor((current_round −
+    enqueue_round) · rate)``), so rows that ``queue_budget`` keeps
+    shedding eventually outrank fresh arrivals and MUST schedule —
+    the classic aging fix for priority-queue starvation, which a
+    pure (priority DESC, seq DESC) order never guarantees: a hot
+    host's fresh high-priority stream can shed the same old URLs
+    every round forever.
+
+    Integer arithmetic (floor of a product of plan literals) so the
+    aged rank is bit-identical cross-engine and across re-runs; base
+    ``priority`` is untouched — aging is re-derived each round from
+    the stored enqueue round, exactly like the host-authority boost
+    (``schedule(host_priorities=…)``), so it can never compound.
+
+    100 TB shape: one codegen expression on the queue scan — no
+    join, no window, no state.  Compose:
+    ``queue_budget(age_priorities(queue, r).withColumn("priority",
+    col("aged_priority")), per_host=k)`` keeps each host's best k by
+    AGED order.
+    """
+    return queue.withColumn(
+        "aged_priority",
+        (F.col(priority_col)
+         + F.floor((F.lit(int(current_round)) - F.col(round_col))
+                   * F.lit(float(rate)))).cast("long"),
+    )

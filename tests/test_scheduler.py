@@ -355,3 +355,41 @@ def test_politeness_audit_flags_planted_violations(spark):
     clean = politeness_audit(sched.select("url_host", "fetch_ts"),
                              pol).collect()
     assert all(r.ok == 1 for r in clean)
+
+
+def test_age_priorities_ends_starvation(spark):
+    # each round one fresh priority-1 URL arrives and the budget
+    # serves exactly one entry; without aging the old priority-0 URL
+    # loses to the fresh arrival every round forever — with aging it
+    # is served within a rate-bounded number of rounds
+    from pyspark.sql import functions as F
+
+    from hepcrawl_spark.frontier.politeness import (
+        age_priorities,
+        queue_budget,
+    )
+
+    def run(rate, rounds=5):
+        pending = [("http://h.x/old", "h.x", 0, 0, 0)]
+        served = []
+        for rnd in range(1, rounds + 1):
+            pending.append(
+                (f"http://h.x/fresh{rnd}", "h.x", 1, rnd, rnd))
+            q = spark.createDataFrame(
+                pending,
+                "url string, url_host string, priority long, "
+                "seq long, enqueue_round long",
+            )
+            aged = age_priorities(q, current_round=rnd, rate=rate)
+            kept, _ = queue_budget(
+                aged.withColumn("priority", F.col("aged_priority")),
+                per_host=1,
+            )
+            win = kept.collect()[0].url
+            served.append(win)
+            pending = [r for r in pending if r[0] != win]
+        return served
+
+    assert "http://h.x/old" not in run(rate=0.0)     # starved forever
+    aged_served = run(rate=1.0)
+    assert "http://h.x/old" in aged_served           # aging rescues it
