@@ -726,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p24_subword_pack": _q_subword_pack,
         "p25_curriculum_pack": _q_curriculum_pack,
         "f45_aged_budget": _q_aged_budget,
+        "t47_pipeline_funnel": _q_pipeline_funnel,
     }
 
 
@@ -4491,6 +4492,38 @@ def _q_bigram_logprob(spark, sf_dir):
     )
 
 
+def _q_pipeline_funnel(spark, sf_dir):
+    # t47: the data-audit funnel every corpus release publishes —
+    # docs and tokens surviving each cleaning stage (raw → Gopher
+    # gate → exact dedup), as one three-row table; the oracle shares
+    # the p01 component CTEs so stage semantics cannot drift
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(textops.tokens_col(F.col("text"))).cast("long"))
+        .alias("n_tokens"),
+    ).select(F.lit("1_raw").alias("stage"), "n_docs", "n_tokens")
+    g = corpus_ops.gated_docs(docs).persist()
+    gated = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_cnt").alias("n_tokens"),
+    ).select(F.lit("2_gated").alias("stage"), "n_docs", "n_tokens")
+    w = Window.partitionBy("_md5").orderBy(F.col("doc_id").asc())
+    d = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_cnt").alias("n_tokens"),
+        )
+        .select(F.lit("3_deduped").alias("stage"),
+                "n_docs", "n_tokens")
+    )
+    out = raw.unionByName(gated).unionByName(d)
+    out._caches = [g]
+    return out
+
+
 def _q_curriculum_pack(spark, sf_dir):
     # p25: quality-curriculum layout — t12's rounded logistic score
     # orders the packed stream (score DESC, id ASC), p02's exact
@@ -4791,6 +4824,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
+        """,
+        # t47: release-audit funnel — p01's component CTEs verbatim,
+        # three 1-row aggregates unioned
+        "t47_pipeline_funnel": f"""
+            WITH s AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            ), m AS (
+              SELECT doc_id, text,{_GOPHER_M_COLS}
+              FROM s
+            ), g AS (
+              SELECT *, {_GOPHER_DUP_SQL} AS dup_frac FROM m
+            ), p AS (
+              SELECT * FROM g WHERE {_GOPHER_PASS_SQL}
+            ), k AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+              ) AS rn FROM p
+            )
+            SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+                   sum(token_cnt)::BIGINT AS n_tokens FROM g
+            UNION ALL
+            SELECT '2_gated', count(*)::BIGINT,
+                   sum(token_cnt)::BIGINT FROM p
+            UNION ALL
+            SELECT '3_deduped', count(*)::BIGINT,
+                   sum(token_cnt)::BIGINT FROM k WHERE rn = 1
         """,
         # f45: aged per-host budget — same synthesized priorities and
         # enqueue rounds; keep each host's best 3 by AGED order
