@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p25_curriculum_pack": _q_curriculum_pack,
         "f45_aged_budget": _q_aged_budget,
         "t47_pipeline_funnel": _q_pipeline_funnel,
+        "f46_sitemap_recrawl": _q_sitemap_recrawl,
     }
 
 
@@ -3288,6 +3289,57 @@ def _q_sitemap_scan(spark, sf_dir):
     )
 
 
+def _q_sitemap_recrawl(spark, sf_dir):
+    # f46: publisher-declared recrawl — changefreq/lastmod hints from
+    # synthesized urlset XML (round-tripped through the real entry
+    # parser) turned into interval/next-due/due verdicts
+    from hepcrawl_spark.sources import sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".docs.example.com"))
+    cfreq = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("daily"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("weekly"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("never"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entry = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit("/d/"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))),
+        F.coalesce(
+            F.concat(F.lit("<changefreq>"), cfreq,
+                     F.lit("</changefreq>")),
+            F.lit("")),
+        F.lit("</url>"),
+    )
+    pages = (
+        docs.select(host.alias("url_host"),
+                    F.struct(F.col("doc_id"), entry.alias("e"))
+                    .alias("se"))
+        .groupBy("url_host")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("se")),
+                        lambda x: x["e"]), "").alias("body"))
+        .select(
+            F.concat(F.lit("http://"), F.col("url_host"),
+                     F.lit("/sitemap.xml")).alias("url"),
+            F.encode(F.concat(
+                F.lit('<?xml version="1.0"?><urlset '
+                      'xmlns="http://www.sitemaps.org/schemas'
+                      '/sitemap/0.9">'),
+                F.col("body"), F.lit("</urlset>")), "UTF-8")
+            .alias("xml"),
+        )
+    )
+    entries = sitemap.sitemap_entries(pages)
+    return sitemap.sitemap_recrawl_due(entries, as_of="2024-01-20")
+
+
 def _robots_bodies(spark, sf_dir):
     """Synthesized robots.txt bodies for the 20 event hosts —
     exercises group precedence (specific agent beats *), an ignored
@@ -4824,6 +4876,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_host, seq, host_rank,
                    floor((host_rank - 1) / 2) * 5.0 AS fetch_ts
             FROM r
+        """,
+        # f46: publisher-declared recrawl — the same closed-form
+        # entry fields re-derived without the XML round-trip (which
+        # is the Spark side's parser exercise), then the protocol's
+        # interval map + date arithmetic
+        "f46_sitemap_recrawl": """
+            WITH e AS (
+              SELECT doc_id,
+                     'http://h' || (doc_id % 7)
+                       || '.docs.example.com/d/' || doc_id AS url,
+                     'h' || (doc_id % 7) || '.docs.example.com'
+                       AS url_host,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE '2024-01-' || lpad(
+                            (1 + doc_id % 28)::VARCHAR, 2, '0')
+                     END AS lastmod,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       WHEN 2 THEN 'never' END AS changefreq
+              FROM documents
+            ), c AS (
+              SELECT url, url_host, changefreq, lastmod,
+                     CASE WHEN changefreq = 'never' THEN NULL
+                          WHEN changefreq = 'daily' THEN 1
+                          WHEN changefreq = 'weekly' THEN 7
+                          ELSE 7 END::INT AS interval_days
+              FROM e
+            )
+            SELECT url, url_host, changefreq, lastmod, interval_days,
+                   (lastmod::DATE
+                    + (interval_days || ' days')::INTERVAL)::DATE
+                     AS next_due,
+                   (CASE WHEN changefreq = 'never' THEN FALSE
+                         WHEN lastmod IS NULL THEN TRUE
+                         ELSE lastmod::DATE
+                              + (interval_days || ' days')::INTERVAL
+                              <= '2024-01-20'::DATE
+                    END)::INT AS due
+            FROM c
         """,
         # t47: release-audit funnel — p01's component CTEs verbatim,
         # three 1-row aggregates unioned

@@ -66,8 +66,8 @@ def sitemap_entries(
     """``<urlset>`` pages -> one candidate row per ``<url>`` entry.
 
     Columns: sitemap_url, url, url_host, lastmod (string or null),
-    sm_priority (double or null).  Entries without an absolute
-    http(s) ``<loc>`` are dropped.
+    sm_priority (double or null), changefreq (string or null).
+    Entries without an absolute http(s) ``<loc>`` are dropped.
     """
     frags = F.regexp_extract_all(
         _clean(xml_col), F.lit(r"(?s)(<url>.*?</url>)"), F.lit(1)
@@ -76,6 +76,7 @@ def sitemap_entries(
     lastmod = F.nullif(F.xpath_string("frag", F.lit("url/lastmod")),
                        F.lit(""))
     prio = F.xpath_string("frag", F.lit("url/priority"))
+    cfreq = F.xpath_string("frag", F.lit("url/changefreq"))
     return (
         pages.select(
             F.col(url_col).alias("sitemap_url"),
@@ -86,9 +87,65 @@ def sitemap_entries(
             loc.alias("url"),
             lastmod.alias("lastmod"),
             F.nullif(prio, F.lit("")).cast("double").alias("sm_priority"),
+            F.nullif(F.lower(cfreq), F.lit("")).alias("changefreq"),
         )
         .where(F.col("url").rlike(r"^https?://"))
         .withColumn("url_host", F.parse_url(F.col("url"), F.lit("HOST")))
+    )
+
+
+# sitemap-protocol changefreq → recrawl interval in days.  "always"
+# and "hourly" mean sub-daily — due immediately on any day boundary;
+# "never" opts out of scheduled recrawl entirely (archival URLs).
+CHANGEFREQ_DAYS = {
+    "always": 0, "hourly": 0, "daily": 1, "weekly": 7,
+    "monthly": 30, "yearly": 365,
+}
+DEFAULT_RECRAWL_DAYS = 7
+
+
+def sitemap_recrawl_due(entries: DataFrame, as_of: str,
+                        default_days: int = DEFAULT_RECRAWL_DAYS,
+                        ) -> DataFrame:
+    """Publisher-declared recrawl scheduling: the sitemap protocol's
+    ``changefreq``/``lastmod`` hints turned into a due verdict — the
+    cooperative counterpart of the observation-driven churn estimate
+    (``frontier.recrawl``): the SITE tells the crawler how often a
+    page changes, and a polite crawler folds that into its refetch
+    queue rather than rediscovering it from snapshot diffs.
+
+    Semantics per entry: interval = :data:`CHANGEFREQ_DAYS` for the
+    declared frequency (``never`` → NULL interval, never due;
+    unknown/missing → ``default_days``); ``next_due`` = lastmod +
+    interval; entries WITHOUT a lastmod are due immediately (nothing
+    says when they last changed).  ``due`` compares against
+    ``as_of`` (an ISO date literal — a plan constant, so the verdict
+    is reproducible).
+
+    100 TB shape: one codegen projection on the entries frame (date
+    arithmetic + a literal CASE map), no join, no window, no Python;
+    the due predicate pushes into the frontier insert downstream.
+    """
+    freq_days = F.element_at(
+        F.create_map(*[
+            F.lit(x) for kv in CHANGEFREQ_DAYS.items() for x in kv
+        ]),
+        F.col("changefreq"),
+    )
+    interval = F.when(
+        F.col("changefreq") == "never", F.lit(None).cast("int")
+    ).otherwise(
+        F.coalesce(freq_days, F.lit(int(default_days)))
+    )
+    next_due = F.date_add(F.to_date("lastmod"), interval)
+    due = F.when(F.col("changefreq") == "never", F.lit(False)) \
+        .when(F.col("lastmod").isNull(), F.lit(True)) \
+        .otherwise(next_due <= F.to_date(F.lit(as_of)))
+    return entries.select(
+        "url", "url_host", "changefreq", "lastmod",
+        interval.cast("int").alias("interval_days"),
+        next_due.alias("next_due"),
+        due.cast("int").alias("due"),
     )
 
 

@@ -81,3 +81,47 @@ def test_sitemap_coverage_counts(spark):
             a.sitemap_only, a.crawl_only) == (2, 2, 1, 1, 1)
     assert (r["b"].n_sitemap, r["b"].n_crawled) == (1, 0)
     assert (r["c"].n_sitemap, r["c"].crawl_only) == (0, 1)
+
+
+def test_sitemap_recrawl_due_semantics(spark):
+    from hepcrawl_spark.sources.sitemap import (
+        sitemap_entries,
+        sitemap_recrawl_due,
+    )
+    body = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://s.x/daily-old</loc>"
+        "<lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq></url>"
+        "<url><loc>http://s.x/weekly-fresh</loc>"
+        "<lastmod>2024-01-18</lastmod>"
+        "<changefreq>WEEKLY</changefreq></url>"
+        "<url><loc>http://s.x/never</loc>"
+        "<lastmod>2020-01-01</lastmod>"
+        "<changefreq>never</changefreq></url>"
+        "<url><loc>http://s.x/no-lastmod</loc>"
+        "<changefreq>daily</changefreq></url>"
+        "<url><loc>http://s.x/no-freq</loc>"
+        "<lastmod>2024-01-10</lastmod></url>"
+        "</urlset>"
+    )
+    pages = spark.createDataFrame(
+        [("http://s.x/sitemap.xml", bytearray(body.encode()))],
+        "url string, xml binary",
+    )
+    out = {r.url: r for r in sitemap_recrawl_due(
+        sitemap_entries(pages), as_of="2024-01-20").collect()}
+    assert out["http://s.x/daily-old"].due == 1          # long overdue
+    assert out["http://s.x/daily-old"].interval_days == 1
+    # weekly from the 18th -> due the 25th, not yet
+    assert out["http://s.x/weekly-fresh"].due == 0
+    assert str(out["http://s.x/weekly-fresh"].next_due) == "2024-01-25"
+    # changefreq is case-folded by the parser
+    assert out["http://s.x/weekly-fresh"].changefreq == "weekly"
+    assert out["http://s.x/never"].due == 0              # opted out
+    assert out["http://s.x/never"].interval_days is None
+    assert out["http://s.x/no-lastmod"].due == 1         # unknown age
+    # missing changefreq -> default 7 days, 10th + 7 = 17th <= 20th
+    assert out["http://s.x/no-freq"].due == 1
+    assert out["http://s.x/no-freq"].interval_days == 7
